@@ -1,0 +1,111 @@
+"""open_clip_tpu — a TPU-native (JAX/XLA/Pallas/pjit) contrastive vision-language-audio
+framework with the capability surface of mlfoundations/open_clip.
+
+Public API mirrors the reference's ``src/open_clip/__init__.py``.
+"""
+
+from .config import (
+    CLIPModelCfg,
+    CLIPTextCfg,
+    CLIPVisionCfg,
+    MultimodalCfg,
+    add_model_config,
+    get_model_config,
+    list_models,
+)
+from .constants import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    INCEPTION_MEAN,
+    INCEPTION_STD,
+    OPENAI_DATASET_MEAN,
+    OPENAI_DATASET_STD,
+)
+from .factory import (
+    create_model,
+    create_model_and_transforms,
+    create_model_from_pretrained,
+    get_tokenizer,
+    load_checkpoint,
+)
+from .loss import ClipLoss, CoCaLoss, DistillClipLoss, SigLipLoss, create_loss
+from .models.clip import (
+    CLIPModel,
+    clamp_logit_scale,
+    clip_forward,
+    encode_image,
+    encode_text,
+    get_logits,
+    init_clip,
+)
+from .pretrained import (
+    get_pretrained_cfg,
+    get_pretrained_url,
+    is_pretrained_cfg,
+    list_pretrained,
+    list_pretrained_models_by_tag,
+    list_pretrained_tags_by_model,
+)
+from .tokenizer import DEFAULT_CONTEXT_LENGTH, HFTokenizer, SimpleTokenizer, decode, tokenize
+from .transform import AugmentationCfg, PreprocessCfg, image_transform, image_transform_v2
+from .version import __version__
+from .zero_shot_classifier import build_zero_shot_classifier, build_zero_shot_classifier_legacy
+from .zero_shot_metadata import (
+    IMAGENET_CLASSNAMES,
+    OPENAI_IMAGENET_TEMPLATES,
+    SIMPLE_IMAGENET_TEMPLATES,
+)
+
+__all__ = [
+    "__version__",
+    "CLIPModelCfg",
+    "CLIPTextCfg",
+    "CLIPVisionCfg",
+    "MultimodalCfg",
+    "CLIPModel",
+    "add_model_config",
+    "get_model_config",
+    "list_models",
+    "create_model",
+    "create_model_and_transforms",
+    "create_model_from_pretrained",
+    "get_tokenizer",
+    "load_checkpoint",
+    "create_loss",
+    "ClipLoss",
+    "SigLipLoss",
+    "CoCaLoss",
+    "DistillClipLoss",
+    "clip_forward",
+    "encode_image",
+    "encode_text",
+    "get_logits",
+    "init_clip",
+    "clamp_logit_scale",
+    "list_pretrained",
+    "list_pretrained_models_by_tag",
+    "list_pretrained_tags_by_model",
+    "is_pretrained_cfg",
+    "get_pretrained_cfg",
+    "get_pretrained_url",
+    "SimpleTokenizer",
+    "HFTokenizer",
+    "tokenize",
+    "decode",
+    "DEFAULT_CONTEXT_LENGTH",
+    "PreprocessCfg",
+    "AugmentationCfg",
+    "image_transform",
+    "image_transform_v2",
+    "build_zero_shot_classifier",
+    "build_zero_shot_classifier_legacy",
+    "IMAGENET_CLASSNAMES",
+    "OPENAI_IMAGENET_TEMPLATES",
+    "SIMPLE_IMAGENET_TEMPLATES",
+    "OPENAI_DATASET_MEAN",
+    "OPENAI_DATASET_STD",
+    "IMAGENET_MEAN",
+    "IMAGENET_STD",
+    "INCEPTION_MEAN",
+    "INCEPTION_STD",
+]

@@ -1,0 +1,141 @@
+"""Checkpoint IO: torch/.safetensors import, orbax-native save/load.
+
+Import path mirrors reference ``src/open_clip/factory.py:193-238`` (load_checkpoint):
+read a torch ``.pt``/``.bin`` or ``.safetensors`` file, normalize the state dict, convert
+to the JAX param tree, and reconcile pos-embed sizes. Native checkpoints use Orbax
+(sharded, async-capable) — the TPU equivalent of the reference's full-.pt/DCP duo.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import CLIPModelCfg
+from .convert import normalize_torch_state_dict, torch_clip_to_params
+from .ops.pos_embed import resize_text_pos_embed, resize_vision_pos_embed
+
+logger = logging.getLogger(__name__)
+
+
+def read_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch-format checkpoint file into a numpy state dict."""
+    path = str(path)
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    if path.endswith(".npz"):
+        return dict(np.load(path))
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        ckpt = ckpt["state_dict"]
+    elif isinstance(ckpt, dict) and "model" in ckpt and isinstance(ckpt["model"], dict):
+        ckpt = ckpt["model"]
+    return {k: v for k, v in ckpt.items()}
+
+
+def load_checkpoint(
+    params: Dict[str, Any],
+    cfg: CLIPModelCfg,
+    path: str,
+    strict: bool = True,
+) -> Dict[str, Any]:
+    """Load reference-format weights into (a copy of) ``params``; resizes pos embeds when
+    the target image size / context length differs (reference factory.py:193-238)."""
+    sd = read_state_dict(path)
+    loaded = torch_clip_to_params(sd, cfg)
+    loaded.pop("_unconverted", None)
+    return merge_params(params, loaded, cfg, strict=strict)
+
+
+def merge_params(
+    params: Dict[str, Any],
+    loaded: Dict[str, Any],
+    cfg: Optional[CLIPModelCfg] = None,
+    strict: bool = True,
+) -> Dict[str, Any]:
+    """Overlay ``loaded`` onto ``params`` with shape reconciliation for pos embeds."""
+
+    def walk(cur, new, path=()):
+        out = {}
+        for k in cur:
+            if not isinstance(new, dict) or k not in new:
+                if strict and k not in ("logit_bias",):
+                    missing.append("/".join(path + (k,)))
+                out[k] = cur[k]
+                continue
+            if isinstance(cur[k], dict):
+                out[k] = walk(cur[k], new[k], path + (k,))
+            else:
+                val = jnp.asarray(new[k])
+                if val.shape != cur[k].shape:
+                    val = _reconcile(path + (k,), cur[k], val, cfg)
+                out[k] = val.astype(cur[k].dtype)
+        if isinstance(new, dict):
+            for k in new:
+                if k not in cur:
+                    unexpected.append("/".join(path + (k,)))
+                    out[k] = new[k] if not isinstance(new[k], dict) else new[k]
+        return out
+
+    missing: list = []
+    unexpected: list = []
+    merged = walk(params, loaded)
+    if missing:
+        msg = f"missing keys when loading checkpoint: {missing[:10]}{'...' if len(missing) > 10 else ''}"
+        if strict:
+            raise KeyError(msg)
+        logger.warning(msg)
+    if unexpected:
+        logger.warning("unexpected checkpoint keys kept: %s", unexpected[:10])
+    return merged
+
+
+def _reconcile(path, cur, val, cfg: Optional[CLIPModelCfg]):
+    name = "/".join(path)
+    if path[-1] == "positional_embedding" and path[0] == "visual" and cfg is not None:
+        old_len = val.shape[0]
+        num_prefix = 1 if cfg.vision_cfg.class_token else 0
+        old_side = int(round(np.sqrt(old_len - num_prefix)))
+        logger.info("resizing %s %s -> %s", name, val.shape, cur.shape)
+        return resize_vision_pos_embed(
+            val, cfg.vision_cfg.grid_size, (old_side, old_side), num_prefix=num_prefix
+        )
+    if path[-1] == "positional_embedding" and path[0] == "text":
+        logger.info("resizing %s %s -> %s", name, val.shape, cur.shape)
+        return resize_text_pos_embed(val, cur.shape[0])
+    if path[-1] in ("logit_scale", "logit_bias") and val.ndim != cur.ndim:
+        return val.reshape(cur.shape)
+    raise ValueError(f"shape mismatch for {name}: checkpoint {val.shape} vs model {cur.shape}")
+
+
+# ---------------------------------------------------------------------------
+# native (orbax) checkpoints
+# ---------------------------------------------------------------------------
+
+def save_native(path: str, tree: Dict[str, Any]) -> None:
+    """Save a pytree (params or full train state) with Orbax."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+
+
+def load_native(path: str, like: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        if like is not None:
+            return ckptr.restore(path, target=like)
+        return ckptr.restore(path)

@@ -1,0 +1,351 @@
+"""Torch-checkpoint <-> JAX-param conversion.
+
+Behavioral equivalent of the reference's checkpoint loading stack
+(``src/open_clip/factory.py:172-238`` load_state_dict/load_checkpoint,
+``src/open_clip/model.py:670-737`` convert_to_custom_text_state_dict), re-targeted at
+the functional param pytree used here (see models/clip.py):
+
+- torch Linear weights (out, in) are transposed to (in, out) kernels;
+- fused attention ``in_proj_weight`` (3W, W) becomes the (W, 3W) qkv kernel;
+- the patch conv (W, 3, P, P) flattens to the (P*P*3, W) patchify matmul kernel;
+- per-layer block weights are stacked along a leading layer axis for ``lax.scan``.
+
+Tensors are converted through numpy; torch is only needed when reading ``.pt`` files.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from typing import Any, Dict, Mapping, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import CLIPModelCfg
+
+logger = logging.getLogger(__name__)
+
+
+def _np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    # torch tensor (cpu) — avoid importing torch unless needed
+    if hasattr(t, "detach"):
+        t = t.detach()
+        if t.dtype is not None and str(t.dtype) == "torch.bfloat16":
+            t = t.float()
+        return t.cpu().numpy()
+    return np.asarray(t)
+
+
+def normalize_torch_state_dict(sd: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Strip wrapper prefixes and re-home the flat OpenAI-CLIP text keys under ``text.``
+    (reference convert_to_custom_text_state_dict, model.py:718-737)."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        if k.startswith("_orig_mod."):
+            k = k[len("_orig_mod."):]
+        if k.endswith("position_ids"):
+            continue
+        out[k] = _np(v)
+
+    flat_text = any(
+        k.startswith(("token_embedding", "ln_final", "transformer.resblocks")) or k == "text_projection"
+        or k == "positional_embedding"
+        for k in out
+    ) and not any(k.startswith("text.") for k in out)
+    if flat_text:
+        remapped = {}
+        for k, v in out.items():
+            if k.startswith(("token_embedding", "ln_final", "transformer.", "cls_emb")) or k in (
+                "positional_embedding",
+                "text_projection",
+            ) or k.startswith("text_projection."):
+                remapped["text." + k] = v
+            else:
+                remapped[k] = v
+        out = remapped
+    return out
+
+
+# ---------------------------------------------------------------------------
+# torch -> jax
+# ---------------------------------------------------------------------------
+
+_BLOCK_RE = re.compile(r"^(.*?)transformer\.resblocks\.(\d+)\.(.*)$")
+
+
+def _set(tree: dict, path, value) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _convert_block_key(rest: str, value: np.ndarray):
+    """Map one reference resblock key suffix to (path, converted_value)."""
+    m: Dict[str, Any] = {
+        "ln_1.weight": (("ln_1", "scale"), value),
+        "ln_1.bias": (("ln_1", "bias"), value),
+        "ln_2.weight": (("ln_2", "scale"), value),
+        "ln_2.bias": (("ln_2", "bias"), value),
+        "attn.in_proj_weight": (("attn", "qkv", "kernel"), value.T),
+        "attn.in_proj_bias": (("attn", "qkv", "bias"), value),
+        "attn.out_proj.weight": (("attn", "out", "kernel"), value.T),
+        "attn.out_proj.bias": (("attn", "out", "bias"), value),
+        "attn.ln_q.weight": (("attn", "ln_q", "scale"), value),
+        "attn.ln_q.bias": (("attn", "ln_q", "bias"), value),
+        "attn.ln_k.weight": (("attn", "ln_k", "scale"), value),
+        "attn.ln_k.bias": (("attn", "ln_k", "bias"), value),
+        "attn.ln_inner.weight": (("attn", "ln_inner", "scale"), value),
+        "attn.ln_inner.bias": (("attn", "ln_inner", "bias"), value),
+        "attn.head_scale": (("attn", "head_scale"), value.reshape(-1)),
+        "ln_attn.weight": (("ln_attn", "scale"), value),
+        "ln_attn.bias": (("ln_attn", "bias"), value),
+        "mlp.c_fc.weight": (("mlp", "c_fc", "kernel"), value.T),
+        "mlp.c_fc.bias": (("mlp", "c_fc", "bias"), value),
+        "mlp.ln.weight": (("mlp", "ln", "scale"), value),
+        "mlp.ln.bias": (("mlp", "ln", "bias"), value),
+        "mlp.c_proj.weight": (("mlp", "c_proj", "kernel"), value.T),
+        "mlp.c_proj.bias": (("mlp", "c_proj", "bias"), value),
+        "ls_1.gamma": (("ls_1",), value),
+        "ls_2.gamma": (("ls_2",), value),
+        # cross-attention (CoCa multimodal decoder)
+        "ln_1_kv.weight": (("ln_1_kv", "scale"), value),
+        "ln_1_kv.bias": (("ln_1_kv", "bias"), value),
+    }
+    if rest in m:
+        return m[rest]
+    raise KeyError(rest)
+
+
+def _stack_blocks(per_layer: Dict[int, dict]) -> dict:
+    """{layer_idx: tree} -> single tree with stacked (L, ...) leaves."""
+    n = max(per_layer) + 1
+    assert set(per_layer) == set(range(n)), f"missing layers: {sorted(per_layer)}"
+
+    def merge(paths, node0):
+        if isinstance(node0, dict):
+            return {k: merge(paths + [k], node0[k]) for k in node0}
+        stacked = np.stack([_get(per_layer[i], paths) for i in range(n)])
+        return stacked
+
+    def _get(tree, paths):
+        for p in paths:
+            tree = tree[p]
+        return tree
+
+    return merge([], per_layer[0])
+
+
+def _convert_attn_pool(prefix: str, sd: Dict[str, np.ndarray], tree: dict, pool_key: str) -> None:
+    """AttentionalPooler weights: nn.MultiheadAttention with kdim != dim uses separate
+    q/k/v projection weights (reference transformer.py:251-273)."""
+    sub = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    if not sub:
+        return
+    p: Dict[str, Any] = {"query": sub["query"], "attn": {}}
+    a = p["attn"]
+    if "attn.in_proj_weight" in sub:
+        w = sub["attn.in_proj_weight"]
+        d = w.shape[0] // 3
+        a["q"] = {"kernel": w[:d].T}
+        a["k"] = {"kernel": w[d : 2 * d].T}
+        a["v"] = {"kernel": w[2 * d :].T}
+    else:
+        a["q"] = {"kernel": sub["attn.q_proj_weight"].T}
+        a["k"] = {"kernel": sub["attn.k_proj_weight"].T}
+        a["v"] = {"kernel": sub["attn.v_proj_weight"].T}
+    if "attn.in_proj_bias" in sub:
+        bqkv = sub["attn.in_proj_bias"]
+        d = bqkv.shape[0] // 3
+        a["q"]["bias"], a["k"]["bias"], a["v"]["bias"] = bqkv[:d], bqkv[d : 2 * d], bqkv[2 * d :]
+    a["out"] = {"kernel": sub["attn.out_proj.weight"].T, "bias": sub["attn.out_proj.bias"]}
+    p["ln_q"] = {"scale": sub["ln_q.weight"], "bias": sub["ln_q.bias"]}
+    p["ln_k"] = {"scale": sub["ln_k.weight"], "bias": sub["ln_k.bias"]}
+    tree[pool_key] = p
+
+
+def torch_clip_to_params(sd: Mapping[str, Any], cfg: Optional[CLIPModelCfg] = None) -> Dict[str, Any]:
+    """Convert a reference CLIP/CustomTextCLIP state dict into the JAX param tree."""
+    sd = normalize_torch_state_dict(sd)
+    if any(k.startswith("visual.trunk.") for k in sd):
+        raise NotImplementedError("timm-trunk checkpoints not yet supported by the converter")
+    if any(k.startswith(("visual.layer1", "visual.layer2")) for k in sd):
+        from .models import resnet
+
+        return resnet.torch_resnet_clip_to_params(sd, cfg)
+
+    tree: Dict[str, Any] = {}
+    vis_blocks: Dict[int, dict] = {}
+    txt_blocks: Dict[int, dict] = {}
+    leftovers = []
+
+    direct = {
+        "visual.class_embedding": ("visual", "class_embedding"),
+        "visual.positional_embedding": ("visual", "positional_embedding"),
+        "visual.ln_pre.weight": ("visual", "ln_pre", "scale"),
+        "visual.ln_pre.bias": ("visual", "ln_pre", "bias"),
+        "visual.ln_post.weight": ("visual", "ln_post", "scale"),
+        "visual.ln_post.bias": ("visual", "ln_post", "bias"),
+        "visual.proj": ("visual", "proj"),
+        "text.token_embedding.weight": ("text", "token_embedding"),
+        "text.positional_embedding": ("text", "positional_embedding"),
+        "text.cls_emb": ("text", "cls_emb"),
+        "text.ln_final.weight": ("text", "ln_final", "scale"),
+        "text.ln_final.bias": ("text", "ln_final", "bias"),
+        "text.text_projection": ("text", "text_projection"),
+        "logit_scale": ("logit_scale",),
+        "logit_bias": ("logit_bias",),
+    }
+
+    for k, v in sd.items():
+        if k.startswith(("visual.attn_pool.", "visual.attn_pool_contrastive.")):
+            continue  # handled below as grouped sub-trees
+        m = _BLOCK_RE.match(k)
+        if m:
+            prefix, idx, rest = m.group(1), int(m.group(2)), m.group(3)
+            try:
+                path, val = _convert_block_key(rest, v)
+            except KeyError:
+                leftovers.append(k)
+                continue
+            target = vis_blocks if prefix.startswith("visual.") else txt_blocks
+            _set(target.setdefault(idx, {}), path, val)
+            continue
+        if k == "visual.conv1.weight":
+            # (W, 3, P, P) -> (P, P, 3, W) -> (P*P*3, W)
+            w = v.transpose(2, 3, 1, 0)
+            _set(tree, ("visual", "patch_embed", "kernel"), w.reshape(-1, w.shape[-1]))
+            continue
+        if k == "text.text_projection.weight":
+            _set(tree, ("text", "text_projection", "kernel"), v.T)
+            continue
+        if k == "text.text_projection.bias":
+            _set(tree, ("text", "text_projection", "bias"), v)
+            continue
+        if k in direct:
+            val = v.reshape(()) if direct[k][-1] in ("logit_scale", "logit_bias") and v.ndim == 1 else v
+            _set(tree, direct[k], val)
+            continue
+        leftovers.append(k)
+
+    if vis_blocks:
+        tree.setdefault("visual", {})["blocks"] = _stack_blocks(vis_blocks)
+    if txt_blocks:
+        tree.setdefault("text", {})["blocks"] = _stack_blocks(txt_blocks)
+
+    _convert_attn_pool("visual.attn_pool.", sd, tree.setdefault("visual", {}), "attn_pool")
+    _convert_attn_pool("visual.attn_pool_contrastive.", sd, tree["visual"], "attn_pool_contrastive")
+
+    if leftovers:
+        logger.warning("unconverted checkpoint keys: %s", leftovers[:20])
+        tree["_unconverted"] = leftovers
+
+    return _to_jnp(tree)
+
+
+def _to_jnp(tree):
+    if isinstance(tree, dict):
+        return {k: _to_jnp(v) for k, v in tree.items()}
+    if isinstance(tree, np.ndarray):
+        return jnp.asarray(tree)
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# jax -> torch (export / interop)
+# ---------------------------------------------------------------------------
+
+def params_to_torch_state_dict(params: Dict[str, Any], custom_text: bool = True) -> Dict[str, np.ndarray]:
+    """Flatten the JAX param tree back into a reference-layout torch-style state dict
+    (numpy values). Inverse of :func:`torch_clip_to_params` for the transformer families."""
+    out: Dict[str, np.ndarray] = {}
+
+    def unstack_blocks(blocks: dict, prefix: str):
+        n = None
+        flat = _flatten(blocks)
+        for path, v in flat.items():
+            n = v.shape[0]
+            break
+        for i in range(n):
+            for path, v in flat.items():
+                vi = np.asarray(v[i])
+                key, val = _block_path_to_torch(path, vi)
+                out[f"{prefix}transformer.resblocks.{i}.{key}"] = val
+
+    vis = params.get("visual")
+    if vis is not None and "patch_embed" in vis:
+        k = np.asarray(vis["patch_embed"]["kernel"])  # (P*P*3, W)
+        n_in = k.shape[0] // 3
+        p = int(round(np.sqrt(n_in)))
+        out["visual.conv1.weight"] = k.reshape(p, p, 3, -1).transpose(3, 2, 0, 1)
+        if "class_embedding" in vis:
+            out["visual.class_embedding"] = np.asarray(vis["class_embedding"])
+        out["visual.positional_embedding"] = np.asarray(vis["positional_embedding"])
+        for ln in ("ln_pre", "ln_post"):
+            if ln in vis:
+                out[f"visual.{ln}.weight"] = np.asarray(vis[ln]["scale"])
+                out[f"visual.{ln}.bias"] = np.asarray(vis[ln]["bias"])
+        if vis.get("proj") is not None:
+            out["visual.proj"] = np.asarray(vis["proj"])
+        unstack_blocks(vis["blocks"], "visual.")
+
+    txt = params.get("text")
+    if txt is not None:
+        prefix = "text." if custom_text else ""
+        out[f"{prefix}token_embedding.weight"] = np.asarray(txt["token_embedding"])
+        out[f"{prefix}positional_embedding"] = np.asarray(txt["positional_embedding"])
+        if "cls_emb" in txt:
+            out[f"{prefix}cls_emb"] = np.asarray(txt["cls_emb"])
+        out[f"{prefix}ln_final.weight"] = np.asarray(txt["ln_final"]["scale"])
+        out[f"{prefix}ln_final.bias"] = np.asarray(txt["ln_final"]["bias"])
+        tp = txt.get("text_projection")
+        if tp is not None:
+            if isinstance(tp, dict):
+                out[f"{prefix}text_projection.weight"] = np.asarray(tp["kernel"]).T
+                if tp.get("bias") is not None:
+                    out[f"{prefix}text_projection.bias"] = np.asarray(tp["bias"])
+            else:
+                out[f"{prefix}text_projection"] = np.asarray(tp)
+        unstack_blocks(txt["blocks"], prefix)
+
+    out["logit_scale"] = np.asarray(params["logit_scale"])
+    if "logit_bias" in params:
+        out["logit_bias"] = np.asarray(params["logit_bias"])
+    return out
+
+
+def _flatten(tree, prefix=()):
+    flat = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            flat.update(_flatten(v, prefix + (k,)))
+        else:
+            flat[prefix + (k,)] = v
+    return flat
+
+
+def _block_path_to_torch(path, v: np.ndarray):
+    mapping = {
+        ("ln_1", "scale"): ("ln_1.weight", v),
+        ("ln_1", "bias"): ("ln_1.bias", v),
+        ("ln_2", "scale"): ("ln_2.weight", v),
+        ("ln_2", "bias"): ("ln_2.bias", v),
+        ("attn", "qkv", "kernel"): ("attn.in_proj_weight", v.T),
+        ("attn", "qkv", "bias"): ("attn.in_proj_bias", v),
+        ("attn", "out", "kernel"): ("attn.out_proj.weight", v.T),
+        ("attn", "out", "bias"): ("attn.out_proj.bias", v),
+        ("mlp", "c_fc", "kernel"): ("mlp.c_fc.weight", v.T),
+        ("mlp", "c_fc", "bias"): ("mlp.c_fc.bias", v),
+        ("mlp", "c_proj", "kernel"): ("mlp.c_proj.weight", v.T),
+        ("mlp", "c_proj", "bias"): ("mlp.c_proj.bias", v),
+        ("ls_1",): ("ls_1.gamma", v),
+        ("ls_2",): ("ls_2.gamma", v),
+    }
+    if path in mapping:
+        return mapping[path]
+    raise KeyError(path)

@@ -1,0 +1,239 @@
+"""Model factory — the user-facing construction API.
+
+Mirrors the reference surface (``src/open_clip/factory.py``): ``create_model``,
+``create_model_and_transforms``, ``create_model_from_pretrained``, ``get_tokenizer``,
+``load_checkpoint``; name resolution over the registry; pretrained tags or local
+checkpoint paths; preprocess-config plumbing.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from .checkpoint import load_checkpoint as _load_checkpoint_into
+from .config import (
+    CLIPModelCfg,
+    get_model_config,
+    list_models,
+    add_model_config,
+    parse_model_cfg,
+)
+from .models.clip import CLIPModel, init_clip
+from .pretrained import get_pretrained_cfg, download_pretrained, list_pretrained_tags_by_model
+from .tokenizer import DEFAULT_CONTEXT_LENGTH, HFTokenizer, SimpleTokenizer
+from .transform import PreprocessCfg, image_transform_v2, merge_preprocess_dict
+
+logger = logging.getLogger(__name__)
+
+HF_HUB_PREFIX = "hf-hub:"
+LOCAL_DIR_PREFIX = "local-dir:"
+
+_PRECISION_DTYPES = {
+    "fp32": jnp.float32,
+    "bf16": jnp.bfloat16,
+    "pure_bf16": jnp.bfloat16,
+    "amp_bf16": jnp.bfloat16,
+    "fp16": jnp.float16,
+    "amp": jnp.bfloat16,  # on TPU, "mixed precision" means bf16 compute
+}
+
+
+def _compute_dtype(precision: str):
+    return _PRECISION_DTYPES.get(precision, jnp.float32)
+
+
+def create_model(
+    model_name: str,
+    pretrained: Optional[str] = None,
+    precision: str = "fp32",
+    force_quick_gelu: bool = False,
+    force_custom_text: bool = False,
+    force_patch_dropout: Optional[float] = None,
+    force_image_size: Optional[Union[int, Tuple[int, int]]] = None,
+    force_context_length: Optional[int] = None,
+    cache_dir: Optional[str] = None,
+    require_pretrained: bool = False,
+    seed: int = 0,
+    load_weights: bool = True,
+    **_ignored,
+) -> CLIPModel:
+    """Build a model (optionally loading pretrained weights). Returns a CLIPModel facade;
+    the functional (cfg, params) pair is available as ``.cfg`` / ``.params``."""
+    model_name = model_name.replace("/", "-")
+    pretrained_cfg: Dict[str, Any] = {}
+
+    if model_name.startswith(HF_HUB_PREFIX):
+        raise NotImplementedError(
+            "hf-hub: model resolution requires hub config download; pass a local-dir: path "
+            "or a builtin model name + local checkpoint instead"
+        )
+    if model_name.startswith(LOCAL_DIR_PREFIX):
+        import json
+
+        d = Path(model_name[len(LOCAL_DIR_PREFIX):])
+        with open(d / "open_clip_config.json") as fh:
+            hub_cfg = json.load(fh)
+        raw_cfg = hub_cfg["model_cfg"]
+        pretrained_cfg = {"preprocess_cfg": hub_cfg.get("preprocess_cfg", {})}
+        cfg = CLIPModelCfg.from_dict(raw_cfg)
+        ckpt_path = None
+        for cand in ("open_clip_model.safetensors", "open_clip_pytorch_model.bin"):
+            if (d / cand).exists():
+                ckpt_path = str(d / cand)
+                break
+        pretrained = ckpt_path if pretrained is None else pretrained
+    else:
+        raw_cfg = get_model_config(model_name)
+        if raw_cfg is None:
+            raise RuntimeError(f"Model config for {model_name} not found.")
+        cfg = CLIPModelCfg.from_dict(raw_cfg)
+
+    ckpt_path = ""
+    if pretrained:
+        if os.path.exists(pretrained):
+            ckpt_path = pretrained
+        else:
+            pretrained_cfg = get_pretrained_cfg(model_name, pretrained)
+            if not pretrained_cfg:
+                raise RuntimeError(
+                    f"Pretrained weights ({pretrained}) not found for model {model_name}. "
+                    f"Available tags: {list_pretrained_tags_by_model(model_name)}"
+                )
+            if pretrained_cfg.get("preprocess_cfg", {}).get("quick_gelu") and not cfg.quick_gelu:
+                force_quick_gelu = True
+            if load_weights:
+                ckpt_path = download_pretrained(pretrained_cfg, cache_dir=cache_dir)
+
+    # config overrides (reference factory.py:450-467)
+    if force_quick_gelu:
+        cfg.quick_gelu = True
+    if force_custom_text:
+        cfg.custom_text = True
+    if force_patch_dropout is not None and cfg.vision_cfg is not None:
+        cfg.vision_cfg.patch_dropout = force_patch_dropout
+    if force_image_size is not None and cfg.vision_cfg is not None:
+        cfg.vision_cfg.image_size = force_image_size
+    if force_context_length is not None and cfg.text_cfg is not None:
+        cfg.text_cfg.context_length = force_context_length
+
+    _check_supported(cfg)
+
+    params = init_clip(jax.random.PRNGKey(seed), cfg)
+
+    if ckpt_path and load_weights:
+        logger.info("loading pretrained weights from %s", ckpt_path)
+        params = _load_checkpoint_into(params, cfg, ckpt_path)
+    elif require_pretrained and not ckpt_path:
+        raise RuntimeError(f"pretrained weights required but not resolved for {model_name}")
+
+    model = CLIPModel(cfg, params, compute_dtype=_compute_dtype(precision))
+    model._preprocess_cfg = _build_preprocess_cfg(cfg, pretrained_cfg)
+    return model
+
+
+def _check_supported(cfg: CLIPModelCfg) -> None:
+    v, t = cfg.vision_cfg, cfg.text_cfg
+    if v is not None and v.timm_model_name:
+        raise NotImplementedError(
+            f"timm vision tower {v.timm_model_name!r} has no native TPU implementation yet"
+        )
+    if t is not None and t.hf_model_name:
+        raise NotImplementedError(
+            f"HF text tower {t.hf_model_name!r} has no native TPU implementation yet"
+        )
+    if cfg.audio_cfg is not None:
+        raise NotImplementedError("audio towers land in a later build stage")
+
+
+def _build_preprocess_cfg(cfg: CLIPModelCfg, pretrained_cfg: Dict[str, Any]) -> PreprocessCfg:
+    base = PreprocessCfg()
+    if cfg.vision_cfg is not None:
+        base.size = cfg.vision_cfg.image_size
+    overlay = dict(pretrained_cfg.get("preprocess_cfg", {}))
+    overlay.pop("quick_gelu", None)
+    return merge_preprocess_dict(base, overlay)
+
+
+def create_model_and_transforms(
+    model_name: str,
+    pretrained: Optional[str] = None,
+    *,
+    image_mean=None,
+    image_std=None,
+    image_interpolation: Optional[str] = None,
+    image_resize_mode: Optional[str] = None,
+    aug_cfg=None,
+    **kwargs,
+):
+    """(model, preprocess_train, preprocess_val) — reference factory.py:1081-1214."""
+    model = create_model(model_name, pretrained, **kwargs)
+    pp = model._preprocess_cfg
+    pp = merge_preprocess_dict(
+        pp,
+        {
+            "mean": image_mean,
+            "std": image_std,
+            "interpolation": image_interpolation,
+            "resize_mode": image_resize_mode,
+        },
+    )
+    model._preprocess_cfg = pp
+    train_t = image_transform_v2(pp, is_train=True, aug_cfg=aug_cfg)
+    val_t = image_transform_v2(pp, is_train=False)
+    return model, train_t, val_t
+
+
+def create_model_from_pretrained(
+    model_name: str,
+    pretrained: Optional[str] = None,
+    *,
+    return_transform: bool = True,
+    **kwargs,
+):
+    """(model[, preprocess]) for inference — reference factory.py:1217-1334."""
+    model = create_model(model_name, pretrained, require_pretrained=True, **kwargs)
+    if not return_transform:
+        return model
+    val_t = image_transform_v2(model._preprocess_cfg, is_train=False)
+    return model, val_t
+
+
+def load_checkpoint(model: CLIPModel, path: str, strict: bool = True) -> CLIPModel:
+    """Load reference-format weights into an existing model in place."""
+    model.params = _load_checkpoint_into(model.params, model.cfg, path, strict=strict)
+    return model
+
+
+def get_tokenizer(
+    model_name: str = "",
+    context_length: Optional[int] = None,
+    cache_dir: Optional[str] = None,
+    **kwargs,
+):
+    """Resolve the tokenizer for a model config (reference factory.py:746-927)."""
+    if model_name.startswith(HF_HUB_PREFIX):
+        return HFTokenizer(
+            model_name[len(HF_HUB_PREFIX):], context_length=context_length or DEFAULT_CONTEXT_LENGTH,
+            cache_dir=cache_dir, **kwargs,
+        )
+    raw = get_model_config(model_name) if model_name else None
+    text_cfg: Dict[str, Any] = (raw or {}).get("text_cfg", {})
+    tok_kwargs = dict(text_cfg.get("tokenizer_kwargs", {}))
+    tok_kwargs.update(kwargs)
+    if context_length is None:
+        context_length = text_cfg.get("context_length", DEFAULT_CONTEXT_LENGTH)
+
+    if text_cfg.get("tokenizer_type"):
+        ttype = text_cfg["tokenizer_type"]
+        raise NotImplementedError(f"tokenizer_type {ttype!r} not yet available (needs tiktoken/sentencepiece)")
+    if text_cfg.get("hf_tokenizer_name"):
+        return HFTokenizer(
+            text_cfg["hf_tokenizer_name"], context_length=context_length, cache_dir=cache_dir, **tok_kwargs
+        )
+    return SimpleTokenizer(context_length=context_length, **tok_kwargs)

@@ -1,0 +1,226 @@
+"""CLIP / CustomTextCLIP container — TPU-native.
+
+Functional re-design of reference ``src/open_clip/model.py:318-737``. A single
+parameter pytree holds both towers:
+
+    params = {"visual": {...}, "text": {...}, "logit_scale": (), ["logit_bias": ()]}
+
+The reference's CLIP-vs-CustomTextCLIP split (text attrs flattened onto the module vs a
+``text`` submodule) is purely a torch state-dict layout concern; here both map to the same
+tree and the checkpoint converter handles either torch layout (see convert.py).
+
+A thin ``CLIPModel`` facade offers jitted ``encode_image`` / ``encode_text`` / ``get_logits``
+matching the reference's public model API (model.py:396-550).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CLIPModelCfg
+from . import vit, text as text_mod
+
+DEFAULT_LOGIT_SCALE = math.log(1.0 / 0.07)
+LOGIT_SCALE_MAX = math.log(100.0)
+
+
+def init_clip(key, cfg: CLIPModelCfg) -> Dict[str, Any]:
+    kv, kt = jax.random.split(key)
+    params: Dict[str, Any] = {}
+    if cfg.vision_cfg is not None:
+        if cfg.vision_cfg.is_resnet:
+            from . import resnet
+
+            params["visual"] = resnet.init_modified_resnet(kv, cfg.vision_cfg, cfg.embed_dim)
+        else:
+            params["visual"] = vit.init_vision_tower(kv, cfg.vision_cfg, cfg.embed_dim)
+    if cfg.text_cfg is not None:
+        if cfg.text_cfg.text_arch == "modern":
+            from . import modern_text
+
+            params["text"] = modern_text.init_modern_text_tower(kt, cfg.text_cfg, cfg.embed_dim)
+        else:
+            params["text"] = text_mod.init_text_tower(kt, cfg.text_cfg, cfg.embed_dim)
+    scale_init = cfg.init_logit_scale if cfg.init_logit_scale is not None else DEFAULT_LOGIT_SCALE
+    params["logit_scale"] = jnp.asarray(scale_init, dtype=jnp.float32)
+    if cfg.init_logit_bias is not None:
+        params["logit_bias"] = jnp.asarray(cfg.init_logit_bias, dtype=jnp.float32)
+    return params
+
+
+def _act_name(cfg: CLIPModelCfg) -> str:
+    return "quick_gelu" if cfg.quick_gelu else "gelu"
+
+
+def encode_image(
+    params: Dict[str, Any],
+    cfg: CLIPModelCfg,
+    image: jax.Array,  # (B, H, W, 3) NHWC normalized
+    *,
+    normalize: bool = False,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+    remat: bool = False,
+    attn_impl: str = "auto",
+) -> jax.Array:
+    vcfg = cfg.vision_cfg
+    if vcfg.is_resnet:
+        from . import resnet
+
+        pooled = resnet.apply_modified_resnet(
+            params["visual"], vcfg, image, compute_dtype=compute_dtype
+        )
+    else:
+        pooled, _ = vit.apply_vision_tower(
+            params["visual"], vcfg, image, train=train, rng=rng,
+            compute_dtype=compute_dtype, remat=remat, attn_impl=attn_impl,
+            act=_act_name(cfg),
+        )
+    if normalize:
+        pooled = _l2_normalize(pooled)
+    return pooled
+
+
+def encode_text(
+    params: Dict[str, Any],
+    cfg: CLIPModelCfg,
+    text: jax.Array,  # (B, L) int ids
+    *,
+    normalize: bool = False,
+    compute_dtype=jnp.float32,
+    remat: bool = False,
+    attn_impl: str = "auto",
+) -> jax.Array:
+    tcfg = cfg.text_cfg
+    if tcfg.text_arch == "modern":
+        from . import modern_text
+
+        pooled, _ = modern_text.apply_modern_text_tower(
+            params["text"], tcfg, text, compute_dtype=compute_dtype, remat=remat,
+            attn_impl=attn_impl,
+        )
+    else:
+        pooled, _ = text_mod.apply_text_tower(
+            params["text"], tcfg, text, compute_dtype=compute_dtype, remat=remat,
+            attn_impl=attn_impl, act=_act_name(cfg),
+        )
+    if normalize:
+        pooled = _l2_normalize(pooled)
+    return pooled
+
+
+def _l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    # fp32 norm for stability under bf16 compute
+    x32 = x.astype(jnp.float32)
+    n = jnp.linalg.norm(x32, axis=axis, keepdims=True)
+    return (x32 / jnp.maximum(n, eps)).astype(x.dtype)
+
+
+def clip_forward(
+    params: Dict[str, Any],
+    cfg: CLIPModelCfg,
+    image: Optional[jax.Array] = None,
+    text: Optional[jax.Array] = None,
+    *,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+    remat: bool = False,
+    attn_impl: str = "auto",
+) -> Dict[str, jax.Array]:
+    """Dict-output forward matching reference CLIP.forward(output_dict=True)
+    (model.py:528-548)."""
+    out: Dict[str, jax.Array] = {}
+    if image is not None:
+        out["image_features"] = encode_image(
+            params, cfg, image, normalize=True, train=train, rng=rng,
+            compute_dtype=compute_dtype, remat=remat, attn_impl=attn_impl,
+        )
+    if text is not None:
+        out["text_features"] = encode_text(
+            params, cfg, text, normalize=True, compute_dtype=compute_dtype,
+            remat=remat, attn_impl=attn_impl,
+        )
+    out["logit_scale"] = jnp.exp(params["logit_scale"].astype(jnp.float32))
+    if "logit_bias" in params:
+        out["logit_bias"] = params["logit_bias"].astype(jnp.float32)
+    return out
+
+
+def get_logits(
+    params: Dict[str, Any],
+    cfg: CLIPModelCfg,
+    image: jax.Array,
+    text: jax.Array,
+    **kw,
+):
+    """(logits_per_image, logits_per_text) — reference model.py:505-516."""
+    out = clip_forward(params, cfg, image, text, **kw)
+    scale = out["logit_scale"]
+    logits = scale * out["image_features"].astype(jnp.float32) @ out["text_features"].astype(jnp.float32).T
+    if "logit_bias" in out:
+        logits = logits + out["logit_bias"]
+    return logits, logits.T
+
+
+def clamp_logit_scale(params: Dict[str, Any], max_val: float = LOGIT_SCALE_MAX) -> Dict[str, Any]:
+    """Post-step clamp of the temperature (reference train.py:201-218 / base_task clamp)."""
+    params = dict(params)
+    params["logit_scale"] = jnp.clip(params["logit_scale"], a_max=max_val)
+    return params
+
+
+class CLIPModel:
+    """Object facade bundling (cfg, params) with jit-cached encode functions.
+
+    Mirrors the reference's user-facing model API: ``encode_image(image, normalize=False)``,
+    ``encode_text(text, normalize=False)``, ``get_logits``, callable forward returning a dict.
+    """
+
+    def __init__(self, cfg: CLIPModelCfg, params: Dict[str, Any], compute_dtype=jnp.float32):
+        self.cfg = cfg
+        self.params = params
+        self.compute_dtype = compute_dtype
+        self._encode_image = jax.jit(
+            functools.partial(encode_image, cfg=cfg, compute_dtype=compute_dtype),
+            static_argnames=("normalize",),
+        )
+        self._encode_text = jax.jit(
+            functools.partial(encode_text, cfg=cfg, compute_dtype=compute_dtype),
+            static_argnames=("normalize",),
+        )
+
+    # -- reference-compatible API ------------------------------------------------
+    def encode_image(self, image, normalize: bool = False):
+        return self._encode_image(self.params, image=jnp.asarray(image), normalize=normalize)
+
+    def encode_text(self, text, normalize: bool = False):
+        return self._encode_text(self.params, text=jnp.asarray(text), normalize=normalize)
+
+    def get_logits(self, image, text):
+        return get_logits(self.params, self.cfg, jnp.asarray(image), jnp.asarray(text),
+                          compute_dtype=self.compute_dtype)
+
+    def __call__(self, image=None, text=None):
+        return clip_forward(
+            self.params, self.cfg,
+            None if image is None else jnp.asarray(image),
+            None if text is None else jnp.asarray(text),
+            compute_dtype=self.compute_dtype,
+        )
+
+    @property
+    def logit_scale(self):
+        return self.params["logit_scale"]
+
+    @property
+    def visual_preprocess_cfg(self):
+        return getattr(self, "_preprocess_cfg", None)

@@ -1,0 +1,225 @@
+"""Vision Transformer tower — TPU-native.
+
+Functional re-design of reference ``src/open_clip/transformer.py:592-930``
+(VisionTransformer): images flow as NHWC; patch embedding is an explicit
+unfold + single MXU matmul (equivalent to the reference's stride==kernel Conv2d,
+but shaped as one big GEMM); the depth loop is a stacked ``lax.scan``
+(see models/blocks.py). Pooling supports tok/avg/none, final-LN placement,
+and the attentional-pooler variants used by CoCa (reference transformer.py:251,
+:683-724).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CLIPVisionCfg, to_2tuple
+from ..ops.layers import layer_norm, linear
+from ..ops.attention import multi_head_attention
+from ..ops.pos_embed import get_2d_sincos_pos_embed
+from . import blocks as B
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init_attentional_pooler(key, d_model: int, context_dim: int, n_queries: int) -> Dict[str, Any]:
+    """AttentionalPooler params (reference transformer.py:251-273): latent queries +
+    MHA with kdim=vdim=context_dim (separate q/k/v projections, matching nn.MHA layout)."""
+    ks = jax.random.split(key, 6)
+    return {
+        "query": jax.random.normal(ks[0], (n_queries, d_model)),
+        "attn": {
+            "q": {"kernel": B.xavier_uniform(ks[1], (d_model, d_model)), "bias": jnp.zeros((d_model,))},
+            "k": {"kernel": B.xavier_uniform(ks[2], (context_dim, d_model)), "bias": jnp.zeros((d_model,))},
+            "v": {"kernel": B.xavier_uniform(ks[3], (context_dim, d_model)), "bias": jnp.zeros((d_model,))},
+            "out": B.torch_linear_init(ks[4], d_model, d_model),
+        },
+        "ln_q": B._ln_params(d_model),
+        "ln_k": B._ln_params(context_dim),
+    }
+
+
+def apply_attentional_pooler(p: Dict[str, Any], x: jax.Array, *, n_head: int, norm_eps: float = 1e-5) -> jax.Array:
+    """(B, L, context_dim) -> (B, n_queries, d_model)."""
+    bsz = x.shape[0]
+    k = layer_norm(x, p["ln_k"]["scale"], p["ln_k"]["bias"], eps=norm_eps)
+    q = layer_norm(p["query"].astype(x.dtype), p["ln_q"]["scale"], p["ln_q"]["bias"], eps=norm_eps)
+    q = jnp.broadcast_to(q[None], (bsz, *q.shape))
+    return multi_head_attention(p["attn"], q, kv=k, num_heads=n_head)
+
+
+def init_vision_tower(key, cfg: CLIPVisionCfg, embed_dim: int) -> Dict[str, Any]:
+    assert not cfg.is_resnet, "use models/resnet.py for ModifiedResNet configs"
+    width = cfg.width
+    heads = cfg.heads
+    gh, gw = cfg.grid_size
+    seq = gh * gw + (1 if cfg.class_token else 0)
+    ph, pw = to_2tuple(cfg.patch_size)
+    scale = width ** -0.5
+
+    ks = jax.random.split(key, 8)
+    p: Dict[str, Any] = {}
+    # patch embedding: kernel (ph*pw*3, width) = flattened HWIO conv kernel
+    p["patch_embed"] = {"kernel": B.normal_init(ks[0], (ph * pw * 3, width), scale)}
+    if cfg.class_token:
+        p["class_embedding"] = B.normal_init(ks[1], (width,), scale)
+    if cfg.pos_embed_type == "learnable":
+        p["positional_embedding"] = B.normal_init(ks[2], (seq, width), scale)
+    elif cfg.pos_embed_type == "sin_cos_2d":
+        assert gh == gw, "sin_cos_2d requires square grid"
+        p["positional_embedding"] = jnp.asarray(
+            get_2d_sincos_pos_embed(width, gh, cls_token=cfg.class_token)
+        )
+    else:
+        raise ValueError(f"unknown pos_embed_type {cfg.pos_embed_type}")
+
+    if not cfg.no_ln_pre:
+        p["ln_pre"] = B._ln_params(width)
+
+    p["blocks"] = B.init_block_stack(
+        ks[3], cfg.layers, width, heads, int(width * cfg.mlp_ratio),
+        ls_init_value=cfg.ls_init_value, init_scheme="vision",
+        qk_norm=cfg.qk_norm, scale_heads=cfg.scale_heads,
+        scale_attn_inner=cfg.scale_attn_inner, scale_attn=cfg.scale_attn,
+        scale_fc=cfg.scale_fc,
+    )
+
+    pool_dim = width
+    if cfg.attentional_pool:
+        if isinstance(cfg.attentional_pool, str):  # 'parallel' | 'cascade'
+            p["attn_pool"] = init_attentional_pooler(ks[4], embed_dim, width, cfg.attn_pooler_queries)
+            p["attn_pool_contrastive"] = init_attentional_pooler(ks[5], embed_dim, width, 1)
+        else:
+            p["attn_pool"] = init_attentional_pooler(ks[4], embed_dim, width, cfg.attn_pooler_queries)
+        pool_dim = embed_dim
+
+    p["ln_post"] = B._ln_params(pool_dim)
+    p["proj"] = B.normal_init(ks[6], (pool_dim, embed_dim), scale)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+def patchify(x: jax.Array, patch_size) -> jax.Array:
+    """(B, H, W, 3) NHWC -> (B, gh*gw, ph*pw*3) patch tokens.
+
+    Equivalent to the reference's Conv2d(stride=patch) + flatten (transformer.py:632-638,
+    799-802) but expressed as reshape/transpose so the embedding is one large matmul."""
+    ph, pw = to_2tuple(patch_size)
+    b, h, w, c = x.shape
+    gh, gw = h // ph, w // pw
+    x = x.reshape(b, gh, ph, gw, pw, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, gh, gw, ph, pw, c)
+    return x.reshape(b, gh * gw, ph * pw * c)
+
+
+def patch_dropout(key, x: jax.Array, prob: float, num_prefix: int = 1) -> jax.Array:
+    """Randomly keep a (1-prob) fraction of patch tokens per sample, preserving prefix
+    tokens (reference PatchDropout, transformer.py:17-58)."""
+    if prob <= 0.0:
+        return x
+    b, l, d = x.shape
+    num_patches = l - num_prefix
+    keep = max(1, int(num_patches * (1.0 - prob)))
+    noise = jax.random.uniform(key, (b, num_patches))
+    ids = jnp.argsort(noise, axis=1)[:, :keep]  # random subset per sample
+    patches = x[:, num_prefix:]
+    kept = jnp.take_along_axis(patches, ids[..., None], axis=1)
+    return jnp.concatenate([x[:, :num_prefix], kept], axis=1)
+
+
+def apply_vision_tower(
+    params: Dict[str, Any],
+    cfg: CLIPVisionCfg,
+    x: jax.Array,  # (B, H, W, 3) normalized NHWC
+    *,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    compute_dtype: jnp.dtype = jnp.float32,
+    remat: bool = False,
+    attn_impl: str = "auto",
+    act: str = "gelu",
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (pooled (B, embed_dim), tokens (B, L, width))."""
+    eps = cfg.norm_eps
+
+    x = x.astype(compute_dtype)
+    x = patchify(x, cfg.patch_size)
+    x = jnp.dot(x, params["patch_embed"]["kernel"].astype(compute_dtype))
+
+    num_prefix = 0
+    if cfg.class_token:
+        cls = params["class_embedding"].astype(compute_dtype)
+        cls = jnp.broadcast_to(cls[None, None, :], (x.shape[0], 1, x.shape[-1]))
+        x = jnp.concatenate([cls, x], axis=1)
+        num_prefix = 1
+
+    x = x + params["positional_embedding"][: x.shape[1]].astype(compute_dtype)
+
+    if train and cfg.patch_dropout > 0.0:
+        assert rng is not None, "patch_dropout requires an rng in training mode"
+        x = patch_dropout(rng, x, cfg.patch_dropout, num_prefix=num_prefix)
+
+    if "ln_pre" in params:
+        x = layer_norm(x, params["ln_pre"]["scale"], params["ln_pre"]["bias"], eps=eps)
+
+    x = B.apply_transformer(
+        params["blocks"], x, heads=cfg.heads, act=act, norm_eps=eps,
+        remat=remat, attn_impl=attn_impl,
+    )
+
+    pooled, tokens = _pool(params, cfg, x, eps=eps)
+    if params.get("proj") is not None:
+        pooled = jnp.dot(pooled, params["proj"].astype(pooled.dtype))
+    return pooled, tokens
+
+
+def _global_pool(cfg: CLIPVisionCfg, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    skip = 1 if cfg.class_token else 0
+    if cfg.pool_type == "avg":
+        return x[:, skip:].mean(axis=1), x[:, skip:]
+    if cfg.pool_type == "tok":
+        return x[:, 0], x[:, 1:]
+    return x, x  # 'none'
+
+
+def _pool(params, cfg: CLIPVisionCfg, x: jax.Array, *, eps: float) -> Tuple[jax.Array, jax.Array]:
+    """Pooling incl. attentional-pool variants, mirroring reference _pool
+    (transformer.py:817-842)."""
+    ln_post = lambda y: layer_norm(y, params["ln_post"]["scale"], params["ln_post"]["bias"], eps=eps)
+    if "attn_pool" in params:
+        if "attn_pool_contrastive" in params:
+            # parallel/cascade CoCa-paper style pooling
+            x = ln_post(x)
+            tokens = apply_attentional_pooler(params["attn_pool"], x, n_head=cfg.attn_pooler_heads, norm_eps=eps)
+            if cfg.attentional_pool == "parallel":
+                pooled = apply_attentional_pooler(
+                    params["attn_pool_contrastive"], x, n_head=cfg.attn_pooler_heads, norm_eps=eps
+                )
+            else:  # cascade
+                pooled = apply_attentional_pooler(
+                    params["attn_pool_contrastive"], tokens, n_head=cfg.attn_pooler_heads, norm_eps=eps
+                )
+            return pooled[:, 0], tokens
+        # original OpenCLIP CoCa setup
+        x = apply_attentional_pooler(params["attn_pool"], x, n_head=cfg.attn_pooler_heads, norm_eps=eps)
+        x = ln_post(x)
+        # pool over queries: tok/avg on the pooled latents (class_token irrelevant here)
+        if cfg.pool_type == "tok":
+            return x[:, 0], x[:, 1:]
+        if cfg.pool_type == "avg":
+            return x.mean(axis=1), x
+        return x, x
+    if cfg.final_ln_after_pool:
+        pooled, tokens = _global_pool(cfg, x)
+        return ln_post(pooled), tokens
+    x = ln_post(x)
+    return _global_pool(cfg, x)

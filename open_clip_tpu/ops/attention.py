@@ -1,0 +1,143 @@
+"""Multi-head attention for TPU.
+
+The reference routes attention through ``F.scaled_dot_product_attention``
+(reference ``src/open_clip/transformer.py:223``). Here the core is an einsum
+formulation with fp32 softmax that XLA maps straight onto the MXU, plus a
+dispatch hook to the Pallas flash-attention kernel (``ops/flash_attention.py``)
+for long sequences on real TPUs.
+
+Layout convention: activations are (B, L, D); heads are split as (B, L, H, hd)
+and contracted with einsum — no explicit transposes materialize on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .layers import layer_norm
+
+# sequence length at/above which the Pallas flash kernel is preferred on TPU
+_FLASH_MIN_SEQ = 512
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
+def dot_product_attention(
+    q: jax.Array,  # (B, Lq, H, hd)
+    k: jax.Array,  # (B, Lk, H, hd)
+    v: jax.Array,  # (B, Lk, H, hd)
+    bias: Optional[jax.Array] = None,  # additive, broadcastable to (B, H, Lq, Lk)
+    causal: bool = False,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """Scaled dot-product attention with fp32 softmax. Returns (B, Lq, H, hd)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+
+    if impl == "auto":
+        use_flash = (
+            _on_tpu()
+            and bias is None
+            and q.shape[1] >= _FLASH_MIN_SEQ
+            and q.shape[1] == k.shape[1]
+            and q.shape[-1] % 128 == 0
+        )
+        impl = "flash" if use_flash else "xla"
+
+    if impl == "flash":
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, causal=causal, scale=scale)
+
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if causal:
+        lq, lk = q.shape[1], k.shape[1]
+        mask = jnp.tril(jnp.ones((lq, lk), dtype=bool), k=lk - lq)
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    return out
+
+
+def multi_head_attention(
+    params: dict,
+    x: jax.Array,  # (B, Lq, D)
+    kv: Optional[jax.Array] = None,  # (B, Lk, Dk) for cross-attention
+    *,
+    num_heads: int,
+    bias: Optional[jax.Array] = None,
+    causal: bool = False,
+    qk_norm_eps: Optional[float] = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """Standard MHA matching reference ``Attention`` (transformer.py:61-249) semantics.
+
+    params:
+      either fused {'qkv': {'kernel': (D, 3D), 'bias': (3D,)?}} for self-attention
+      or separate {'q': {...}, 'k': {...}, 'v': {...}} (cross-attention / kdim != dim),
+      plus {'out': {'kernel': (D, D), 'bias': (D,)}},
+      optional {'ln_q': {scale, bias}, 'ln_k': {scale, bias}} for qk-norm (per-head-dim LN).
+    """
+    b, lq, d = x.shape
+    hd = d // num_heads
+
+    if kv is None and "qkv" in params:
+        qkv = jnp.dot(x, params["qkv"]["kernel"].astype(x.dtype))
+        if params["qkv"].get("bias") is not None:
+            qkv = qkv + params["qkv"]["bias"].astype(qkv.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        kv = x if kv is None else kv
+        if "qkv" in params:
+            wq, wk, wv = jnp.split(params["qkv"]["kernel"], 3, axis=-1)
+            bq = bk = bv = None
+            if params["qkv"].get("bias") is not None:
+                bq, bk, bv = jnp.split(params["qkv"]["bias"], 3)
+            pq = {"kernel": wq, "bias": bq}
+            pk = {"kernel": wk, "bias": bk}
+            pv = {"kernel": wv, "bias": bv}
+        else:
+            pq, pk, pv = params["q"], params["k"], params["v"]
+        q = _proj(x, pq)
+        k = _proj(kv, pk)
+        v = _proj(kv, pv)
+
+    lk = k.shape[1]
+    q = q.reshape(b, lq, num_heads, hd)
+    k = k.reshape(b, lk, num_heads, hd)
+    v = v.reshape(b, lk, num_heads, hd)
+
+    if qk_norm_eps is not None and "ln_q" in params:
+        q = layer_norm(q, params["ln_q"]["scale"], params["ln_q"]["bias"], eps=qk_norm_eps)
+        k = layer_norm(k, params["ln_k"]["scale"], params["ln_k"]["bias"], eps=qk_norm_eps)
+
+    out = dot_product_attention(q, k, v, bias=bias, causal=causal, impl=impl)
+
+    if "head_scale" in params:  # NormFormer per-head scale, (H,)
+        out = out * params["head_scale"].astype(out.dtype)[None, None, :, None]
+
+    out = out.reshape(b, lq, d)
+    out = jnp.dot(out, params["out"]["kernel"].astype(out.dtype))
+    if params["out"].get("bias") is not None:
+        out = out + params["out"]["bias"].astype(out.dtype)
+    return out
+
+
+def _proj(x, p):
+    y = jnp.dot(x, p["kernel"].astype(x.dtype))
+    if p.get("bias") is not None:
+        y = y + p["bias"].astype(y.dtype)
+    return y

@@ -1,0 +1,365 @@
+"""Tokenizers (host-side, framework-agnostic).
+
+Implements the OpenAI CLIP byte-level BPE tokenizer (the public algorithm from
+openai/CLIP, MIT) with behavior matching reference ``src/open_clip/tokenizer.py``
+(clean modes, special tokens, truncate-with-eot, CLIPA-style reduction masks),
+plus a HuggingFace-tokenizer wrapper. Outputs are numpy int32 arrays — feed them
+straight to jitted encode functions.
+
+The BPE merge table ships as the standard OpenAI vocab data file
+(``assets_bpe_vocab_16e6.txt.gz``).
+"""
+
+from __future__ import annotations
+
+import functools
+import gzip
+import html
+import random
+import string
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Union
+
+import numpy as np
+import regex as re
+
+try:
+    import ftfy  # optional; ASCII-clean captions are unaffected without it
+
+    _fix_text = ftfy.fix_text
+except ImportError:  # pragma: no cover
+    def _fix_text(s: str) -> str:
+        return s
+
+DEFAULT_CONTEXT_LENGTH = 77
+
+_VOCAB_PATH = Path(__file__).parent / "assets_bpe_vocab_16e6.txt.gz"
+
+
+@functools.lru_cache()
+def byte_to_unicode_table() -> Dict[int, str]:
+    """Reversible byte<->printable-unicode mapping (GPT-2/CLIP byte-level BPE standard)."""
+    visible = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    chars = visible[:]
+    offset = 0
+    for b in range(256):
+        if b not in visible:
+            visible.append(b)
+            chars.append(256 + offset)
+            offset += 1
+    return dict(zip(visible, (chr(c) for c in chars)))
+
+
+def basic_clean(text: str) -> str:
+    text = _fix_text(text)
+    return html.unescape(html.unescape(text)).strip()
+
+
+def whitespace_clean(text: str) -> str:
+    return " ".join(text.split()).strip()
+
+
+def canonicalize_text(
+    text: str,
+    *,
+    keep_punctuation_exact_string: Optional[str] = None,
+) -> str:
+    """big_vision-style canonicalization: lowercase, punctuation stripped
+    (reference tokenizer.py:110-140)."""
+    trans = str.maketrans("", "", string.punctuation)
+    text = text.replace("_", " ")
+    if keep_punctuation_exact_string:
+        text = keep_punctuation_exact_string.join(
+            part.translate(trans) for part in text.split(keep_punctuation_exact_string)
+        )
+    else:
+        text = text.translate(trans)
+    text = text.lower()
+    return " ".join(text.split()).strip()
+
+
+def get_clean_fn(kind: str) -> Callable[[str], str]:
+    if kind == "canonicalize":
+        return lambda x: canonicalize_text(basic_clean(x))
+    if kind == "lower":
+        return lambda x: whitespace_clean(basic_clean(x)).lower()
+    if kind == "whitespace":
+        return lambda x: whitespace_clean(basic_clean(x))
+    if kind == "whitespace_underscore":
+        return lambda x: whitespace_clean(basic_clean(x).replace("_", " "))
+    raise ValueError(f"invalid clean function {kind!r}")
+
+
+class SimpleTokenizer:
+    """OpenAI CLIP BPE tokenizer. vocab_size 49408, sot 49406, eot 49407."""
+
+    def __init__(
+        self,
+        bpe_path: Union[str, Path] = _VOCAB_PATH,
+        additional_special_tokens: Optional[List[str]] = None,
+        context_length: Optional[int] = DEFAULT_CONTEXT_LENGTH,
+        clean: str = "lower",
+        reduction_mask: str = "",
+    ):
+        self.byte_encoder = byte_to_unicode_table()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+
+        with gzip.open(bpe_path, "rt", encoding="utf-8") as fh:
+            lines = fh.read().split("\n")
+        # line 0 is a header; CLIP uses the first 48894 merges (49152 - 256 - 2)
+        merge_lines = lines[1 : 49152 - 256 - 2 + 1]
+        merges = [tuple(line.split()) for line in merge_lines]
+
+        base = list(self.byte_encoder.values())
+        vocab = base + [c + "</w>" for c in base]
+        vocab += ["".join(m) for m in merges]
+        specials = ["<start_of_text>", "<end_of_text>"]
+        if additional_special_tokens:
+            specials = specials + list(additional_special_tokens)
+        vocab += specials
+
+        self.encoder: Dict[str, int] = {tok: i for i, tok in enumerate(vocab)}
+        self.decoder: Dict[int, str] = {i: tok for tok, i in self.encoder.items()}
+        self.merge_rank: Dict[tuple, int] = {m: i for i, m in enumerate(merges)}
+        self._cache: Dict[str, str] = {t: t for t in specials}
+        self.token_pattern = re.compile(
+            "|".join(specials) + r"""|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+            re.IGNORECASE,
+        )
+        self.vocab_size = len(self.encoder)
+        self.all_special_ids = [self.encoder[t] for t in specials]
+        self.sot_token_id, self.eot_token_id = self.all_special_ids[:2]
+        self.context_length = context_length
+        self.clean_fn = get_clean_fn(clean)
+        self.reduction_fn = get_reduction_mask_fn(reduction_mask) if reduction_mask else None
+
+    # -- core BPE ---------------------------------------------------------------
+    def _bpe(self, token: str) -> str:
+        cached = self._cache.get(token)
+        if cached is not None:
+            return cached
+        if not token:
+            return token
+        parts = list(token[:-1]) + [token[-1] + "</w>"]
+        while len(parts) > 1:
+            pairs = {(parts[i], parts[i + 1]) for i in range(len(parts) - 1)}
+            best = min(pairs, key=lambda p: self.merge_rank.get(p, float("inf")))
+            if best not in self.merge_rank:
+                break
+            first, second = best
+            merged: List[str] = []
+            i = 0
+            while i < len(parts):
+                if i < len(parts) - 1 and parts[i] == first and parts[i + 1] == second:
+                    merged.append(first + second)
+                    i += 2
+                else:
+                    merged.append(parts[i])
+                    i += 1
+            parts = merged
+        result = " ".join(parts)
+        self._cache[token] = result
+        return result
+
+    def encode(self, text: str) -> List[int]:
+        ids: List[int] = []
+        text = self.clean_fn(text)
+        for token in re.findall(self.token_pattern, text):
+            token_uni = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
+            ids.extend(self.encoder[part] for part in self._bpe(token_uni).split(" "))
+        return ids
+
+    def decode(self, tokens) -> str:
+        text = "".join(self.decoder[int(t)] for t in tokens)
+        raw = bytearray(self.byte_decoder[c] for c in text)
+        return raw.decode("utf-8", errors="replace").replace("</w>", " ")
+
+    # -- batch API ----------------------------------------------------------------
+    def __call__(
+        self,
+        texts: Union[str, List[str]],
+        context_length: Optional[int] = None,
+        pad: bool = True,
+    ) -> np.ndarray:
+        """Tokenize to a (N, context_length) int32 array; overlong inputs are truncated
+        with eot forced into the last slot (reference tokenizer.py:276-289)."""
+        if isinstance(texts, str):
+            texts = [texts]
+        context_length = context_length or self.context_length
+        assert context_length, "context length required"
+        if not pad:
+            raise ValueError(
+                "SimpleTokenizer cannot emit variable-length ids: token id 0 is a real BPE "
+                "token, not padding. Use an HF tokenizer with a reserved pad token."
+            )
+
+        if self.reduction_fn is not None:
+            return self.reduction_fn(
+                texts,
+                context_length=context_length,
+                sot_token_id=self.sot_token_id,
+                eot_token_id=self.eot_token_id,
+                encode_fn=self.encode,
+            )
+
+        result = np.zeros((len(texts), context_length), dtype=np.int32)
+        for i, text in enumerate(texts):
+            tokens = [self.sot_token_id] + self.encode(text) + [self.eot_token_id]
+            if len(tokens) > context_length:
+                tokens = tokens[:context_length]
+                tokens[-1] = self.eot_token_id
+            result[i, : len(tokens)] = tokens
+        return result
+
+
+# ---------------------------------------------------------------------------
+# CLIPA-style token reduction masks (reference tokenizer.py:306-428)
+# ---------------------------------------------------------------------------
+
+def random_mask_tokenize(
+    texts: List[str],
+    context_length: int,
+    sot_token_id: int,
+    eot_token_id: int,
+    encode_fn: Callable,
+    shuffle: bool = False,
+) -> np.ndarray:
+    result = np.zeros((len(texts), context_length), dtype=np.int32)
+    for i, text in enumerate(texts):
+        tokens = np.asarray(encode_fn(text))
+        num_tokens = len(tokens)
+        budget = context_length - 2  # sot + eot
+        if num_tokens > budget:
+            keep = np.sort(np.random.permutation(num_tokens)[:budget])
+            tokens = tokens[keep]
+            if shuffle:
+                tokens = tokens[np.random.permutation(budget)]
+            num_tokens = budget
+        result[i, 0] = sot_token_id
+        result[i, 1 : 1 + num_tokens] = tokens
+        result[i, 1 + num_tokens] = eot_token_id
+    return result
+
+
+def simple_mask_tokenize(
+    texts: List[str],
+    context_length: int,
+    sot_token_id: int,
+    eot_token_id: int,
+    encode_fn: Callable,
+) -> np.ndarray:
+    """Keep a random contiguous span when over budget."""
+    result = np.zeros((len(texts), context_length), dtype=np.int32)
+    for i, text in enumerate(texts):
+        tokens = encode_fn(text)
+        num_tokens = len(tokens)
+        budget = context_length - 2
+        if num_tokens > budget:
+            start = random.randint(0, num_tokens - budget)
+            tokens = tokens[start : start + budget]
+            num_tokens = budget
+        seq = [sot_token_id] + list(tokens) + [eot_token_id]
+        result[i, : len(seq)] = seq
+    return result
+
+
+def get_reduction_mask_fn(kind: str) -> Callable:
+    if kind == "random":
+        return random_mask_tokenize
+    if kind == "shuffle":
+        return functools.partial(random_mask_tokenize, shuffle=True)
+    if kind == "simple":
+        return simple_mask_tokenize
+    if kind == "syntax":
+        raise NotImplementedError("syntax reduction mask requires nltk (not available)")
+    raise ValueError(f"invalid reduction mask {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# HuggingFace tokenizer wrapper (reference tokenizer.py:431-626)
+# ---------------------------------------------------------------------------
+
+class HFTokenizer:
+    """Wrap any ``transformers`` tokenizer with the reference's conventions:
+    forced right-padding, no fabricated pad id, optional strip_sep, variable mode."""
+
+    def __init__(
+        self,
+        tokenizer_name: str,
+        context_length: Optional[int] = DEFAULT_CONTEXT_LENGTH,
+        clean: str = "whitespace",
+        strip_sep_token: bool = False,
+        language: Optional[str] = None,
+        cache_dir: Optional[str] = None,
+        **kwargs,
+    ):
+        from transformers import AutoTokenizer
+
+        self.tokenizer = AutoTokenizer.from_pretrained(tokenizer_name, cache_dir=cache_dir, **kwargs)
+        self.tokenizer.padding_side = "right"
+        set_lang_fn = getattr(self.tokenizer, "set_src_lang_special_tokens", None)
+        if callable(set_lang_fn):
+            self.set_lang_fn = set_lang_fn
+        if language is not None:
+            self.set_language(language)
+        self.context_length = context_length
+        self.clean_fn = get_clean_fn(clean)
+        self.strip_sep_token = strip_sep_token
+
+    @property
+    def pad_token_id(self) -> Optional[int]:
+        return self.tokenizer.pad_token_id
+
+    @property
+    def eos_token_id(self) -> Optional[int]:
+        return self.tokenizer.eos_token_id
+
+    def save_pretrained(self, dest):
+        self.tokenizer.save_pretrained(dest)
+
+    def set_language(self, src_lang):
+        if hasattr(self, "set_lang_fn"):
+            self.set_lang_fn(src_lang)
+        else:
+            raise RuntimeError("cannot set language for the tokenizer")
+
+    def __call__(self, texts: Union[str, List[str]], context_length: Optional[int] = None) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        context_length = context_length or self.context_length
+        assert context_length, "context length required"
+        texts = [self.clean_fn(t) for t in texts]
+        out = self.tokenizer.batch_encode_plus(
+            texts,
+            return_tensors="np",
+            max_length=context_length,
+            padding="max_length",
+            truncation=True,
+        ).input_ids
+        if self.strip_sep_token:
+            sep = self.tokenizer.sep_token_id
+            out = np.where(out == sep, np.zeros_like(out), out)
+        return out.astype(np.int32)
+
+
+# module-level convenience matching the reference's tokenize/decode exports
+_default_tokenizer: Optional[SimpleTokenizer] = None
+
+
+def _get_default() -> SimpleTokenizer:
+    global _default_tokenizer
+    if _default_tokenizer is None:
+        _default_tokenizer = SimpleTokenizer()
+    return _default_tokenizer
+
+
+def tokenize(texts, context_length: int = DEFAULT_CONTEXT_LENGTH) -> np.ndarray:
+    return _get_default()(texts, context_length=context_length)
+
+
+def decode(output_ids) -> str:
+    return _get_default().decode(np.asarray(output_ids))

@@ -1,0 +1,279 @@
+"""Image preprocessing.
+
+Two tiers (per SURVEY.md §7.3):
+
+1. **Host parity tier** — PIL/numpy pipelines byte-equivalent to the reference's
+   torchvision val path (``src/open_clip/transform.py:367-518``): resize-shortest +
+   center-crop + normalize with bicubic interpolation, plus 'longest' (resize+pad) and
+   'squash' modes, and a RandomResizedCrop train path. Outputs float32 NHWC — the
+   TPU-native layout.
+
+2. **Device tier** — a jittable batched resize+crop+normalize (``device_preprocess``)
+   that fuses into the forward XLA program for uint8 NHWC input straight from the data
+   pipeline (the BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from .constants import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+@dataclass
+class PreprocessCfg:
+    """Mirrors reference transform.py:17-60."""
+
+    size: Union[int, Tuple[int, int]] = 224
+    mode: str = "RGB"
+    mean: Tuple[float, ...] = OPENAI_DATASET_MEAN
+    std: Tuple[float, ...] = OPENAI_DATASET_STD
+    interpolation: str = "bicubic"
+    resize_mode: str = "shortest"
+    fill_color: int = 0
+
+    def __post_init__(self):
+        if isinstance(self.size, list):
+            self.size = tuple(self.size)
+        if isinstance(self.mean, list):
+            self.mean = tuple(self.mean)
+        if isinstance(self.std, list):
+            self.std = tuple(self.std)
+
+    @property
+    def size_hw(self) -> Tuple[int, int]:
+        if isinstance(self.size, (tuple, list)):
+            return tuple(self.size)
+        return (self.size, self.size)
+
+
+@dataclass
+class AugmentationCfg:
+    """Mirrors reference transform.py:62-74."""
+
+    scale: Tuple[float, float] = (0.9, 1.0)
+    ratio: Optional[Tuple[float, float]] = None
+    color_jitter: Optional[Union[float, Tuple[float, ...]]] = None
+    re_prob: Optional[float] = None
+    re_count: Optional[int] = None
+    use_timm: bool = False
+    color_jitter_prob: Optional[float] = None
+    gray_scale_prob: Optional[float] = None
+
+
+def merge_preprocess_dict(base: PreprocessCfg, overlay: Optional[Dict[str, Any]]) -> PreprocessCfg:
+    """Apply checkpoint-supplied preprocess overrides (reference transform.py merge logic)."""
+    if not overlay:
+        return base
+    d = dataclasses.asdict(base)
+    d.update({k: v for k, v in overlay.items() if k in d and v is not None})
+    return PreprocessCfg(**d)
+
+
+_PIL_INTERP = {}
+if Image is not None:
+    _PIL_INTERP = {
+        "bicubic": Image.BICUBIC,
+        "bilinear": Image.BILINEAR,
+        "nearest": Image.NEAREST,
+        "random": Image.BICUBIC,  # per-call random choice handled in train path
+    }
+
+
+def _resize_shortest(img, size: Tuple[int, int], interp):
+    """torchvision Resize(int) semantics: smaller edge -> size, aspect preserved."""
+    th, tw = size
+    w, h = img.size
+    if th == tw:
+        short = min(h, w)
+        if short == th:
+            return img
+        scale = th / short
+        nw, nh = round(w * scale), round(h * scale)
+    else:
+        nw, nh = tw, th
+    return img.resize((int(nw), int(nh)), interp)
+
+
+def _resize_longest(img, size: Tuple[int, int], interp):
+    th, tw = size
+    w, h = img.size
+    scale = min(th / h, tw / w)
+    return img.resize((max(1, round(w * scale)), max(1, round(h * scale))), interp)
+
+
+def _center_crop_or_pad(img, size: Tuple[int, int], fill=0):
+    """torchvision-style center crop; pads symmetrically when the image is smaller
+    (reference center_crop_or_pad, transform.py:211-240)."""
+    th, tw = size
+    w, h = img.size
+    if w < tw or h < th:
+        padded = Image.new(img.mode, (max(w, tw), max(h, th)), tuple([fill] * len(img.getbands())))
+        padded.paste(img, ((max(w, tw) - w) // 2, (max(h, th) - h) // 2))
+        img = padded
+        w, h = img.size
+    left = int(round((w - tw) / 2.0))
+    top = int(round((h - th) / 2.0))
+    return img.crop((left, top, left + tw, top + th))
+
+
+def _to_float_chw_free(img, mean, std) -> np.ndarray:
+    """PIL -> normalized float32 HWC array (NHWC without batch)."""
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = arr[..., None].repeat(3, axis=-1)
+    arr = (arr - np.asarray(mean, dtype=np.float32)) / np.asarray(std, dtype=np.float32)
+    return arr
+
+
+class _ValTransform:
+    def __init__(self, cfg: PreprocessCfg):
+        self.cfg = cfg
+        self.interp = _PIL_INTERP.get(cfg.interpolation, Image.BICUBIC if Image else None)
+
+    def __call__(self, img) -> np.ndarray:
+        cfg = self.cfg
+        size = cfg.size_hw
+        if img.mode != cfg.mode:
+            img = img.convert(cfg.mode)
+        if cfg.resize_mode == "squash":
+            img = img.resize((size[1], size[0]), self.interp)
+        elif cfg.resize_mode == "longest":
+            img = _resize_longest(img, size, self.interp)
+            img = _center_crop_or_pad(img, size, fill=cfg.fill_color)
+        else:  # shortest
+            img = _resize_shortest(img, size, self.interp)
+            img = _center_crop_or_pad(img, size, fill=cfg.fill_color)
+        return _to_float_chw_free(img, cfg.mean, cfg.std)
+
+
+class _TrainTransform:
+    """RandomResizedCrop(size, scale, ratio) + normalize, matching torchvision
+    RandomResizedCrop.get_params (reference train path, transform.py:418-447)."""
+
+    def __init__(self, cfg: PreprocessCfg, aug: AugmentationCfg):
+        self.cfg = cfg
+        self.scale = aug.scale
+        self.ratio = aug.ratio or (3.0 / 4.0, 4.0 / 3.0)
+        self.interp = _PIL_INTERP.get(cfg.interpolation, Image.BICUBIC if Image else None)
+
+    def _get_crop(self, w: int, h: int):
+        area = w * h
+        log_ratio = (np.log(self.ratio[0]), np.log(self.ratio[1]))
+        for _ in range(10):
+            target_area = area * random.uniform(*self.scale)
+            aspect = float(np.exp(random.uniform(*log_ratio)))
+            cw = int(round(np.sqrt(target_area * aspect)))
+            ch = int(round(np.sqrt(target_area / aspect)))
+            if 0 < cw <= w and 0 < ch <= h:
+                left = random.randint(0, w - cw)
+                top = random.randint(0, h - ch)
+                return left, top, cw, ch
+        # fallback: center crop at image aspect clamped to ratio range
+        in_ratio = w / h
+        if in_ratio < self.ratio[0]:
+            cw, ch = w, int(round(w / self.ratio[0]))
+        elif in_ratio > self.ratio[1]:
+            ch, cw = h, int(round(h * self.ratio[1]))
+        else:
+            cw, ch = w, h
+        return (w - cw) // 2, (h - ch) // 2, cw, ch
+
+    def __call__(self, img) -> np.ndarray:
+        cfg = self.cfg
+        if img.mode != cfg.mode:
+            img = img.convert(cfg.mode)
+        w, h = img.size
+        left, top, cw, ch = self._get_crop(w, h)
+        th, tw = cfg.size_hw
+        img = img.resize((tw, th), self.interp, box=(left, top, left + cw, top + ch))
+        return _to_float_chw_free(img, cfg.mean, cfg.std)
+
+
+def image_transform_v2(
+    cfg: PreprocessCfg,
+    is_train: bool,
+    aug_cfg: Optional[Union[Dict[str, Any], AugmentationCfg]] = None,
+):
+    """Build a PIL -> float32 HWC-normalized callable (reference transform.py:495-510)."""
+    if is_train:
+        if isinstance(aug_cfg, dict):
+            aug_cfg = AugmentationCfg(**aug_cfg)
+        return _TrainTransform(cfg, aug_cfg or AugmentationCfg())
+    return _ValTransform(cfg)
+
+
+def image_transform(
+    image_size: Union[int, Tuple[int, int]],
+    is_train: bool,
+    mean: Optional[Tuple[float, ...]] = None,
+    std: Optional[Tuple[float, ...]] = None,
+    resize_mode: str = "shortest",
+    interpolation: str = "bicubic",
+    fill_color: int = 0,
+    aug_cfg: Optional[Union[Dict[str, Any], AugmentationCfg]] = None,
+):
+    """Legacy-signature builder (reference transform.py:367-460)."""
+    cfg = PreprocessCfg(
+        size=image_size,
+        mean=mean or OPENAI_DATASET_MEAN,
+        std=std or OPENAI_DATASET_STD,
+        interpolation=interpolation,
+        resize_mode=resize_mode,
+        fill_color=fill_color,
+    )
+    return image_transform_v2(cfg, is_train, aug_cfg)
+
+
+def collate_images(arrays: Sequence[np.ndarray]) -> np.ndarray:
+    """Stack HWC float arrays into an NHWC batch."""
+    return np.stack(arrays, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# device tier — fused on-TPU preprocessing
+# ---------------------------------------------------------------------------
+
+def make_device_preprocess(cfg: PreprocessCfg):
+    """Return a jittable fn: uint8 (B, H, W, 3) -> normalized float (B, th, tw, 3).
+
+    Resize (bicubic, antialiased when downsampling via jax.image.resize) + center crop +
+    normalize run inside XLA, fusing with the model's patchify matmul — no host-side
+    float conversion or normalization, 4x less H2D traffic (uint8 vs float32).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    th, tw = cfg.size_hw
+    mean = jnp.asarray(cfg.mean, dtype=jnp.float32)
+    std = jnp.asarray(cfg.std, dtype=jnp.float32)
+    method = {"bicubic": "cubic", "bilinear": "linear", "nearest": "nearest"}.get(
+        cfg.interpolation, "cubic"
+    )
+
+    def fn(images: "jax.Array") -> "jax.Array":
+        x = images.astype(jnp.float32) / 255.0
+        b, h, w, c = x.shape
+        if (h, w) != (th, tw):
+            if cfg.resize_mode == "squash":
+                x = jax.image.resize(x, (b, th, tw, c), method=method, antialias=True)
+            else:
+                # shortest-edge resize then center crop (static shapes: computed at trace time)
+                scale = max(th / h, tw / w)
+                nh, nw = round(h * scale), round(w * scale)
+                x = jax.image.resize(x, (b, nh, nw, c), method=method, antialias=True)
+                top, left = (nh - th) // 2, (nw - tw) // 2
+                x = jax.lax.dynamic_slice(x, (0, top, left, 0), (b, th, tw, c))
+        return (x - mean) / std
+
+    return fn

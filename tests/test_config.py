@@ -1,0 +1,57 @@
+import pytest
+
+import open_clip_tpu as oct
+from open_clip_tpu.config import CLIPModelCfg, parse_model_cfg
+
+
+def test_list_models_nonempty():
+    models = oct.list_models()
+    assert len(models) >= 150
+    assert "ViT-B-32" in models
+    assert "RN50" in models
+    assert "coca_ViT-B-32" in models
+
+
+def test_get_model_config_roundtrip():
+    cfg = oct.get_model_config("ViT-B-32")
+    assert cfg["embed_dim"] == 512
+    assert cfg["vision_cfg"]["width"] == 768
+    assert cfg["vision_cfg"]["patch_size"] == 32
+    # mutating the returned dict must not corrupt the registry
+    cfg["embed_dim"] = 1
+    assert oct.get_model_config("ViT-B-32")["embed_dim"] == 512
+
+
+def test_parse_model_cfg():
+    cfg = parse_model_cfg("ViT-L-14")
+    assert cfg.embed_dim == 768
+    assert cfg.vision_cfg.layers == 24
+    assert cfg.vision_cfg.heads == 16  # 1024 / 64
+    assert cfg.text_cfg.context_length == 77
+
+
+def test_parse_resnet_cfg():
+    cfg = parse_model_cfg("RN50")
+    assert cfg.vision_cfg.is_resnet
+    assert cfg.vision_cfg.layers == (3, 4, 6, 3)
+
+
+def test_add_model_config_dict():
+    oct.add_model_config(
+        {"embed_dim": 64, "vision_cfg": {"layers": 2, "width": 64, "patch_size": 16, "image_size": 32},
+         "text_cfg": {"layers": 2, "width": 64, "heads": 2, "vocab_size": 100, "context_length": 8}},
+        name="tiny-test-model",
+    )
+    assert "tiny-test-model" in oct.list_models()
+    cfg = parse_model_cfg("tiny-test-model")
+    assert cfg.vision_cfg.layers == 2
+
+
+def test_name_slash_normalization():
+    assert oct.get_model_config("ViT-B/32") is not None
+
+
+def test_unknown_model():
+    assert oct.get_model_config("does-not-exist-xyz") is None
+    with pytest.raises(RuntimeError):
+        parse_model_cfg("does-not-exist-xyz")
