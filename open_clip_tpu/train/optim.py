@@ -1,0 +1,151 @@
+"""Optimizer construction (optax).
+
+Equivalent of reference ``src/open_clip_train/optim.py``: AdamW with the reference's
+weight-decay exclusion policy (1-D/0-D params, pos/class/cls embeddings, logit scale/bias
+— optim.py:78-177) expressed as an optax mask, model-family default hparams
+(``src/open_clip_train/params.py:5-11``), layer-wise LR decay via per-leaf scale masks,
+and optional gradient clipping. Schedules plug in as step->lr callables.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+NO_WD_NAMES = {
+    "positional_embedding",
+    "class_embedding",
+    "cls_emb",
+    "logit_scale",
+    "logit_bias",
+    "query",  # attentional pooler latents
+}
+
+
+@dataclass
+class OptimizerCfg:
+    """Mirrors the knobs of reference OptimizerCfg (optim.py:24-76)."""
+
+    opt: str = "adamw"
+    lr: float = 5e-4
+    wd: float = 0.2
+    beta1: float = 0.9
+    beta2: float = 0.98
+    eps: float = 1e-6
+    momentum: float = 0.9
+    wd_exclude_names: Tuple[str, ...] = ()
+    wd_exclude_patterns: Tuple[str, ...] = ()
+    layer_decay: Optional[float] = None
+    grad_clip_norm: Optional[float] = None
+
+
+def get_default_params(model_name: str) -> Dict[str, float]:
+    """Model-family default hparams (reference params.py:5-11)."""
+    model_name = model_name.lower()
+    if "vit" in model_name or "coca" in model_name or "siglip" in model_name:
+        return {"lr": 5.0e-4, "beta1": 0.9, "beta2": 0.98, "eps": 1.0e-6}
+    return {"lr": 5.0e-4, "beta1": 0.9, "beta2": 0.999, "eps": 1.0e-8}
+
+
+def wd_mask(params: Any, extra_names: Sequence[str] = (), patterns: Sequence[str] = ()) -> Any:
+    """True where weight decay applies: >=2-D leaves not named in the exclusion set.
+
+    Matches the reference policy: 1-D rule + no_weight_decay() names + glob patterns
+    (optim.py:78-177). Stacked block leaves carry a leading layer axis, so the "1-D"
+    rule here is on the per-layer shape (ndim considering the stack axis).
+    """
+    exclude = NO_WD_NAMES | set(extra_names)
+    regexes = [re.compile(p.replace(".", r"\.").replace("*", ".*")) for p in patterns]
+
+    def leaf_mask(path, leaf):
+        names = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
+        name = names[-1] if names else ""
+        dotted = ".".join(names)
+        if name in exclude or any(n in exclude for n in names):
+            return False
+        if any(r.fullmatch(dotted) for r in regexes):
+            return False
+        in_blocks = "blocks" in names
+        eff_ndim = leaf.ndim - (1 if in_blocks else 0)
+        if eff_ndim <= 1:
+            return False
+        # scale/bias leaves of norms are (L, W) under stacking but logically 1-D
+        if name in ("scale", "bias", "ls_1", "ls_2", "head_scale"):
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(leaf_mask, params)
+
+
+def layer_decay_scales(params: Any, decay: float, num_layers: int) -> Any:
+    """Per-leaf LR scale for layer-wise LR decay (reference optim.py:247-334).
+
+    Groups: embeddings (scale decay^(L+1)) < block i (decay^(L-i)) < head/proj (1.0).
+    Works on the stacked-blocks layout by scaling along the layer axis.
+    """
+
+    def leaf_scale(path, leaf):
+        names = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
+        if "blocks" in names:
+            # per-layer scale vector broadcast over the leading stack axis
+            scales = decay ** (num_layers - jnp.arange(num_layers, dtype=jnp.float32))
+            shape = [leaf.shape[0]] + [1] * (leaf.ndim - 1)
+            return scales.reshape(shape)
+        name = names[-1] if names else ""
+        if name in ("proj", "text_projection", "logit_scale", "logit_bias") or "ln_post" in names or "ln_final" in names:
+            return jnp.float32(1.0)
+        return jnp.float32(decay ** (num_layers + 1))
+
+    return jax.tree_util.tree_map_with_path(leaf_scale, params)
+
+
+def create_optimizer(
+    cfg: OptimizerCfg,
+    params: Any,
+    schedule: Callable,
+    num_layers: Optional[int] = None,
+) -> optax.GradientTransformation:
+    mask = wd_mask(params, cfg.wd_exclude_names, cfg.wd_exclude_patterns)
+
+    chain = []
+    if cfg.grad_clip_norm:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+
+    opt_name = cfg.opt.lower().replace("timm/", "")
+    if opt_name in ("adamw", "nadamw"):
+        chain.append(optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps, nesterov=opt_name == "nadamw"))
+    elif opt_name == "lion":
+        chain.append(optax.scale_by_lion(b1=cfg.beta1, b2=cfg.beta2))
+    elif opt_name in ("sgd", "momentum"):
+        chain.append(optax.trace(decay=cfg.momentum, nesterov=True))
+    elif opt_name == "lamb":
+        chain.append(optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps))
+        chain.append(optax.scale_by_trust_ratio())
+    elif opt_name == "adafactor":
+        chain.append(optax.scale_by_factored_rms())
+    else:
+        raise ValueError(f"unknown optimizer {cfg.opt!r}")
+
+    if cfg.wd:
+        chain.append(optax.add_decayed_weights(cfg.wd, mask=mask))
+
+    if cfg.layer_decay is not None and cfg.layer_decay < 1.0:
+        assert num_layers is not None, "layer_decay requires num_layers"
+        scales = layer_decay_scales(params, cfg.layer_decay, num_layers)
+        chain.append(
+            optax.GradientTransformation(
+                init=lambda _: optax.EmptyState(),
+                update=lambda updates, state, params=None: (
+                    jax.tree.map(lambda u, s: u * s, updates, scales),
+                    state,
+                ),
+            )
+        )
+
+    chain.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*chain)

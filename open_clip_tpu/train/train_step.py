@@ -1,0 +1,223 @@
+"""Pure functional train steps under jit + mesh sharding.
+
+TPU-native replacement for the reference's task/train-loop machinery
+(``src/open_clip/task/*`` + ``src/open_clip_train/train.py:163-335``): instead of
+DDP wrappers, GradScaler, and compiled closures, a single pure function
+
+    train_step(state, batch, rng) -> (state, metrics)
+
+jitted with sharding annotations. The towers run under plain jit (XLA SPMD handles
+fsdp gathers); the contrastive loss runs inside ``shard_map`` over the mesh data axis
+so the all-gather/local-loss semantics (reference loss.py:91-141) are explicit.
+
+Gradient accumulation implements the GradCache construction: phase 1 computes all
+microbatch features without gradients and a single loss backward w.r.t. features;
+phase 2 re-runs each microbatch forward as a VJP with the cached feature cotangents.
+This yields the exact full-batch gradient (same semantics the reference approximates
+with its cached-feature two-pass accum, train.py:236-311) at one loss backward.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import CLIPModelCfg
+from ..loss import clip_loss, siglip_loss
+from ..models.clip import LOGIT_SCALE_MAX, clip_forward
+from ..parallel.mesh import DATA_AXIS
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    ema_params: Optional[Any] = None
+
+
+def create_train_state(params: Any, optimizer: optax.GradientTransformation, ema: bool = False) -> TrainState:
+    # copy so donated jitted steps can't invalidate the caller's param buffers
+    params = jax.tree.map(jnp.copy, params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=optimizer.init(params),
+        ema_params=jax.tree.map(jnp.copy, params) if ema else None,
+    )
+
+
+def _features(params, cfg: CLIPModelCfg, batch, rng, *, compute_dtype, remat):
+    out = clip_forward(
+        params, cfg, batch.get("image"), batch.get("text"),
+        train=True, rng=rng, compute_dtype=compute_dtype, remat=remat,
+    )
+    return out["image_features"], out["text_features"]
+
+
+def _make_loss_fn(cfg, mesh: Optional[Mesh], loss_type: str, local_loss: bool, dist_impl: str):
+    """(imf, txf, scale, bias) -> scalar loss; distributed via shard_map when mesh given."""
+
+    def core(imf, txf, scale, bias, axis_name):
+        if loss_type == "siglip":
+            return siglip_loss(imf, txf, scale, bias, axis_name=axis_name, dist_impl=dist_impl)
+        return clip_loss(imf, txf, scale, axis_name=axis_name, local_loss=local_loss)
+
+    if mesh is None or mesh.shape.get(DATA_AXIS, 1) <= 1:
+        return lambda imf, txf, scale, bias: core(imf, txf, scale, bias, None)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+        out_specs=P(),
+    )
+    def sharded(imf, txf, scale, bias):
+        return lax.pmean(core(imf, txf, scale, bias, DATA_AXIS), DATA_AXIS)
+
+    def fn(imf, txf, scale, bias):
+        if bias is None:
+            bias = jnp.zeros((), jnp.float32)  # shard_map needs a concrete arg
+        return sharded(imf, txf, scale, bias)
+
+    return fn
+
+
+def make_train_step(
+    cfg: CLIPModelCfg,
+    optimizer: optax.GradientTransformation,
+    *,
+    loss_type: str = "clip",
+    mesh: Optional[Mesh] = None,
+    compute_dtype=jnp.bfloat16,
+    remat: bool = False,
+    local_loss: bool = True,
+    dist_impl: str = "bidir",
+    accum_steps: int = 1,
+    ema_decay: Optional[float] = None,
+    clamp_scale: float = LOGIT_SCALE_MAX,
+) -> Callable[[TrainState, Dict[str, jax.Array], jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Build the (un-jitted) train step; jit it with sharding annotations at the call
+    site (see ``jit_train_step``)."""
+    loss_fn = _make_loss_fn(cfg, mesh, loss_type, local_loss, dist_impl)
+    use_bias = loss_type == "siglip"
+
+    def full_loss(params, batch, rng):
+        imf, txf = _features(params, cfg, batch, rng, compute_dtype=compute_dtype, remat=remat)
+        scale = jnp.exp(params["logit_scale"].astype(jnp.float32))
+        bias = params.get("logit_bias")
+        if bias is not None:
+            bias = bias.astype(jnp.float32)
+        loss = loss_fn(imf, txf, scale, bias)
+        return loss, {}
+
+    def simple_step(state: TrainState, batch, rng):
+        (loss, _), grads = jax.value_and_grad(full_loss, has_aux=True)(state.params, batch, rng)
+        return _apply_updates(state, grads, loss)
+
+    def accum_step(state: TrainState, batch, rng):
+        """GradCache exact accumulation over the leading microbatch axis of ``batch``."""
+        params = state.params
+        mb_batches = jax.tree.map(
+            lambda x: x.reshape(accum_steps, x.shape[0] // accum_steps, *x.shape[1:]), batch
+        )
+        rngs = jax.random.split(rng, accum_steps)
+
+        # phase 1: features without grads
+        def fwd(carry, inp):
+            mb, r = inp
+            imf, txf = _features(params, cfg, mb, r, compute_dtype=compute_dtype, remat=remat)
+            return carry, (imf, txf)
+
+        _, (imfs, txfs) = lax.scan(fwd, None, (mb_batches, rngs))
+        all_imf = lax.stop_gradient(imfs.reshape(-1, imfs.shape[-1]))
+        all_txf = lax.stop_gradient(txfs.reshape(-1, txfs.shape[-1]))
+
+        def loss_of_feats(imf, txf, ls, lb):
+            scale = jnp.exp(ls.astype(jnp.float32))
+            bias = lb.astype(jnp.float32) if lb is not None else None
+            return loss_fn(imf, txf, scale, bias)
+
+        lb = params.get("logit_bias")
+        grad_args = (0, 1, 2, 3) if lb is not None else (0, 1, 2)
+        gout = jax.value_and_grad(loss_of_feats, argnums=grad_args)(
+            all_imf, all_txf, params["logit_scale"], lb
+        )
+        if lb is not None:
+            loss, (d_imf, d_txf, d_ls, d_lb) = gout
+        else:
+            loss, (d_imf, d_txf, d_ls) = gout
+            d_lb = None
+
+        mb_size = all_imf.shape[0] // accum_steps
+        d_imfs = d_imf.reshape(accum_steps, mb_size, -1)
+        d_txfs = d_txf.reshape(accum_steps, mb_size, -1)
+
+        # phase 2: per-microbatch VJP with cached cotangents
+        zero_grads = jax.tree.map(jnp.zeros_like, params)
+
+        def bwd(acc, inp):
+            mb, r, di, dt = inp
+            _, vjp = jax.vjp(
+                lambda p: _features(p, cfg, mb, r, compute_dtype=compute_dtype, remat=remat), params
+            )
+            (g,) = vjp((di.astype(compute_dtype), dt.astype(compute_dtype)))
+            return jax.tree.map(jnp.add, acc, g), None
+
+        grads, _ = lax.scan(bwd, zero_grads, (mb_batches, rngs, d_imfs, d_txfs))
+        grads["logit_scale"] = grads["logit_scale"] + d_ls
+        if d_lb is not None:
+            grads["logit_bias"] = grads["logit_bias"] + d_lb
+        return _apply_updates(state, grads, loss)
+
+    def _apply_updates(state: TrainState, grads, loss):
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        # temperature clamp (reference base_task clamp_logit_scale / train.py:213-218)
+        new_params["logit_scale"] = jnp.minimum(new_params["logit_scale"], clamp_scale)
+
+        new_ema = state.ema_params
+        if state.ema_params is not None and ema_decay is not None:
+            d = jnp.asarray(ema_decay, jnp.float32)
+            new_ema = jax.tree.map(lambda e, p: e * d + p.astype(e.dtype) * (1 - d), state.ema_params, new_params)
+
+        metrics = {
+            "loss": loss,
+            "logit_scale": jnp.exp(new_params["logit_scale"].astype(jnp.float32)),
+            "grad_norm": optax.global_norm(grads),
+        }
+        return TrainState(state.step + 1, new_params, new_opt, new_ema), metrics
+
+    return accum_step if accum_steps > 1 else simple_step
+
+
+def jit_train_step(
+    step_fn: Callable,
+    mesh: Optional[Mesh] = None,
+    param_shardings: Any = None,
+):
+    """Jit with donated state and explicit batch sharding over the data axis."""
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def wrapped(state, batch, rng):
+        batch = jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, batch_sh), batch)
+        return step_fn(state, batch, rng)
+
+    return jax.jit(wrapped, donate_argnums=(0,))
+
+
+def eval_forward(params, cfg: CLIPModelCfg, batch, *, compute_dtype=jnp.bfloat16):
+    """Features + logit scale for validation (no dropout/patch-dropout)."""
+    out = clip_forward(
+        params, cfg, batch.get("image"), batch.get("text"),
+        train=False, compute_dtype=compute_dtype,
+    )
+    return out

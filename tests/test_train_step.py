@@ -1,0 +1,164 @@
+"""Train-step tests: loss decreases, grad-accum exactness, sharded == single-device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import open_clip_tpu as oct
+from open_clip_tpu.config import parse_model_cfg
+from open_clip_tpu.models.clip import init_clip
+from open_clip_tpu.parallel.mesh import create_mesh, fsdp_shardings, shard_params
+from open_clip_tpu.train.optim import OptimizerCfg, create_optimizer, wd_mask
+from open_clip_tpu.train.scheduler import const_lr, cosine_lr
+from open_clip_tpu.train.train_step import (
+    TrainState,
+    create_train_state,
+    jit_train_step,
+    make_train_step,
+)
+
+TINY = {
+    "embed_dim": 32,
+    "vision_cfg": {"image_size": 32, "layers": 2, "width": 32, "patch_size": 16, "head_width": 16},
+    "text_cfg": {"context_length": 12, "vocab_size": 64, "width": 32, "heads": 2, "layers": 2},
+}
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    name = "tiny-train-vit"
+    if name not in oct.list_models():
+        oct.add_model_config(dict(TINY), name=name)
+    cfg = parse_model_cfg(name)
+    params = init_clip(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _batch(rng, n=16):
+    return {
+        "image": rng.standard_normal((n, 32, 32, 3)).astype(np.float32),
+        "text": rng.integers(1, 63, size=(n, 12)).astype(np.int32),
+    }
+
+
+def _optimizer(params, lr=1e-3):
+    return create_optimizer(OptimizerCfg(lr=lr, wd=0.01, grad_clip_norm=1.0), params, const_lr(lr, 0))
+
+
+def test_loss_decreases(tiny, rng):
+    cfg, params = tiny
+    opt = _optimizer(params)
+    step = jit_train_step(make_train_step(cfg, opt, compute_dtype=jnp.float32))
+    state = create_train_state(params, opt)
+    batch = _batch(rng)
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+    assert float(state.params["logit_scale"]) <= np.log(100.0) + 1e-6
+
+
+def test_accum_matches_simple(tiny, rng):
+    """GradCache accumulation must produce the same update as the full-batch step."""
+    cfg, params = tiny
+    opt = _optimizer(params)
+    batch = _batch(rng, n=16)
+    key = jax.random.PRNGKey(0)
+
+    s1 = create_train_state(params, opt)
+    s1, m1 = make_train_step(cfg, opt, compute_dtype=jnp.float32)(s1, batch, key)
+
+    s2 = create_train_state(params, opt)
+    # note: accum path folds rng per microbatch; with no stochastic layers results are
+    # rng-independent, so gradients must match exactly
+    s2, m2 = make_train_step(cfg, opt, compute_dtype=jnp.float32, accum_steps=4)(s2, batch, key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-5)
+    np.testing.assert_allclose(float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=2e-4)
+    flat1 = jax.tree_util.tree_leaves(s1.params)
+    flat2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_sharded_matches_single_device(tiny, rng):
+    cfg, params = tiny
+    opt = _optimizer(params)
+    batch = _batch(rng, n=16)
+    key = jax.random.PRNGKey(0)
+
+    s_single = create_train_state(params, opt)
+    s_single, m_single = make_train_step(cfg, opt, compute_dtype=jnp.float32)(s_single, batch, key)
+
+    mesh = create_mesh(data=4, fsdp=2)
+    shardings = fsdp_shardings(params, mesh, min_size=1024)
+    sharded_params = shard_params(params, shardings)
+    s_mesh = create_train_state(sharded_params, opt)
+    step = jit_train_step(make_train_step(cfg, opt, mesh=mesh, compute_dtype=jnp.float32), mesh)
+    s_mesh, m_mesh = step(s_mesh, batch, key)
+
+    np.testing.assert_allclose(float(m_mesh["loss"]), float(m_single["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_mesh.params), jax.tree_util.tree_leaves(s_single.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_siglip_train_step(rng):
+    tiny_siglip = dict(TINY)
+    tiny_siglip["init_logit_bias"] = -10
+    name = "tiny-train-siglip"
+    if name not in oct.list_models():
+        oct.add_model_config(tiny_siglip, name=name)
+    cfg = parse_model_cfg(name)
+    params = init_clip(jax.random.PRNGKey(0), cfg)
+    opt = _optimizer(params)
+    mesh = create_mesh(data=8)
+    step = jit_train_step(
+        make_train_step(cfg, opt, loss_type="siglip", mesh=mesh, compute_dtype=jnp.float32), mesh
+    )
+    state = create_train_state(params, opt)
+    batch = _batch(rng)
+    losses = []
+    for i in range(5):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_ema(tiny, rng):
+    cfg, params = tiny
+    opt = _optimizer(params)
+    step = make_train_step(cfg, opt, compute_dtype=jnp.float32, ema_decay=0.9)
+    state = create_train_state(params, opt, ema=True)
+    batch = _batch(rng, n=8)
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    # EMA must move toward params but not equal them
+    p = np.asarray(state.params["visual"]["proj"])
+    e = np.asarray(state.ema_params["visual"]["proj"])
+    p0 = np.asarray(params["visual"]["proj"])
+    assert not np.allclose(e, p)
+    np.testing.assert_allclose(e, 0.9 * p0 + 0.1 * p, atol=1e-6)
+
+
+def test_wd_mask_policy(tiny):
+    cfg, params = tiny
+    mask = wd_mask(params)
+    assert mask["visual"]["blocks"]["attn"]["qkv"]["kernel"] is True
+    assert mask["visual"]["blocks"]["attn"]["qkv"]["bias"] is False
+    assert mask["visual"]["blocks"]["ln_1"]["scale"] is False
+    assert mask["visual"]["positional_embedding"] is False
+    assert mask["visual"]["class_embedding"] is False
+    assert mask["logit_scale"] is False
+    assert mask["text"]["token_embedding"] is True
+    assert mask["visual"]["patch_embed"]["kernel"] is True
+
+
+def test_cosine_schedule():
+    sched = cosine_lr(1.0, 10, 110)
+    assert float(sched(0)) == pytest.approx(0.1)
+    assert float(sched(9)) == pytest.approx(1.0)
+    assert float(sched(10)) == pytest.approx(1.0)
+    assert float(sched(110)) == pytest.approx(0.0, abs=1e-6)
+    assert 0.45 < float(sched(60)) < 0.55
