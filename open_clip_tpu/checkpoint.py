@@ -137,5 +137,10 @@ def load_native(path: str, like: Optional[Dict[str, Any]] = None) -> Dict[str, A
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         if like is not None:
-            return ckptr.restore(path, target=like)
+            restored = ckptr.restore(path, target=like)
+            # re-place onto the caller's shardings (mesh-sharded resume)
+            shardings = jax.tree.map(lambda x: getattr(x, "sharding", None), like)
+            return jax.tree.map(
+                lambda r, s: jax.device_put(r, s) if s is not None else r, restored, shardings
+            )
         return ckptr.restore(path)

@@ -1,0 +1,250 @@
+"""Dataset assembly: CSV, synthetic, webdataset; get_data dispatcher.
+
+Equivalent of reference ``src/open_clip_train/data.py:949-1192``: dict batches
+{'image', 'text'}, a ``DataInfo`` carrier with ``set_epoch``, dataset-type dispatch
+('webdataset' | 'csv' | 'synthetic' | 'auto'), and sample/batch bookkeeping for the
+train loop. All host-side; device placement happens in the train loop.
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+import math
+import os
+import random
+import sys
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional
+
+import numpy as np
+
+from .wds import PrefetchIterator, WdsConfig, WdsPipeline, decode_image_rgb, expand_urls, get_dataset_size
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class DataInfo:
+    """Mirrors reference DataInfo (data.py:151-161)."""
+
+    dataloader: Iterable
+    num_samples: int = 0
+    num_batches: int = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        setter = getattr(self.dataloader, "set_epoch", None)
+        if setter is not None:
+            setter(epoch)
+
+
+class CsvDataset:
+    """CSV/TSV of (image path, caption) — reference get_csv_dataset (data.py:949-1022)."""
+
+    def __init__(
+        self,
+        input_filename: str,
+        preprocess: Callable,
+        tokenizer: Callable,
+        img_key: str = "filepath",
+        caption_key: str = "title",
+        sep: str = "\t",
+        batch_size: int = 64,
+        shuffle: bool = False,
+        seed: int = 0,
+    ):
+        with open(input_filename, newline="") as fh:
+            reader = csv.DictReader(fh, delimiter=sep)
+            rows = [(r[img_key], r[caption_key]) for r in reader]
+        if not rows:
+            raise ValueError(f"no rows in {input_filename}")
+        self.rows = rows
+        self.root = os.path.dirname(os.path.abspath(input_filename))
+        self.preprocess = preprocess
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        from PIL import Image
+
+        order = list(range(len(self.rows)))
+        if self.shuffle:
+            random.Random(self.seed + self.epoch).shuffle(order)
+        images: List[np.ndarray] = []
+        captions: List[str] = []
+        for i in order:
+            path, caption = self.rows[i]
+            if not os.path.isabs(path):
+                path = os.path.join(self.root, path)
+            with Image.open(path) as img:
+                images.append(self.preprocess(img.convert("RGB")))
+            captions.append(caption)
+            if len(images) == self.batch_size:
+                yield {
+                    "image": np.stack(images),
+                    "text": np.asarray(self.tokenizer(captions), dtype=np.int32),
+                }
+                images, captions = [], []
+
+
+class SyntheticDataset:
+    """Blank image + fixed caption batches — reference get_synthetic_dataset
+    (data.py:1084-1147). Generates each unique batch once and replays it (pure
+    throughput/smoke testing)."""
+
+    def __init__(
+        self,
+        preprocess: Callable,
+        tokenizer: Callable,
+        image_size=(224, 224),
+        caption: str = "a synthetic caption for smoke testing",
+        dataset_size: int = 100,
+        batch_size: int = 64,
+    ):
+        from PIL import Image
+
+        img = Image.new("RGB", (image_size[1], image_size[0]))
+        arr = preprocess(img)
+        self.batch_size = batch_size
+        self.num_samples = dataset_size
+        n = batch_size
+        self._batch = {
+            "image": np.repeat(arr[None], n, axis=0),
+            "text": np.repeat(np.asarray(tokenizer([caption]), dtype=np.int32), n, axis=0),
+        }
+
+    def set_epoch(self, epoch: int) -> None:
+        pass
+
+    def __iter__(self):
+        for _ in range(max(1, self.num_samples // self.batch_size)):
+            yield {k: v.copy() for k, v in self._batch.items()}
+
+
+def _infer_dataset_type(path: str) -> str:
+    """reference data.py dispatch on extension ('auto')."""
+    ext = path.split(".")[-1].lower()
+    if ext in ("csv", "tsv"):
+        return "csv"
+    if ext == "tar":
+        return "webdataset"
+    raise ValueError(f"cannot infer dataset type from {path!r}")
+
+
+def get_data(
+    args: Any,
+    preprocess_fns,
+    epoch: int = 0,
+    tokenizer: Optional[Callable] = None,
+) -> Dict[str, DataInfo]:
+    """Assemble the data dict (reference get_data, data.py:1148-1192).
+
+    ``args`` uses the reference's flag names: train_data, val_data, dataset_type,
+    train_num_samples, batch_size, csv_img_key, csv_caption_key, csv_separator,
+    dataset_resampled, train_data_upsampling_factors, workers, seed,
+    world_size, rank, imagenet_val.
+    """
+    get = (lambda k, d=None: getattr(args, k, d)) if not isinstance(args, dict) else args.get
+    pp_train, pp_val = preprocess_fns
+    data: Dict[str, DataInfo] = {}
+
+    def build(split_path: str, is_train: bool) -> DataInfo:
+        dstype = get("dataset_type", "auto")
+        pp = pp_train if is_train else pp_val
+        batch_size = get("batch_size", 64)
+        if dstype == "synthetic":
+            ds = SyntheticDataset(
+                pp, tokenizer,
+                dataset_size=get("train_num_samples", 100) or 100,
+                batch_size=batch_size,
+            )
+            n = ds.num_samples
+            return DataInfo(ds, num_samples=n, num_batches=max(1, n // batch_size))
+        if dstype == "auto":
+            dstype = _infer_dataset_type(split_path)
+        if dstype == "csv":
+            ds = CsvDataset(
+                split_path, pp, tokenizer,
+                img_key=get("csv_img_key", "filepath"),
+                caption_key=get("csv_caption_key", "title"),
+                sep=get("csv_separator", "\t"),
+                batch_size=batch_size,
+                shuffle=is_train,
+                seed=get("seed", 0),
+            )
+            return DataInfo(ds, num_samples=len(ds), num_batches=len(ds) // batch_size)
+        if dstype == "webdataset":
+            cfg = WdsConfig(
+                urls=split_path,
+                weights=get("train_data_upsampling_factors") if is_train else None,
+                resampled=bool(get("dataset_resampled", False)) and is_train,
+                batch_size=batch_size,
+                caption_key=get("wds_caption_key", "txt"),
+                seed=get("seed", 0),
+                world_size=get("world_size", 1),
+                rank=get("rank", 0),
+                shuffle_shards=2000 if is_train else 0,
+                shuffle_samples=get("wds_shuffle_buffer", 5000) if is_train else 0,
+                partial_batches=not is_train,
+            )
+            ds = WdsPipeline(cfg, pp, tokenizer)
+            num_samples = get("train_num_samples") if is_train else get("val_num_samples")
+            if not num_samples:
+                num_samples, _ = get_dataset_size(split_path)
+                num_samples = num_samples or 0
+            return DataInfo(ds, num_samples=num_samples, num_batches=num_samples // batch_size if num_samples else 0)
+        raise ValueError(f"unsupported dataset type {dstype!r}")
+
+    if get("train_data") or get("dataset_type") == "synthetic":
+        data["train"] = build(get("train_data") or "", is_train=True)
+    if get("val_data"):
+        data["val"] = build(get("val_data"), is_train=False)
+    if get("imagenet_val"):
+        data["imagenet-val"] = make_imagenet_val(get("imagenet_val"), pp_val, get("batch_size", 64))
+    return data
+
+
+def make_imagenet_val(root: str, preprocess: Callable, batch_size: int) -> DataInfo:
+    """ImageFolder-style ImageNet val loader (reference get_imagenet, data.py:208-268).
+    Expects root/<class_dir>/<image files> with class dirs sorted -> label ids."""
+
+    class _Folder:
+        def __init__(self):
+            classes = sorted(d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
+            self.items: List = []
+            for li, c in enumerate(classes):
+                cdir = os.path.join(root, c)
+                for f in sorted(os.listdir(cdir)):
+                    self.items.append((os.path.join(cdir, f), li))
+
+        def set_epoch(self, epoch):
+            pass
+
+        def __len__(self):
+            return len(self.items)
+
+        def __iter__(self):
+            from PIL import Image
+
+            images, labels = [], []
+            for path, li in self.items:
+                with Image.open(path) as img:
+                    images.append(preprocess(img.convert("RGB")))
+                labels.append(li)
+                if len(images) == batch_size:
+                    yield {"image": np.stack(images), "label": np.asarray(labels, dtype=np.int32)}
+                    images, labels = [], []
+            if images:
+                yield {"image": np.stack(images), "label": np.asarray(labels, dtype=np.int32)}
+
+    ds = _Folder()
+    return DataInfo(ds, num_samples=len(ds), num_batches=math.ceil(len(ds) / batch_size))

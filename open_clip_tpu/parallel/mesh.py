@@ -98,6 +98,21 @@ def shard_params(params: Any, shardings: Any) -> Any:
     return jax.device_put(params, shardings)
 
 
+def place_on_mesh(tree: Any, mesh: Mesh) -> Any:
+    """Ensure every leaf lives on ``mesh``: leaves already carrying a NamedSharding on
+    this mesh are kept; anything else (single-device scalars from init or checkpoint
+    restore) is replicated. Keeps jit happy about consistent device sets."""
+    repl = NamedSharding(mesh, P())
+
+    def fix(leaf):
+        sh = getattr(leaf, "sharding", None)
+        if isinstance(sh, NamedSharding) and sh.mesh.shape == mesh.shape:
+            return leaf
+        return jax.device_put(leaf, repl)
+
+    return jax.tree.map(fix, tree)
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Place a host batch with the leading axis split over the data axis."""
     s = NamedSharding(mesh, P(DATA_AXIS))

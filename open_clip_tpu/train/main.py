@@ -1,0 +1,199 @@
+"""Training CLI orchestrator: ``python -m open_clip_tpu.train.main <flags>``.
+
+Equivalent of reference ``src/open_clip_train/main.py:97-763``: experiment naming +
+logging, model + transforms, mesh + sharding, optimizer + schedule, data, resume,
+epoch loop (train -> evaluate -> checkpoint with atomic latest swap), results.jsonl
+and params.txt dumps. The DDP/FSDP/GradScaler/compile plumbing collapses into the
+mesh + jitted step.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+from datetime import datetime
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..factory import create_model_and_transforms, get_tokenizer, _compute_dtype
+from ..checkpoint import load_native, save_native
+from ..data import get_data
+from ..parallel.mesh import create_mesh, fsdp_shardings, place_on_mesh, shard_params
+from .params import parse_args
+from .optim import OptimizerCfg, create_optimizer
+from .scheduler import create_scheduler
+from .train_loop import evaluate, train_one_epoch
+from .train_step import create_train_state, jit_train_step, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+class JsonlWriter:
+    def __init__(self, path):
+        self.path = path
+
+    def log(self, metrics, step):
+        with open(self.path, "a") as fh:
+            fh.write(json.dumps({"step": step, **{k: _py(v) for k, v in metrics.items()}}) + "\n")
+
+
+def _py(v):
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return str(v)
+
+
+def random_seed(seed: int = 42):
+    import random
+
+    random.seed(seed)
+    np.random.seed(seed % (2 ** 31))
+
+
+def get_latest_checkpoint(ckpt_dir: Path) -> Optional[str]:
+    cands = sorted(ckpt_dir.glob("epoch_*"), key=lambda p: int(p.name.split("_")[1]))
+    return str(cands[-1]) if cands else None
+
+
+def main(args=None):
+    args = parse_args(args)
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s | %(levelname)s | %(message)s")
+
+    if args.name is None:
+        args.name = "-".join(
+            [datetime.now().strftime("%Y_%m_%d-%H_%M_%S"), f"model_{args.model.replace('/', '-')}",
+             f"lr_{args.lr}", f"b_{args.batch_size}"]
+        )
+    log_dir = Path(args.logs) / args.name
+    ckpt_dir = log_dir / "checkpoints"
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    with open(log_dir / "params.txt", "w") as fh:
+        for k in sorted(vars(args)):
+            fh.write(f"{k}: {getattr(args, k)}\n")
+
+    random_seed(args.seed)
+
+    # --- mesh --------------------------------------------------------------------
+    n_dev = len(jax.devices())
+    fsdp = args.mesh_fsdp
+    data_ax = args.mesh_data if args.mesh_data > 0 else n_dev // fsdp
+    mesh = create_mesh(data=data_ax, fsdp=fsdp) if n_dev > 1 else None
+    logger.info("devices=%d mesh=%s", n_dev, dict(mesh.shape) if mesh else None)
+
+    # --- model -------------------------------------------------------------------
+    model, pp_train, pp_val = create_model_and_transforms(
+        args.model,
+        args.pretrained or None,
+        precision=args.precision,
+        force_quick_gelu=args.force_quick_gelu,
+        force_custom_text=args.force_custom_text,
+        force_patch_dropout=args.force_patch_dropout,
+        force_image_size=tuple(args.force_image_size) if args.force_image_size else None,
+        force_context_length=args.force_context_length,
+        seed=args.seed,
+        aug_cfg=args.aug_cfg,
+    )
+    cfg = model.cfg
+    params = model.params
+    if mesh is not None:
+        params = shard_params(params, fsdp_shardings(params, mesh))
+
+    tokenizer = get_tokenizer(args.model)
+    data = get_data(args, (pp_train, pp_val), epoch=0, tokenizer=tokenizer)
+    assert "train" in data or "val" in data or "imagenet-val" in data, "no data specified"
+
+    writer = JsonlWriter(log_dir / "results.jsonl") if "jsonl" in (args.report_to or "jsonl") else None
+
+    start_epoch = 0
+    state = None
+    steps_per_epoch = max(data["train"].num_batches, 1) if "train" in data else 0
+
+    if "train" in data:
+        total_steps = steps_per_epoch * args.epochs
+        schedule = create_scheduler(
+            args.lr_scheduler, args.lr, min(args.warmup, max(total_steps // 10, 1)), total_steps,
+            **({"cooldown_steps": steps_per_epoch * args.epochs_cooldown,
+                "cooldown_power": args.lr_cooldown_power,
+                "cooldown_end_lr": args.lr_cooldown_end}
+               if args.lr_scheduler == "const-cooldown" and args.epochs_cooldown else {}),
+        )
+        opt_cfg = OptimizerCfg(
+            opt=args.opt, lr=args.lr, wd=args.wd, beta1=args.beta1, beta2=args.beta2,
+            eps=args.eps, momentum=args.momentum, layer_decay=args.layer_decay,
+            grad_clip_norm=args.grad_clip_norm,
+        )
+        num_layers = cfg.vision_cfg.layers if cfg.vision_cfg and not cfg.vision_cfg.is_resnet else None
+        optimizer = create_optimizer(opt_cfg, params, schedule, num_layers=num_layers)
+        state = create_train_state(params, optimizer, ema=args.ema is not None)
+        if mesh is not None:
+            state = place_on_mesh(state, mesh)
+
+        if args.resume:
+            resume_path = args.resume
+            if resume_path == "latest":
+                resume_path = get_latest_checkpoint(ckpt_dir)
+            if resume_path:
+                logger.info("resuming from %s", resume_path)
+                state = load_native(resume_path, like=state)
+                if mesh is not None:
+                    state = place_on_mesh(state, mesh)
+                start_epoch = int(state.step) // max(steps_per_epoch, 1)
+
+        loss_type = "siglip" if args.siglip else "clip"
+        step_fn = jit_train_step(
+            make_train_step(
+                cfg, optimizer,
+                loss_type=loss_type,
+                mesh=mesh,
+                compute_dtype=_compute_dtype(args.precision),
+                remat=args.grad_checkpointing,
+                local_loss=args.local_loss,
+                dist_impl=args.loss_dist_impl,
+                accum_steps=args.accum_freq,
+                ema_decay=args.ema,
+            ),
+            mesh,
+        )
+
+        for epoch in range(start_epoch, args.epochs):
+            logger.info("=> epoch %d", epoch)
+            data["train"].set_epoch(epoch)
+            state = train_one_epoch(
+                state, step_fn, data["train"].dataloader, epoch, args, schedule, writer
+            )
+            model.params = state.ema_params if state.ema_params is not None else state.params
+
+            completed = epoch + 1
+            if "val" in data or "imagenet-val" in data:
+                if completed % args.val_frequency == 0 or completed == args.epochs:
+                    metrics = evaluate(model, data, completed, args, tokenizer=tokenizer, writer=writer)
+                    logger.info("eval: %s", {k: round(_py(v), 4) for k, v in metrics.items()})
+
+            if completed % args.save_frequency == 0 or completed == args.epochs:
+                path = ckpt_dir / f"epoch_{completed}"
+                save_native(str(path), state)
+                logger.info("saved checkpoint %s", path)
+                if args.delete_previous_checkpoint and completed > 1:
+                    prev = ckpt_dir / f"epoch_{completed - 1}"
+                    if prev.exists():
+                        import shutil
+
+                        shutil.rmtree(prev)
+        return state
+
+    # eval-only
+    metrics = evaluate(model, data, 0, args, tokenizer=tokenizer, writer=writer)
+    logger.info("eval: %s", {k: round(_py(v), 4) for k, v in metrics.items()})
+    return metrics
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

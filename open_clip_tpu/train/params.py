@@ -1,0 +1,140 @@
+"""CLI argument surface (reference ``src/open_clip_train/params.py``).
+
+Same flag names as the reference where the concept carries over, so existing launch
+scripts port mechanically; torch-only knobs (torchcompile, fsdp wrappers, grad scaler)
+are replaced by their TPU equivalents (mesh axes, remat, precision names).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def get_default_params(model_name: str):
+    model_name = (model_name or "").lower()
+    if "vit" in model_name or "coca" in model_name or "siglip" in model_name:
+        return {"lr": 5.0e-4, "beta1": 0.9, "beta2": 0.98, "eps": 1.0e-6}
+    return {"lr": 5.0e-4, "beta1": 0.9, "beta2": 0.999, "eps": 1.0e-8}
+
+
+class ParseKwargs(argparse.Action):
+    """--aug-cfg key=val parsing (reference params.py:14-26)."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        kw = {}
+        for value in values:
+            key, _, val = value.partition("=")
+            try:
+                import ast
+
+                kw[key] = ast.literal_eval(val)
+            except (ValueError, SyntaxError):
+                kw[key] = val
+        setattr(namespace, self.dest, kw)
+
+
+def parse_args(args=None):
+    parser = argparse.ArgumentParser("open_clip_tpu training")
+
+    # data
+    parser.add_argument("--train-data", type=str, default=None)
+    parser.add_argument("--train-data-upsampling-factors", type=str, default=None)
+    parser.add_argument("--val-data", type=str, default=None)
+    parser.add_argument("--train-num-samples", type=int, default=None)
+    parser.add_argument("--val-num-samples", type=int, default=None)
+    parser.add_argument("--dataset-type", choices=["webdataset", "csv", "synthetic", "auto"], default="auto")
+    parser.add_argument("--dataset-resampled", action="store_true", default=False)
+    parser.add_argument("--csv-separator", type=str, default="\t")
+    parser.add_argument("--csv-img-key", type=str, default="filepath")
+    parser.add_argument("--csv-caption-key", type=str, default="title")
+    parser.add_argument("--wds-caption-key", type=str, default="txt")
+    parser.add_argument("--imagenet-val", type=str, default=None)
+    parser.add_argument("--imagenet-v2", type=str, default=None)
+    parser.add_argument("--workers", type=int, default=4)
+
+    # logging / experiment
+    parser.add_argument("--logs", type=str, default="./logs/")
+    parser.add_argument("--log-local", action="store_true", default=False)
+    parser.add_argument("--name", type=str, default=None)
+    parser.add_argument("--report-to", type=str, default="", help="'tensorboard' and/or 'jsonl'")
+    parser.add_argument("--log-every-n-steps", type=int, default=100)
+
+    # core training
+    parser.add_argument("--model", type=str, default="ViT-B-32")
+    parser.add_argument("--pretrained", type=str, default="")
+    parser.add_argument("--batch-size", type=int, default=64, help="per-host batch size")
+    parser.add_argument("--epochs", type=int, default=32)
+    parser.add_argument("--epochs-cooldown", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--beta1", type=float, default=None)
+    parser.add_argument("--beta2", type=float, default=None)
+    parser.add_argument("--eps", type=float, default=None)
+    parser.add_argument("--wd", type=float, default=0.2)
+    parser.add_argument("--momentum", type=float, default=0.9)
+    parser.add_argument("--opt", type=str, default="adamw")
+    parser.add_argument("--warmup", type=int, default=10000)
+    parser.add_argument("--lr-scheduler", type=str, default="cosine",
+                        choices=["cosine", "const", "const-cooldown"])
+    parser.add_argument("--lr-cooldown-end", type=float, default=0.0)
+    parser.add_argument("--lr-cooldown-power", type=float, default=1.0)
+    parser.add_argument("--accum-freq", type=int, default=1)
+    parser.add_argument("--grad-clip-norm", type=float, default=None)
+    parser.add_argument("--layer-decay", type=float, default=None)
+
+    # precision / memory
+    parser.add_argument("--precision", type=str, default="amp_bf16",
+                        choices=["amp", "amp_bf16", "bf16", "pure_bf16", "fp16", "fp32"])
+    parser.add_argument("--grad-checkpointing", action="store_true", default=False)
+
+    # mesh / parallelism (TPU equivalents of --ddp/--fsdp flags)
+    parser.add_argument("--mesh-data", type=int, default=-1, help="data-parallel axis size (-1: all devices)")
+    parser.add_argument("--mesh-fsdp", type=int, default=1, help="fsdp (param-shard) axis size")
+    parser.add_argument("--local-loss", action="store_true", default=True)
+    parser.add_argument("--no-local-loss", dest="local_loss", action="store_false")
+    parser.add_argument("--gather-with-grad", action="store_true", default=True)
+
+    # model config overrides
+    parser.add_argument("--force-quick-gelu", action="store_true", default=False)
+    parser.add_argument("--force-custom-text", action="store_true", default=False)
+    parser.add_argument("--force-patch-dropout", type=float, default=None)
+    parser.add_argument("--force-image-size", type=int, nargs="+", default=None)
+    parser.add_argument("--force-context-length", type=int, default=None)
+    parser.add_argument("--lock-image", action="store_true", default=False)
+    parser.add_argument("--lock-image-unlocked-groups", type=int, default=0)
+    parser.add_argument("--lock-text", action="store_true", default=False)
+    parser.add_argument("--lock-text-unlocked-layers", type=int, default=0)
+    parser.add_argument("--aug-cfg", nargs="*", action=ParseKwargs, default={})
+
+    # losses
+    parser.add_argument("--siglip", action="store_true", default=False)
+    parser.add_argument("--loss-dist-impl", type=str, default="bidir")
+    parser.add_argument("--coca-caption-loss-weight", type=float, default=2.0)
+    parser.add_argument("--coca-contrastive-loss-weight", type=float, default=1.0)
+    parser.add_argument("--distill-model", type=str, default=None)
+    parser.add_argument("--distill-pretrained", type=str, default=None)
+
+    # checkpointing
+    parser.add_argument("--save-frequency", type=int, default=1)
+    parser.add_argument("--save-most-recent", action="store_true", default=False)
+    parser.add_argument("--resume", type=str, default=None, help="path or 'latest'")
+    parser.add_argument("--checkpoint-format", type=str, default="orbax", choices=["orbax", "pt-interop"])
+    parser.add_argument("--delete-previous-checkpoint", action="store_true", default=False)
+
+    # eval / misc
+    parser.add_argument("--val-frequency", type=int, default=1)
+    parser.add_argument("--zeroshot-frequency", type=int, default=2)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--ema", type=float, default=None, help="EMA decay (e.g. 0.9998)")
+    parser.add_argument("--device-preprocess", action="store_true", default=False,
+                        help="uint8 host batches; fused resize/normalize on device")
+
+    ns = parser.parse_args(args)
+
+    defaults = get_default_params(ns.model)
+    for k, v in defaults.items():
+        if getattr(ns, k, None) is None:
+            setattr(ns, k, v)
+
+    ns.world_size = 1
+    ns.rank = 0
+    return ns

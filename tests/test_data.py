@@ -1,0 +1,143 @@
+"""Data-pipeline tests with on-the-fly tar fixtures (reference tests/test_wds.py style)."""
+
+import io
+import json
+import os
+import tarfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from open_clip_tpu.data.wds import (
+    WdsConfig,
+    WdsPipeline,
+    expand_urls,
+    extract_caption,
+    iterate_tar_samples,
+)
+from open_clip_tpu.data.datasets import CsvDataset, SyntheticDataset, get_data
+from open_clip_tpu.transform import PreprocessCfg, image_transform_v2
+
+
+def _fake_tokenizer(texts):
+    out = np.zeros((len(texts), 8), dtype=np.int32)
+    for i, t in enumerate(texts):
+        h = abs(hash(t))
+        ids = [(h >> (7 * j)) % 127 + 1 for j in range(8)]
+        out[i, :] = ids
+    return out
+
+
+def _make_shard(path, n, start=0, img_size=(24, 20)):
+    with tarfile.open(path, "w") as tf:
+        for i in range(start, start + n):
+            img = Image.new("RGB", img_size, (i % 255, 30, 60))
+            buf = io.BytesIO()
+            img.save(buf, format="JPEG")
+            data = buf.getvalue()
+            info = tarfile.TarInfo(f"{i:06d}.jpg")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+            cap = f"caption number {i}".encode()
+            info = tarfile.TarInfo(f"{i:06d}.txt")
+            info.size = len(cap)
+            tf.addfile(info, io.BytesIO(cap))
+
+
+@pytest.fixture()
+def shards(tmp_path):
+    _make_shard(tmp_path / "shard-000000.tar", 10, 0)
+    _make_shard(tmp_path / "shard-000001.tar", 5, 100)
+    return tmp_path
+
+
+def test_expand_urls_braces():
+    urls, w = expand_urls("/data/shard-{000000..000003}.tar")
+    assert len(urls) == 4 and urls[0].endswith("shard-000000.tar") and w is None
+
+
+def test_expand_urls_multisource_weights():
+    urls, w = expand_urls("/a/s-{00..01}.tar::/b/t-{00..03}.tar", weights="1::2")
+    assert len(urls) == 6
+    assert w[0] == pytest.approx(0.5) and w[2] == pytest.approx(0.5)
+
+
+def test_iterate_tar_samples(shards):
+    samples = list(iterate_tar_samples(str(shards / "shard-000000.tar")))
+    assert len(samples) == 10
+    assert {"__key__", "jpg", "txt"} <= set(samples[0])
+    assert samples[0]["txt"] == b"caption number 0"
+
+
+def test_iterate_corrupt_tar(tmp_path):
+    bad = tmp_path / "bad.tar"
+    bad.write_bytes(b"not a tar file at all")
+    assert list(iterate_tar_samples(str(bad))) == []
+
+
+def test_extract_caption_json():
+    sample = {"json": json.dumps({"cap_a": "hello", "cap_b": "world"}).encode()}
+    got = extract_caption(sample, "json:cap_a=1")
+    assert got == "hello"
+    got = extract_caption(sample, "json:cap_a=1::cap_b=1")
+    assert got in ("hello", "world")
+
+
+def test_wds_pipeline_epoch_composition(shards):
+    pp = image_transform_v2(PreprocessCfg(size=16), is_train=False)
+    cfg = WdsConfig(
+        urls=str(shards / "shard-{000000..000001}.tar"),
+        batch_size=4, shuffle_shards=0, shuffle_samples=0, partial_batches=True,
+    )
+    pipe = WdsPipeline(cfg, pp, _fake_tokenizer)
+    batches = list(pipe)
+    n = sum(b["image"].shape[0] for b in batches)
+    assert n == 15
+    assert batches[0]["image"].shape == (4, 16, 16, 3)
+    assert batches[0]["text"].shape == (4, 8)
+
+
+def test_wds_deterministic_per_epoch(shards):
+    pp = image_transform_v2(PreprocessCfg(size=16), is_train=False)
+    cfg = WdsConfig(urls=str(shards / "shard-{000000..000001}.tar"), batch_size=5,
+                    shuffle_samples=4, seed=1, partial_batches=True)
+    pipe = WdsPipeline(cfg, pp, _fake_tokenizer)
+    pipe.set_epoch(0)
+    a = [b["text"] for b in pipe]
+    pipe.set_epoch(0)
+    b = [b["text"] for b in pipe]
+    pipe.set_epoch(1)
+    c = [b["text"] for b in pipe]
+    np.testing.assert_array_equal(np.concatenate(a), np.concatenate(b))
+    assert not np.array_equal(np.concatenate(a), np.concatenate(c))
+
+
+def test_csv_dataset(tmp_path):
+    img_path = tmp_path / "img0.jpg"
+    Image.new("RGB", (20, 20), "blue").save(img_path)
+    csv_path = tmp_path / "data.csv"
+    csv_path.write_text("filepath\ttitle\nimg0.jpg\ta blue square\nimg0.jpg\tanother one\n")
+    pp = image_transform_v2(PreprocessCfg(size=16), is_train=False)
+    ds = CsvDataset(str(csv_path), pp, _fake_tokenizer, batch_size=2)
+    batches = list(ds)
+    assert len(batches) == 1
+    assert batches[0]["image"].shape == (2, 16, 16, 3)
+
+
+def test_synthetic_dataset():
+    pp = image_transform_v2(PreprocessCfg(size=16), is_train=False)
+    ds = SyntheticDataset(pp, _fake_tokenizer, image_size=(16, 16), dataset_size=8, batch_size=4)
+    batches = list(ds)
+    assert len(batches) == 2
+    assert batches[0]["image"].shape == (4, 16, 16, 3)
+
+
+def test_get_data_synthetic():
+    pp = image_transform_v2(PreprocessCfg(size=16), is_train=False)
+    data = get_data(
+        {"dataset_type": "synthetic", "train_num_samples": 8, "batch_size": 4},
+        (pp, pp), tokenizer=_fake_tokenizer,
+    )
+    assert "train" in data
+    assert data["train"].num_batches == 2
