@@ -109,11 +109,11 @@ def init_modified_resnet(key, cfg: CLIPVisionCfg, embed_dim: int) -> Dict[str, A
     inplanes = width
     for li, (n_blocks, stride) in enumerate(zip(layers, (1, 2, 2, 2)), start=1):
         planes = width * (2 ** (li - 1))
-        stage = []
+        stage = {}
         bkeys = jax.random.split(ks[2 + li], n_blocks)
         for bi in range(n_blocks):
             s = stride if bi == 0 else 1
-            stage.append(_init_bottleneck(bkeys[bi], inplanes, planes, s))
+            stage[str(bi)] = _init_bottleneck(bkeys[bi], inplanes, planes, s)
             inplanes = planes * EXPANSION
         p[f"layer{li}"] = stage
 
@@ -186,8 +186,9 @@ def apply_modified_resnet(
     x = avg_pool(x, 2)
 
     for li, stride in zip(range(1, 5), (1, 2, 2, 2)):
-        for bi, bp in enumerate(params[f"layer{li}"]):
-            x = _apply_bottleneck(bp, x, stride if bi == 0 else 1, bs)
+        stage = params[f"layer{li}"]
+        for bi in range(len(stage)):
+            x = _apply_bottleneck(stage[str(bi)], x, stride if bi == 0 else 1, bs)
 
     heads = cfg.width * 32 // cfg.head_width
     return _apply_attn_pool(params["attnpool"], x, heads)
@@ -222,7 +223,7 @@ def torch_resnet_clip_to_params(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any
         v[f"conv{i}"] = _conv_t(sd[f"visual.conv{i}.weight"])
         v[f"bn{i}"] = _bn_t(sd, f"visual.bn{i}")
     for li in range(1, 5):
-        stage: List[Dict[str, Any]] = []
+        stage: Dict[str, Any] = {}
         bi = 0
         while f"visual.layer{li}.{bi}.conv1.weight" in sd:
             pre = f"visual.layer{li}.{bi}"
@@ -239,7 +240,7 @@ def torch_resnet_clip_to_params(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any
                     "conv": _conv_t(sd[f"{pre}.downsample.0.weight"]),
                     "bn": _bn_t(sd, f"{pre}.downsample.1"),
                 }
-            stage.append(bp)
+            stage[str(bi)] = bp
             bi += 1
         v[f"layer{li}"] = stage
 
