@@ -178,6 +178,12 @@ def torch_clip_to_params(sd: Mapping[str, Any], cfg: Optional[CLIPModelCfg] = No
         from .models import resnet
 
         return resnet.torch_resnet_clip_to_params(sd, cfg)
+    if any(k.startswith("text.blocks.") for k in sd):
+        # ModernTextTransformer text side; visual side handled by the standard path
+        vis_sd = {k: v for k, v in sd.items() if not k.startswith("text.")}
+        tree = torch_clip_to_params(vis_sd, cfg)
+        tree["text"] = _convert_modern_text({k[len("text."):]: v for k, v in sd.items() if k.startswith("text.")})
+        return tree
 
     tree: Dict[str, Any] = {}
     vis_blocks: Dict[int, dict] = {}
@@ -254,6 +260,99 @@ def _to_jnp(tree):
     if isinstance(tree, np.ndarray):
         return jnp.asarray(tree)
     return tree
+
+
+def _convert_modern_text(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """ModernTextTransformer state dict (keys pre-stripped of 'text.') -> stacked tree.
+
+    Reference layout (transformer.py:1200-1577): blocks.{i}.{norm1,attn.qkv,attn.q_norm,
+    attn.k_norm,attn.gate,attn.vr_lambda,attn.proj,norm1_post,ls1,norm2,mlp.{w12,w3|c_fc,
+    c_proj},norm2_post,ls2}, plus token_embedding/reg_tokens/norm_pre/ln_final/pool/
+    text_projection. Layer 0 has no vr_lambda (it only produces v_first); the stacked
+    layout carries a dummy 0.5 for it.
+    """
+    tree: Dict[str, Any] = {"token_embedding": sd["token_embedding.weight"]}
+    if "reg_tokens" in sd:
+        tree["reg_tokens"] = sd["reg_tokens"].reshape(-1, sd["reg_tokens"].shape[-1])
+    for name in ("norm_pre", "ln_final"):
+        if f"{name}.weight" in sd:
+            t = {"scale": sd[f"{name}.weight"]}
+            if f"{name}.bias" in sd:
+                t["bias"] = sd[f"{name}.bias"]
+            tree[name] = t
+
+    block_re = re.compile(r"^blocks\.(\d+)\.(.*)$")
+    per_layer: Dict[int, dict] = {}
+    kernel_suffixes = {
+        "attn.qkv.weight": ("attn", "qkv", "kernel"),
+        "attn.qkv.bias": ("attn", "qkv", "bias"),
+        "attn.proj.weight": ("attn", "proj", "kernel"),
+        "attn.proj.bias": ("attn", "proj", "bias"),
+        "attn.gate.weight": ("attn", "gate", "kernel"),
+        "attn.gate.bias": ("attn", "gate", "bias"),
+        "attn.vr_lambda": ("attn", "vr_lambda"),
+        "attn.q_norm.weight": ("attn", "q_norm", "scale"),
+        "attn.q_norm.bias": ("attn", "q_norm", "bias"),
+        "attn.k_norm.weight": ("attn", "k_norm", "scale"),
+        "attn.k_norm.bias": ("attn", "k_norm", "bias"),
+        "norm1.weight": ("norm1", "scale"),
+        "norm1.bias": ("norm1", "bias"),
+        "norm1_post.weight": ("norm1_post", "scale"),
+        "norm1_post.bias": ("norm1_post", "bias"),
+        "norm2.weight": ("norm2", "scale"),
+        "norm2.bias": ("norm2", "bias"),
+        "norm2_post.weight": ("norm2_post", "scale"),
+        "norm2_post.bias": ("norm2_post", "bias"),
+        "ls1.gamma": ("ls1",),
+        "ls2.gamma": ("ls2",),
+        "mlp.w12.weight": ("mlp", "w12", "kernel"),
+        "mlp.w12.bias": ("mlp", "w12", "bias"),
+        "mlp.w3.weight": ("mlp", "w3", "kernel"),
+        "mlp.w3.bias": ("mlp", "w3", "bias"),
+        "mlp.c_fc.weight": ("mlp", "c_fc", "kernel"),
+        "mlp.c_fc.bias": ("mlp", "c_fc", "bias"),
+        "mlp.c_proj.weight": ("mlp", "c_proj", "kernel"),
+        "mlp.c_proj.bias": ("mlp", "c_proj", "bias"),
+    }
+    for k, v in sd.items():
+        m = block_re.match(k)
+        if not m:
+            continue
+        idx, rest = int(m.group(1)), m.group(2)
+        if rest not in kernel_suffixes:
+            raise KeyError(f"unknown modern-text block key {rest}")
+        path = kernel_suffixes[rest]
+        val = v.T if rest.endswith(".weight") and ("attn." in rest or "mlp." in rest) and "norm" not in rest else v
+        _set(per_layer.setdefault(idx, {}), path, val)
+
+    if per_layer:
+        # layer 0 carries no vr_lambda in the reference; pad with the 0.5 init for stacking
+        if any("vr_lambda" in p.get("attn", {}) for p in per_layer.values()):
+            for p in per_layer.values():
+                p["attn"].setdefault("vr_lambda", np.full((1,), 0.5, dtype=np.float32))
+        tree["blocks"] = _stack_blocks(per_layer)
+
+    if "pool.query" in sd:
+        pool: Dict[str, Any] = {"query": sd["pool.query"].reshape(-1)}
+        for name in ("q", "kv"):
+            pp = {"kernel": sd[f"pool.{name}.weight"].T}
+            if f"pool.{name}.bias" in sd:
+                pp["bias"] = sd[f"pool.{name}.bias"]
+            pool[name] = pp
+        for name in ("q_norm", "k_norm"):
+            if f"pool.{name}.weight" in sd:
+                t = {"scale": sd[f"pool.{name}.weight"]}
+                if f"pool.{name}.bias" in sd:
+                    t["bias"] = sd[f"pool.{name}.bias"]
+                pool[name] = t
+        tree["pool"] = pool
+
+    if "text_projection.weight" in sd:
+        tp = {"kernel": sd["text_projection.weight"].T}
+        if "text_projection.bias" in sd:
+            tp["bias"] = sd["text_projection.bias"]
+        tree["text_projection"] = tp
+    return _to_jnp(tree)
 
 
 # ---------------------------------------------------------------------------
