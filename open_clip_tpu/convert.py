@@ -178,6 +178,15 @@ def torch_clip_to_params(sd: Mapping[str, Any], cfg: Optional[CLIPModelCfg] = No
         from .models import resnet
 
         return resnet.torch_resnet_clip_to_params(sd, cfg)
+    if any(k.startswith("text_decoder.") for k in sd):
+        from .models import coca
+
+        rest_sd = {k: v for k, v in sd.items() if not k.startswith("text_decoder.")}
+        tree = torch_clip_to_params(rest_sd, cfg)
+        tree["text_decoder"] = coca.convert_multimodal_decoder(
+            {k[len("text_decoder."):]: v for k, v in sd.items() if k.startswith("text_decoder.")}
+        )
+        return tree
     if any(k.startswith("text.blocks.") for k in sd):
         # ModernTextTransformer text side; visual side handled by the standard path
         vis_sd = {k: v for k, v in sd.items() if not k.startswith("text.")}

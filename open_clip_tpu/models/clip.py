@@ -48,6 +48,13 @@ def init_clip(key, cfg: CLIPModelCfg) -> Dict[str, Any]:
             params["text"] = modern_text.init_modern_text_tower(kt, cfg.text_cfg, cfg.embed_dim)
         else:
             params["text"] = text_mod.init_text_tower(kt, cfg.text_cfg, cfg.embed_dim)
+    if cfg.multimodal_cfg is not None:
+        from . import coca
+
+        kd = jax.random.fold_in(key, 2)
+        params["text_decoder"] = coca.init_multimodal_decoder(
+            kd, cfg.multimodal_cfg, cfg.text_cfg.vocab_size
+        )
     scale_init = cfg.init_logit_scale if cfg.init_logit_scale is not None else DEFAULT_LOGIT_SCALE
     params["logit_scale"] = jnp.asarray(scale_init, dtype=jnp.float32)
     if cfg.init_logit_bias is not None:
@@ -137,7 +144,14 @@ def clip_forward(
     attn_impl: str = "auto",
 ) -> Dict[str, jax.Array]:
     """Dict-output forward matching reference CLIP.forward(output_dict=True)
-    (model.py:528-548)."""
+    (model.py:528-548). CoCa configs (multimodal_cfg) also return decoder logits."""
+    if cfg.multimodal_cfg is not None:
+        from . import coca
+
+        return coca.coca_forward(
+            params, cfg, image, text, train=train, rng=rng,
+            compute_dtype=compute_dtype, remat=remat,
+        )
     out: Dict[str, jax.Array] = {}
     if image is not None:
         out["image_features"] = encode_image(

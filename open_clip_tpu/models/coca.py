@@ -1,0 +1,279 @@
+"""CoCa: contrastive captioner — TPU-native.
+
+Functional re-design of reference ``src/open_clip/coca_model.py`` +
+``MultimodalTransformer`` (``src/open_clip/transformer.py:1887-1998``): the vision tower
+uses an attentional pooler with ``output_tokens`` (first latent = contrastive token,
+rest = decoder memory); the text tower appends a CLS token (``embed_cls``); the decoder
+interleaves causal self-attention blocks with cross-attention blocks over the image
+latents, both stacked and scanned together.
+
+Generation runs as a single jitted ``lax.fori_loop`` with a fixed sequence buffer
+(static XLA shapes; one compile for the whole decode) supporting greedy / top-k /
+top-p sampling — unlike the reference, which loops in python through HF
+GenerationMixin with the KV cache forced off (coca_model.py:353-356).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CLIPModelCfg, MultimodalCfg
+from ..ops.layers import layer_norm
+from . import blocks as B
+from . import text as text_mod
+from . import vit
+
+
+# ---------------------------------------------------------------------------
+# multimodal decoder
+# ---------------------------------------------------------------------------
+
+def init_multimodal_decoder(key, cfg: MultimodalCfg, output_dim: int) -> Dict[str, Any]:
+    """output_dim is the vocab size (reference builds the decoder with
+    ``_build_text_decoder_tower(vocab_size, ...)``, coca_model.py:97-101)."""
+    width, heads = cfg.width, cfg.heads
+    ks = jax.random.split(key, 4)
+    p: Dict[str, Any] = {
+        "blocks": B.init_block_stack(
+            ks[0], cfg.layers, width, heads, int(width * cfg.mlp_ratio),
+            ls_init_value=cfg.ls_init_value, init_scheme="text",
+        ),
+        "cross_blocks": _init_cross_stack(ks[1], cfg),
+        "ln_final": B._ln_params(width),
+        "text_projection": B.normal_init(ks[2], (width, output_dim), width ** -0.5),
+    }
+    return p
+
+
+def _init_cross_block(key, cfg: MultimodalCfg):
+    width, heads = cfg.width, cfg.heads
+    p = B.init_block(
+        key, width, heads, int(width * cfg.mlp_ratio),
+        ls_init_value=cfg.ls_init_value, init_scheme="text", depth_for_init=cfg.layers,
+    )
+    p["ln_1_kv"] = B._ln_params(width)
+    return p
+
+
+def _init_cross_stack(key, cfg: MultimodalCfg):
+    keys = jax.random.split(key, cfg.layers)
+    return jax.vmap(lambda k: _init_cross_block(k, cfg))(keys)
+
+
+def apply_multimodal_decoder(
+    params: Dict[str, Any],
+    cfg: MultimodalCfg,
+    image_embs: jax.Array,  # (B, M, W)
+    text_embs: jax.Array,  # (B, L, W)
+    *,
+    act: str = "gelu",
+    remat: bool = False,
+) -> jax.Array:
+    """(B, L, vocab) logits — reference MultimodalTransformer.forward (transformer.py:1963-1986)."""
+    from ..ops.attention import multi_head_attention
+
+    eps = cfg.ln_eps
+    heads = cfg.heads
+
+    def body(x, p):
+        ps, pc = p
+        x = B.apply_block(ps, x, heads=heads, act=act, causal=True, norm_eps=eps)
+        # cross-attention block: q from ln_1(x); k/v from ln_1_kv(image_embs)
+        kv = layer_norm(image_embs, pc["ln_1_kv"]["scale"], pc["ln_1_kv"]["bias"], eps=eps)
+        h = layer_norm(x, pc["ln_1"]["scale"], pc["ln_1"]["bias"], eps=eps)
+        h = multi_head_attention(pc["attn"], h, kv=kv, num_heads=heads)
+        if "ls_1" in pc:
+            h = h * pc["ls_1"].astype(h.dtype)
+        x = x + h
+        h = layer_norm(x, pc["ln_2"]["scale"], pc["ln_2"]["bias"], eps=eps)
+        from ..ops.layers import ACT_FNS, linear
+
+        h = linear(h, pc["mlp"]["c_fc"]["kernel"], pc["mlp"]["c_fc"].get("bias"))
+        h = ACT_FNS[act](h)
+        h = linear(h, pc["mlp"]["c_proj"]["kernel"], pc["mlp"]["c_proj"].get("bias"))
+        if "ls_2" in pc:
+            h = h * pc["ls_2"].astype(h.dtype)
+        x = x + h
+        return x, None
+
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
+    x, _ = jax.lax.scan(body, text_embs, (params["blocks"], params["cross_blocks"]))
+
+    x = layer_norm(x, params["ln_final"]["scale"], params["ln_final"]["bias"], eps=eps)
+    return jnp.dot(x, params["text_projection"].astype(x.dtype))
+
+
+# ---------------------------------------------------------------------------
+# CoCa forward
+# ---------------------------------------------------------------------------
+
+def coca_forward(
+    params: Dict[str, Any],
+    cfg: CLIPModelCfg,
+    image: Optional[jax.Array] = None,
+    text: Optional[jax.Array] = None,
+    *,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+    remat: bool = False,
+) -> Dict[str, jax.Array]:
+    """reference CoCa.forward (coca_model.py:218-246)."""
+    from .clip import _l2_normalize
+
+    act = "quick_gelu" if cfg.quick_gelu else "gelu"
+    out: Dict[str, jax.Array] = {}
+    image_embs = None
+    if image is not None:
+        pooled, image_embs = vit.apply_vision_tower(
+            params["visual"], cfg.vision_cfg, image, train=train, rng=rng,
+            compute_dtype=compute_dtype, remat=remat, act=act,
+        )
+        out["image_features"] = _l2_normalize(pooled)
+    if text is not None:
+        t_pooled, token_embs = text_mod.apply_text_tower(
+            params["text"], cfg.text_cfg, text, compute_dtype=compute_dtype, remat=remat, act=act,
+        )
+        out["text_features"] = _l2_normalize(t_pooled)
+        if image_embs is not None:
+            out["logits"] = apply_multimodal_decoder(
+                params["text_decoder"], cfg.multimodal_cfg, image_embs, token_embs,
+                act=act, remat=remat,
+            )
+            out["labels"] = text  # AR shift handled by the loss/task (reference coca_task.py:45-53)
+    out["logit_scale"] = jnp.exp(params["logit_scale"].astype(jnp.float32))
+    if "logit_bias" in params:
+        out["logit_bias"] = params["logit_bias"].astype(jnp.float32)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# generation
+# ---------------------------------------------------------------------------
+
+def generate(
+    params: Dict[str, Any],
+    cfg: CLIPModelCfg,
+    image: jax.Array,
+    rng: Optional[jax.Array] = None,
+    *,
+    seq_len: int = 30,
+    min_seq_len: int = 5,
+    generation_type: str = "greedy",  # greedy | top_k | top_p
+    temperature: float = 1.0,
+    top_k: int = 1,
+    top_p: float = 0.1,
+    repetition_penalty: float = 1.0,
+    sot_token_id: int = 49406,
+    eos_token_id: int = 49407,
+    pad_token_id: int = 0,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Caption images: returns (B, seq_len) token ids, eos-terminated then padded.
+
+    Single jit, fixed shapes: the ids buffer has static length ``seq_len``; each decode
+    step re-encodes the (right-padded) prefix and reads the logits at the current
+    position. Temperature/top-k/top-p semantics match the reference's HF-generate paths.
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    b = image.shape[0]
+    act = "quick_gelu" if cfg.quick_gelu else "gelu"
+
+    _, image_embs = vit.apply_vision_tower(
+        params["visual"], cfg.vision_cfg, image, compute_dtype=compute_dtype, act=act,
+    )
+
+    ids0 = jnp.full((b, seq_len), pad_token_id, dtype=jnp.int32).at[:, 0].set(sot_token_id)
+    done0 = jnp.zeros((b,), dtype=bool)
+
+    def step(t, carry):
+        ids, done, key = carry
+        _, token_embs = text_mod.apply_text_tower(
+            params["text"], cfg.text_cfg, ids, compute_dtype=compute_dtype, act=act,
+        )
+        logits = apply_multimodal_decoder(
+            params["text_decoder"], cfg.multimodal_cfg, image_embs, token_embs, act=act,
+        )
+        step_logits = jnp.take_along_axis(
+            logits, jnp.full((b, 1, 1), t - 1).astype(jnp.int32), axis=1
+        )[:, 0].astype(jnp.float32)  # (B, V)
+
+        if repetition_penalty != 1.0:
+            seen = jax.nn.one_hot(ids, logits.shape[-1], dtype=bool)
+            seen = seen & (jnp.arange(seq_len) < t)[None, :, None]
+            seen = seen.any(axis=1)
+            penal = jnp.where(step_logits > 0, step_logits / repetition_penalty, step_logits * repetition_penalty)
+            step_logits = jnp.where(seen, penal, step_logits)
+
+        # block eos before min_seq_len (reference min_length semantics)
+        neg = jnp.finfo(jnp.float32).min
+        step_logits = jnp.where(
+            (t < min_seq_len) & (jnp.arange(step_logits.shape[-1]) == eos_token_id)[None, :],
+            neg, step_logits,
+        )
+
+        if generation_type == "greedy":
+            nxt = jnp.argmax(step_logits, axis=-1)
+        else:
+            step_logits = step_logits / max(temperature, 1e-6)
+            if generation_type == "top_k":
+                kth = jax.lax.top_k(step_logits, max(top_k, 1))[0][:, -1:]
+                step_logits = jnp.where(step_logits < kth, neg, step_logits)
+            elif generation_type == "top_p":
+                sorted_logits = jnp.sort(step_logits, axis=-1)[:, ::-1]
+                probs = jax.nn.softmax(sorted_logits, axis=-1)
+                cum = jnp.cumsum(probs, axis=-1)
+                cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)
+                cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+                step_logits = jnp.where(step_logits < cutoff, neg, step_logits)
+            key, sub = jax.random.split(key)
+            nxt = jax.random.categorical(sub, step_logits, axis=-1)
+
+        nxt = jnp.where(done, pad_token_id, nxt).astype(jnp.int32)
+        ids = ids.at[:, t].set(nxt)
+        done = done | (nxt == eos_token_id)
+        return ids, done, key
+
+    ids, _, _ = jax.lax.fori_loop(1, seq_len, step, (ids0, done0, rng))
+    return ids
+
+
+# ---------------------------------------------------------------------------
+# converter
+# ---------------------------------------------------------------------------
+
+def convert_multimodal_decoder(sd_prefixed: Dict[str, Any]) -> Dict[str, Any]:
+    """Map 'text_decoder.*' reference keys onto the decoder tree (self + cross stacks)."""
+    import numpy as np
+    import re as _re
+
+    from ..convert import _convert_block_key, _set, _stack_blocks, _to_jnp
+
+    self_blocks: Dict[int, dict] = {}
+    cross_blocks: Dict[int, dict] = {}
+    tree: Dict[str, Any] = {}
+    block_re = _re.compile(r"^(resblocks|cross_attn)\.(\d+)\.(.*)$")
+    for k, v in sd_prefixed.items():
+        m = block_re.match(k)
+        if m:
+            group, idx, rest = m.group(1), int(m.group(2)), m.group(3)
+            path, val = _convert_block_key(rest, v)
+            target = self_blocks if group == "resblocks" else cross_blocks
+            _set(target.setdefault(idx, {}), path, val)
+        elif k == "ln_final.weight":
+            tree.setdefault("ln_final", {})["scale"] = v
+        elif k == "ln_final.bias":
+            tree.setdefault("ln_final", {})["bias"] = v
+        elif k == "text_projection":
+            tree["text_projection"] = v
+        else:
+            raise KeyError(f"unknown text_decoder key {k}")
+    tree["blocks"] = _stack_blocks(self_blocks)
+    tree["cross_blocks"] = _stack_blocks(cross_blocks)
+    return _to_jnp(tree)

@@ -147,7 +147,7 @@ def main(args=None):
                     state = place_on_mesh(state, mesh)
                 start_epoch = int(state.step) // max(steps_per_epoch, 1)
 
-        loss_type = "siglip" if args.siglip else "clip"
+        loss_type = "siglip" if args.siglip else ("coca" if cfg.multimodal_cfg is not None else "clip")
         step_fn = jit_train_step(
             make_train_step(
                 cfg, optimizer,

@@ -101,18 +101,34 @@ def make_train_step(
     accum_steps: int = 1,
     ema_decay: Optional[float] = None,
     clamp_scale: float = LOGIT_SCALE_MAX,
+    caption_loss_weight: float = 2.0,
+    clip_loss_weight: float = 1.0,
 ) -> Callable[[TrainState, Dict[str, jax.Array], jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the (un-jitted) train step; jit it with sharding annotations at the call
     site (see ``jit_train_step``)."""
     loss_fn = _make_loss_fn(cfg, mesh, loss_type, local_loss, dist_impl)
-    use_bias = loss_type == "siglip"
+    if loss_type == "coca" and accum_steps > 1:
+        raise NotImplementedError("grad accumulation for CoCa (caption term) lands later")
 
     def full_loss(params, batch, rng):
-        imf, txf = _features(params, cfg, batch, rng, compute_dtype=compute_dtype, remat=remat)
         scale = jnp.exp(params["logit_scale"].astype(jnp.float32))
         bias = params.get("logit_bias")
         if bias is not None:
             bias = bias.astype(jnp.float32)
+        if loss_type == "coca":
+            out = clip_forward(
+                params, cfg, batch.get("image"), batch.get("text"),
+                train=True, rng=rng, compute_dtype=compute_dtype, remat=remat,
+            )
+            closs = loss_fn(out["image_features"], out["text_features"], scale, bias)
+            # AR shift: logits[:, :-1] predict text[:, 1:] (reference coca_task.py:45-53)
+            from ..loss import caption_cross_entropy
+
+            pad_id = cfg.text_cfg.pad_id if cfg.text_cfg else 0
+            cap = caption_cross_entropy(out["logits"][:, :-1], batch["text"][:, 1:], pad_id=pad_id)
+            loss = clip_loss_weight * closs + caption_loss_weight * cap
+            return loss, {"contrastive_loss": closs, "caption_loss": cap}
+        imf, txf = _features(params, cfg, batch, rng, compute_dtype=compute_dtype, remat=remat)
         loss = loss_fn(imf, txf, scale, bias)
         return loss, {}
 

@@ -162,3 +162,36 @@ def test_cosine_schedule():
     assert float(sched(10)) == pytest.approx(1.0)
     assert float(sched(110)) == pytest.approx(0.0, abs=1e-6)
     assert 0.45 < float(sched(60)) < 0.55
+
+
+def test_coca_train_step(rng):
+    tiny_coca = {
+        "embed_dim": 32,
+        "vision_cfg": {"image_size": 32, "layers": 2, "width": 32, "patch_size": 16, "head_width": 16,
+                       "attentional_pool": True, "attn_pooler_queries": 5, "attn_pooler_heads": 2,
+                       "output_tokens": True},
+        "text_cfg": {"context_length": 12, "vocab_size": 64, "width": 32, "heads": 2, "layers": 2,
+                     "embed_cls": True, "output_tokens": True},
+        "multimodal_cfg": {"context_length": 12, "vocab_size": 64, "width": 32, "heads": 2, "layers": 2},
+        "custom_text": True,
+    }
+    name = "tiny-train-coca"
+    if name not in oct.list_models():
+        oct.add_model_config(tiny_coca, name=name)
+    cfg = parse_model_cfg(name)
+    params = init_clip(jax.random.PRNGKey(0), cfg)
+    opt = _optimizer(params)
+    mesh = create_mesh(data=4, devices=jax.devices()[:4])
+    step = jit_train_step(
+        make_train_step(cfg, opt, loss_type="coca", mesh=mesh, compute_dtype=jnp.float32), mesh
+    )
+    state = create_train_state(params, opt)
+    batch = {
+        "image": rng.standard_normal((8, 32, 32, 3)).astype(np.float32),
+        "text": rng.integers(1, 63, size=(8, 12)).astype(np.int32),
+    }
+    losses = []
+    for i in range(5):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
