@@ -139,7 +139,7 @@ def create_model(
 
 def _check_supported(cfg: CLIPModelCfg) -> None:
     v, t = cfg.vision_cfg, cfg.text_cfg
-    if v is not None and v.timm_model_name:
+    if v is not None and v.timm_model_name and not v.timm_model_name.startswith("naflexvit"):
         raise NotImplementedError(
             f"timm vision tower {v.timm_model_name!r} has no native TPU implementation yet"
         )

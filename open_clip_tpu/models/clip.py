@@ -35,7 +35,12 @@ def init_clip(key, cfg: CLIPModelCfg) -> Dict[str, Any]:
     kv, kt = jax.random.split(key)
     params: Dict[str, Any] = {}
     if cfg.vision_cfg is not None:
-        if cfg.vision_cfg.is_resnet:
+        if _is_naflex(cfg.vision_cfg):
+            from . import naflex_vit
+
+            ncfg = naflex_vit.parse_naflex_cfg(cfg.vision_cfg)
+            params["visual"] = naflex_vit.init_naflex_vit(kv, ncfg, cfg.embed_dim)
+        elif cfg.vision_cfg.is_resnet:
             from . import resnet
 
             params["visual"] = resnet.init_modified_resnet(kv, cfg.vision_cfg, cfg.embed_dim)
@@ -66,6 +71,10 @@ def _act_name(cfg: CLIPModelCfg) -> str:
     return "quick_gelu" if cfg.quick_gelu else "gelu"
 
 
+def _is_naflex(vision_cfg) -> bool:
+    return bool(vision_cfg.timm_model_name) and vision_cfg.timm_model_name.startswith("naflexvit")
+
+
 def encode_image(
     params: Dict[str, Any],
     cfg: CLIPModelCfg,
@@ -79,7 +88,15 @@ def encode_image(
     attn_impl: str = "auto",
 ) -> jax.Array:
     vcfg = cfg.vision_cfg
-    if vcfg.is_resnet:
+    if _is_naflex(vcfg):
+        from . import naflex_vit
+
+        ncfg = naflex_vit.parse_naflex_cfg(vcfg)
+        pooled, _ = naflex_vit.apply_naflex_vit(
+            params["visual"], ncfg, image, compute_dtype=compute_dtype, remat=remat,
+            act=_act_name(cfg),
+        )
+    elif vcfg.is_resnet:
         from . import resnet
 
         pooled = resnet.apply_modified_resnet(
