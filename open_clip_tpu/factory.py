@@ -92,6 +92,8 @@ def create_model(
         raw_cfg = get_model_config(model_name)
         if raw_cfg is None:
             raise RuntimeError(f"Model config for {model_name} not found.")
+        if "genlip_cfg" in raw_cfg or "genlap_cfg" in raw_cfg:
+            return _create_genlip(raw_cfg, model_name, pretrained, precision, seed, load_weights)
         cfg = CLIPModelCfg.from_dict(raw_cfg)
 
     ckpt_path = ""
@@ -135,6 +137,19 @@ def create_model(
     model = CLIPModel(cfg, params, compute_dtype=_compute_dtype(precision))
     model._preprocess_cfg = _build_preprocess_cfg(cfg, pretrained_cfg)
     return model
+
+
+def _create_genlip(raw_cfg, model_name, pretrained, precision, seed, load_weights):
+    """GenLIP/GenLAP dispatch (reference factory.py:510-535 model-class dispatch)."""
+    from .models import genlip as genlip_mod
+
+    gcfg = genlip_mod.GenLipModelCfg.from_dict(raw_cfg)
+    params = genlip_mod.init_genlip(jax.random.PRNGKey(seed), gcfg)
+    if pretrained and os.path.exists(pretrained) and load_weights:
+        from .checkpoint import read_state_dict
+
+        params = genlip_mod.torch_genlip_to_params(read_state_dict(pretrained), gcfg)
+    return genlip_mod.GenLipModel(gcfg, params, compute_dtype=_compute_dtype(precision))
 
 
 def _check_supported(cfg: CLIPModelCfg) -> None:

@@ -169,3 +169,35 @@ def test_loss_class_facades(rng):
     assert "contrastive_loss" in out
     out2 = SigLipLoss()(jnp.asarray(imf), jnp.asarray(txf), jnp.float32(10.0), jnp.float32(-10.0), output_dict=True)
     assert float(out2["contrastive_loss"]) > 0
+
+
+def test_fused_linear_ce_matches_dense(rng):
+    from open_clip_tpu.ops.fused_ce import fused_linear_cross_entropy
+
+    n, d, v = 37, 16, 50
+    hidden = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    weight = jnp.asarray(rng.standard_normal((v, d)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(v).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, v, size=n))
+    labels = labels.at[::5].set(-100)  # some ignored
+
+    fused = fused_linear_cross_entropy(hidden, weight, labels, bias, chunk_size=8)
+
+    logits = hidden @ weight.T + bias
+    logp = jax.nn.log_softmax(logits, -1)
+    mask = labels != -100
+    safe = jnp.where(mask, labels, 0)
+    nll = -jnp.take_along_axis(logp, safe[:, None], 1)[:, 0]
+    dense = (nll * mask).sum() / mask.sum()
+    np.testing.assert_allclose(float(fused), float(dense), rtol=1e-6)
+
+    # gradient parity through the chunked/remat path
+    g_fused = jax.grad(lambda h, w: fused_linear_cross_entropy(h, w, labels, bias, chunk_size=8), argnums=(0, 1))(hidden, weight)
+    def dense_loss(h, w):
+        lg = h @ w.T + bias
+        lp = jax.nn.log_softmax(lg, -1)
+        nl = -jnp.take_along_axis(lp, safe[:, None], 1)[:, 0]
+        return (nl * mask).sum() / mask.sum()
+    g_dense = jax.grad(dense_loss, argnums=(0, 1))(hidden, weight)
+    for a, b in zip(g_fused, g_dense):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
