@@ -191,36 +191,32 @@ class MultimodalCfg(CLIPTextCfg):
 class CLIPAudioCfg:
     """Audio tower config (reference audio/config.py:5-34)."""
 
-    audio_arch: str = "htsat"  # htsat | whisper | naflex
+    model_type: str = "HTSAT"  # HTSAT | whisper | naflexvit
+    model_name: str = "tiny"
+    audio_length: int = 1024
+    clip_samples: int = 480000
     sample_rate: int = 48000
-    audio_length: float = 10.0
     mel_bins: int = 64
     window_size: int = 1024
     hop_size: int = 480
     fmin: int = 50
     fmax: int = 14000
-    # htsat
-    htsat_depths: Tuple[int, ...] = (2, 2, 6, 2)
-    htsat_embed_dim: int = 96
-    htsat_num_heads: Tuple[int, ...] = (4, 8, 16, 32)
-    htsat_window_size: int = 8
-    htsat_patch_size: int = 4
-    htsat_patch_stride: Tuple[int, int] = (4, 4)
-    htsat_spec_size: int = 256
+    class_num: int = 527
     enable_fusion: bool = False
-    fusion_type: str = "None"
-    # whisper
-    whisper_name: Optional[str] = None
-    # projection
-    proj_type: str = "mlp"
-    width: int = 768
-    extras: Optional[dict] = None
+    fusion_type: str = "aff_2d"
+    pre_norm: bool = False
+    proj_act: str = "gelu"
+    training_head: bool = False
+    pretrained: bool = False
 
-    def __post_init__(self):
-        for k in ("htsat_depths", "htsat_num_heads", "htsat_patch_stride"):
-            v = getattr(self, k)
-            if isinstance(v, list):
-                setattr(self, k, tuple(v))
+    # NaFlexClap (model_type == "naflexvit"): spectrogram-ViT encoder geometry
+    patch_freq: int = 64
+    patch_time: int = 4
+    in_chans: int = 1
+    patch_pad_mode: str = "floor"
+    rope_type: str = "axial"
+    audio_seq_len: Optional[int] = None
+    naflexvit_cfg: Optional[dict] = None
 
 
 @dataclass

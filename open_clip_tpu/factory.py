@@ -162,8 +162,10 @@ def _check_supported(cfg: CLIPModelCfg) -> None:
         raise NotImplementedError(
             f"HF text tower {t.hf_model_name!r} has no native TPU implementation yet"
         )
-    if cfg.audio_cfg is not None:
-        raise NotImplementedError("audio towers land in a later build stage")
+    if cfg.audio_cfg is not None and (cfg.text_cfg is not None and cfg.text_cfg.hf_model_name):
+        raise NotImplementedError(
+            f"CLAP HF text tower {cfg.text_cfg.hf_model_name!r} has no native implementation yet"
+        )
 
 
 def _build_preprocess_cfg(cfg: CLIPModelCfg, pretrained_cfg: Dict[str, Any]) -> PreprocessCfg:

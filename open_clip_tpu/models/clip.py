@@ -32,6 +32,10 @@ LOGIT_SCALE_MAX = math.log(100.0)
 
 
 def init_clip(key, cfg: CLIPModelCfg) -> Dict[str, Any]:
+    if cfg.audio_cfg is not None:
+        from . import clap
+
+        return clap.init_clap(key, cfg)
     kv, kt = jax.random.split(key)
     params: Dict[str, Any] = {}
     if cfg.vision_cfg is not None:
@@ -169,6 +173,12 @@ def clip_forward(
             params, cfg, image, text, train=train, rng=rng,
             compute_dtype=compute_dtype, remat=remat,
         )
+    if cfg.audio_cfg is not None:
+        from . import clap
+
+        return clap.clap_forward(
+            params, cfg, image, text, compute_dtype=compute_dtype, remat=remat,
+        )
     out: Dict[str, jax.Array] = {}
     if image is not None:
         out["image_features"] = encode_image(
@@ -205,7 +215,7 @@ def get_logits(
 def clamp_logit_scale(params: Dict[str, Any], max_val: float = LOGIT_SCALE_MAX) -> Dict[str, Any]:
     """Post-step clamp of the temperature (reference train.py:201-218 / base_task clamp)."""
     params = dict(params)
-    params["logit_scale"] = jnp.clip(params["logit_scale"], a_max=max_val)
+    params["logit_scale"] = jnp.minimum(params["logit_scale"], max_val)
     return params
 
 
@@ -239,6 +249,13 @@ class CLIPModel:
     def get_logits(self, image, text):
         return get_logits(self.params, self.cfg, jnp.asarray(image), jnp.asarray(text),
                           compute_dtype=self.compute_dtype)
+
+    def encode_audio(self, audio, normalize: bool = False):
+        from . import clap
+
+        audio = {k: jnp.asarray(v) for k, v in audio.items()}
+        return clap.encode_audio(self.params, self.cfg, audio, normalize=normalize,
+                                 compute_dtype=self.compute_dtype)
 
     def __call__(self, image=None, text=None):
         return clip_forward(

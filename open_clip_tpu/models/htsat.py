@@ -1,0 +1,459 @@
+"""HTSAT: hierarchical token-semantic audio transformer (Swin) — TPU-native.
+
+Functional re-design of reference ``src/open_clip/audio/htsat.py`` (1.2k LoC torch +
+torchlibrosa): on-device log-mel (ops/audio.py) -> BatchNorm over mel bins ->
+reshape-to-square-image (freq-ratio folding, reference :999-1016) -> 4x4 patch embed ->
+4 Swin stages (window attention with relative position bias, alternating shifted
+windows, patch merging) -> latent pooling + token-semantic conv head.
+
+Window partition/reverse are pure reshapes; the relative-position index and the
+shifted-window masks are static numpy tables baked at trace time. Stages use an
+unrolled block loop (<= 12 blocks total) — depth is tiny, shapes shrink per stage,
+so scan buys nothing here.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CLIPAudioCfg
+from ..ops.audio import log_mel_clap
+from ..ops.layers import gelu, layer_norm, linear
+from . import blocks as B
+
+
+# ---------------------------------------------------------------------------
+# static tables
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def relative_position_index(ws: int) -> np.ndarray:
+    """(ws*ws, ws*ws) indices into the (2ws-1)^2 bias table (reference :368-379)."""
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))  # 2, ws, ws
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # 2, N, N
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)
+
+
+@functools.lru_cache(maxsize=32)
+def shifted_window_mask(h: int, w: int, ws: int, shift: int) -> Optional[np.ndarray]:
+    """(nW, ws*ws, ws*ws) additive mask (0 / -100) for SW-MSA (reference :503-527)."""
+    if shift == 0:
+        return None
+    img = np.zeros((h, w))
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[hs, wsl] = cnt
+            cnt += 1
+    wins = img.reshape(h // ws, ws, w // ws, ws).transpose(0, 2, 1, 3).reshape(-1, ws * ws)
+    diff = wins[:, None, :] - wins[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def window_partition(x: jax.Array, ws: int) -> jax.Array:
+    """(B, H, W, C) -> (B*nW, ws*ws, C)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+
+
+def window_reverse(x: jax.Array, ws: int, h: int, w: int) -> jax.Array:
+    b = x.shape[0] // ((h // ws) * (w // ws))
+    x = x.reshape(b, h // ws, w // ws, ws, ws, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _trunc_normal(key, shape, std=0.02):
+    return jnp.clip(jax.random.normal(key, shape) * std, -2 * std, 2 * std)
+
+
+def _init_swin_block(key, dim: int, heads: int, ws: int, mlp_ratio: float) -> Dict[str, Any]:
+    ks = jax.random.split(key, 6)
+    hidden = int(dim * mlp_ratio)
+    return {
+        "norm1": B._ln_params(dim),
+        "attn": {
+            "qkv": {"kernel": _trunc_normal(ks[0], (dim, 3 * dim)), "bias": jnp.zeros((3 * dim,))},
+            "proj": {"kernel": _trunc_normal(ks[1], (dim, dim)), "bias": jnp.zeros((dim,))},
+            "rel_bias": _trunc_normal(ks[2], ((2 * ws - 1) * (2 * ws - 1), heads)),
+        },
+        "norm2": B._ln_params(dim),
+        "mlp": {
+            "fc1": {"kernel": _trunc_normal(ks[3], (dim, hidden)), "bias": jnp.zeros((hidden,))},
+            "fc2": {"kernel": _trunc_normal(ks[4], (hidden, dim)), "bias": jnp.zeros((dim,))},
+        },
+    }
+
+
+def init_htsat(
+    key,
+    acfg: CLIPAudioCfg,
+    embed_dim: int = 96,
+    depths: Sequence[int] = (2, 2, 6, 2),
+    num_heads: Sequence[int] = (4, 8, 16, 32),
+    spec_size: int = 256,
+    patch_stride: Tuple[int, int] = (4, 4),
+    window_size: int = 8,
+    mlp_ratio: float = 4.0,
+    num_classes: Optional[int] = None,
+) -> Dict[str, Any]:
+    num_classes = num_classes if num_classes is not None else acfg.class_num
+    num_layers = len(depths)
+    num_features = int(embed_dim * 2 ** (num_layers - 1))
+    freq_ratio = spec_size // acfg.mel_bins
+    ks = jax.random.split(key, 16)
+
+    p: Dict[str, Any] = {
+        "bn0": {"scale": jnp.ones((acfg.mel_bins,)), "bias": jnp.zeros((acfg.mel_bins,)),
+                "mean": jnp.zeros((acfg.mel_bins,)), "var": jnp.ones((acfg.mel_bins,))},
+        "patch_embed": {
+            "proj": {"kernel": _trunc_normal(ks[0], (4, 4, 1, embed_dim)), "bias": jnp.zeros((embed_dim,))},
+            "norm": B._ln_params(embed_dim),
+        },
+        "norm": B._ln_params(num_features),
+    }
+
+    stages = {}
+    res = spec_size // patch_stride[0]
+    for li in range(num_layers):
+        dim = int(embed_dim * 2 ** li)
+        stage_res = res // (2 ** li)
+        blocks = []
+        bkeys = jax.random.split(ks[1 + li], depths[li])
+        for bi in range(depths[li]):
+            ws = min(window_size, stage_res)
+            blocks.append(_init_swin_block(bkeys[bi], dim, num_heads[li], ws, mlp_ratio))
+        stage: Dict[str, Any] = {"blocks": {str(i): b for i, b in enumerate(blocks)}}
+        if li < num_layers - 1:
+            kd = jax.random.fold_in(ks[1 + li], 99)
+            stage["downsample"] = {
+                "norm": B._ln_params(4 * dim),
+                "reduction": {"kernel": _trunc_normal(kd, (4 * dim, 2 * dim))},
+            }
+        stages[f"stage{li}"] = stage
+    p["stages"] = stages
+
+    sf = spec_size // (2 ** (num_layers - 1)) // patch_stride[0] // freq_ratio
+    kt = jax.random.split(ks[10], 2)
+    bound = 1.0 / math.sqrt(num_features * sf * 3)
+    p["tscam_conv"] = {
+        "kernel": jax.random.uniform(kt[0], (sf, 3, num_features, num_classes), jnp.float32, -bound, bound),
+        "bias": jnp.zeros((num_classes,)),
+    }
+    p["head"] = B.torch_linear_init(kt[1], num_classes, num_classes)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+def _swin_block_apply(p, x, *, resolution: Tuple[int, int], heads: int, ws: int, shift: int):
+    h, w = resolution
+    b, l, c = x.shape
+    shortcut = x
+    x = layer_norm(x, p["norm1"]["scale"], p["norm1"]["bias"])
+    x = x.reshape(b, h, w, c)
+    if shift > 0:
+        x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+    xw = window_partition(x, ws)  # (B*nW, N, C)
+
+    # window attention with relative position bias
+    n = ws * ws
+    qkv = linear(xw, p["attn"]["qkv"]["kernel"], p["attn"]["qkv"].get("bias"))
+    q, k, v = jnp.split(qkv.reshape(-1, n, 3, heads, c // heads), 3, axis=2)
+    q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]  # (B*nW, N, H, hd)
+    scale = (c // heads) ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    rel = p["attn"]["rel_bias"][jnp.asarray(relative_position_index(ws).reshape(-1))]
+    rel = rel.reshape(n, n, heads).transpose(2, 0, 1)  # (H, N, N)
+    logits = logits + rel[None].astype(jnp.float32)
+    mask = shifted_window_mask(h, w, ws, shift)
+    if mask is not None:
+        nw = mask.shape[0]
+        logits = logits.reshape(-1, nw, heads, n, n) + jnp.asarray(mask)[None, :, None]
+        logits = logits.reshape(-1, heads, n, n)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(-1, n, c)
+    out = linear(out, p["attn"]["proj"]["kernel"], p["attn"]["proj"].get("bias"))
+
+    x = window_reverse(out, ws, h, w)
+    if shift > 0:
+        x = jnp.roll(x, (shift, shift), axis=(1, 2))
+    x = shortcut + x.reshape(b, l, c)
+
+    hdn = layer_norm(x, p["norm2"]["scale"], p["norm2"]["bias"])
+    hdn = linear(hdn, p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"].get("bias"))
+    hdn = gelu(hdn)
+    hdn = linear(hdn, p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"].get("bias"))
+    return x + hdn
+
+
+def _patch_merge(p, x, resolution):
+    h, w = resolution
+    b, l, c = x.shape
+    x = x.reshape(b, h, w, c)
+    x = jnp.concatenate(
+        [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]], axis=-1
+    ).reshape(b, (h // 2) * (w // 2), 4 * c)
+    x = layer_norm(x, p["norm"]["scale"], p["norm"]["bias"])
+    return jnp.dot(x, p["reduction"]["kernel"].astype(x.dtype))
+
+
+def _bicubic_resize(x, target_t, target_f):
+    """(B, 1, T, F) -> (B, 1, target_t, target_f), align_corners=True cubic
+    (torch F.interpolate parity via jax.image with translation mapping)."""
+    b = x.shape[0]
+    # align_corners=True == resize with scale (n_out-1)/(n_in-1) and no half-pixel offset;
+    # jax.image.resize uses half-pixel (align_corners=False). Implement via scale_and_translate.
+    import jax.image as jimage
+
+    t_in, f_in = x.shape[2], x.shape[3]
+    if (t_in, f_in) == (target_t, target_f):
+        return x
+    scale_t = (target_t - 1) / max(t_in - 1, 1)
+    scale_f = (target_f - 1) / max(f_in - 1, 1)
+    return jimage.scale_and_translate(
+        x.astype(jnp.float32),
+        (b, 1, target_t, target_f),
+        spatial_dims=(2, 3),
+        scale=jnp.array([scale_t, scale_f]),
+        translation=jnp.array([0.0, 0.0]),
+        method="cubic",
+        antialias=False,
+    )
+
+
+def reshape_wav2img(x: jax.Array, spec_size: int, freq_ratio: int) -> jax.Array:
+    """(B, 1, T, F) mel -> (B, 1, spec, spec) via freq-ratio folding (reference :999-1016)."""
+    b = x.shape[0]
+    target_t = spec_size * freq_ratio
+    target_f = spec_size // freq_ratio
+    assert x.shape[2] <= target_t and x.shape[3] <= target_f, (
+        f"mel {x.shape[2:]} exceeds swin input {(target_t, target_f)}"
+    )
+    if x.shape[2] != target_t or x.shape[3] != target_f:
+        x = _bicubic_resize(x, target_t, target_f)
+    x = x.transpose(0, 1, 3, 2)  # (B, 1, F, T)
+    x = x.reshape(b, 1, target_f, freq_ratio, target_t // freq_ratio)
+    x = x.transpose(0, 1, 3, 2, 4)  # (B, 1, fr, F, T/fr)
+    return x.reshape(b, 1, freq_ratio * target_f, target_t // freq_ratio)
+
+
+def _interpolate_frames(x: jax.Array, ratio: int) -> jax.Array:
+    """(B, T, C) -> (B, T*ratio, C) frame repeat (reference interpolate, :41-53)."""
+    b, t, c = x.shape
+    return jnp.repeat(x, ratio, axis=1)
+
+
+def apply_htsat(
+    params: Dict[str, Any],
+    acfg: CLIPAudioCfg,
+    audio: Dict[str, jax.Array],
+    *,
+    embed_dim: int = 96,
+    depths: Sequence[int] = (2, 2, 6, 2),
+    num_heads: Sequence[int] = (4, 8, 16, 32),
+    spec_size: int = 256,
+    patch_stride: Tuple[int, int] = (4, 4),
+    window_size: int = 8,
+    mlp_ratio: float = 4.0,
+    compute_dtype=jnp.float32,
+    remat: bool = False,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> Dict[str, jax.Array]:
+    """waveform dict -> {"embedding" (B, num_features), "clipwise_output",
+    "framewise_output", "fine_grained_embedding"} (reference forward_features :937-985)."""
+    wav = audio["waveform"]
+    mel = log_mel_clap(
+        wav, sample_rate=acfg.sample_rate, n_fft=acfg.window_size, hop_length=acfg.hop_size,
+        n_mels=acfg.mel_bins, fmin=acfg.fmin, fmax=acfg.fmax,
+    )  # (B, T, F)
+    x = mel[:, None, :, :]  # (B, 1, T, F)
+
+    # bn0 over mel bins with stored stats (reference applies BatchNorm2d on transposed layout)
+    bn = params["bn0"]
+    inv = jax.lax.rsqrt(bn["var"].astype(jnp.float32) + 1e-5) * bn["scale"].astype(jnp.float32)
+    x = (x.astype(jnp.float32) - bn["mean"]) * inv + bn["bias"]
+
+    if train and rng is not None:
+        x = spec_augment(rng, x)
+
+    freq_ratio = spec_size // acfg.mel_bins
+    x = reshape_wav2img(x, spec_size, freq_ratio)  # (B, 1, spec, spec)
+    x = x.transpose(0, 2, 3, 1).astype(compute_dtype)  # NHWC
+
+    # patch embed: conv 4x4 stride 4 + LN
+    x = jax.lax.conv_general_dilated(
+        x, params["patch_embed"]["proj"]["kernel"].astype(x.dtype), (4, 4), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + params["patch_embed"]["proj"]["bias"].astype(x.dtype)
+    b, gh, gw, c = x.shape
+    x = x.reshape(b, gh * gw, c)
+    x = layer_norm(x, params["patch_embed"]["norm"]["scale"], params["patch_embed"]["norm"]["bias"])
+
+    res = spec_size // patch_stride[0]
+    num_layers = len(depths)
+    for li in range(num_layers):
+        stage = params["stages"][f"stage{li}"]
+        stage_res = res // (2 ** li)
+        ws = min(window_size, stage_res)
+        for bi in range(depths[li]):
+            shift = 0 if bi % 2 == 0 else ws // 2
+            if stage_res <= window_size:
+                shift = 0
+            x = _swin_block_apply(
+                stage["blocks"][str(bi)], x,
+                resolution=(stage_res, stage_res), heads=num_heads[li], ws=ws, shift=shift,
+            )
+        if "downsample" in stage:
+            x = _patch_merge(stage["downsample"], x, (stage_res, stage_res))
+
+    x = layer_norm(x, params["norm"]["scale"], params["norm"]["bias"])  # (B, 64, C)
+    num_features = x.shape[-1]
+    sf = res // (2 ** (num_layers - 1))
+    st = sf
+    x = x.transpose(0, 2, 1).reshape(b, num_features, sf, st)  # (B, C, F, T)
+
+    c_freq_bin = sf // freq_ratio
+    x = x.reshape(b, num_features, sf // c_freq_bin, c_freq_bin, st)
+    x = x.transpose(0, 1, 3, 2, 4).reshape(b, num_features, c_freq_bin, -1)  # (B, C, fbin, T')
+
+    fine = x.mean(axis=2)  # (B, C, T')
+    fine_grained = _interpolate_frames(fine.transpose(0, 2, 1), 8 * patch_stride[1])
+
+    latent = x.reshape(b, num_features, -1).mean(axis=-1)  # (B, C)
+
+    # token-semantic conv head: Conv2d (C -> classes), kernel (fbin, 3), pad (0, 1)
+    tc = params["tscam_conv"]
+    xc = x.transpose(0, 2, 3, 1)  # (B, fbin, T', C) NHWC
+    logits = jax.lax.conv_general_dilated(
+        xc.astype(compute_dtype), tc["kernel"].astype(compute_dtype), (1, 1),
+        [(0, 0), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + tc["bias"].astype(compute_dtype)  # (B, 1, T', classes)
+    logits = logits[:, 0]  # (B, T', classes)
+    framewise = _interpolate_frames(jax.nn.sigmoid(logits.astype(jnp.float32)), 8 * patch_stride[1])
+    clip_logits = logits.mean(axis=1)  # (B, classes)
+
+    return {
+        "embedding": latent,
+        "clipwise_output": jax.nn.sigmoid(clip_logits.astype(jnp.float32)),
+        "framewise_output": framewise,
+        "fine_grained_embedding": fine_grained,
+    }
+
+
+def spec_augment(
+    rng, x: jax.Array, time_drop_width=64, time_stripes=2, freq_drop_width=8, freq_stripes=2
+) -> jax.Array:
+    """SpecAugment time/freq stripe masking (torchlibrosa SpecAugmentation semantics)."""
+    b, _, t, f = x.shape
+    keys = jax.random.split(rng, 4)
+
+    def stripe_mask(key, size, width, n, axis_len):
+        starts = jax.random.randint(key, (b, n), 0, max(axis_len - width, 1))
+        pos = jnp.arange(axis_len)
+        hit = (pos[None, None, :] >= starts[..., None]) & (pos[None, None, :] < (starts[..., None] + width))
+        return ~hit.any(axis=1)  # (B, axis_len) True = keep
+
+    tmask = stripe_mask(keys[0], t, time_drop_width, time_stripes, t)
+    fmask = stripe_mask(keys[1], f, freq_drop_width, freq_stripes, f)
+    return x * tmask[:, None, :, None] * fmask[:, None, None, :]
+
+
+# ---------------------------------------------------------------------------
+# converter
+# ---------------------------------------------------------------------------
+
+def torch_htsat_to_params(sd: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    """Reference HTSATEncoder state dict -> param tree."""
+    import re as _re
+
+    from ..convert import _np, _set, _to_jnp
+
+    sub = {k[len(prefix):]: _np(v) for k, v in sd.items() if k.startswith(prefix)}
+    tree: Dict[str, Any] = {"stages": {}}
+    layer_re = _re.compile(r"^layers\.(\d+)\.(blocks|downsample)\.(.*)$")
+    for k, v in sub.items():
+        m = layer_re.match(k)
+        if m:
+            li, kind, rest = int(m.group(1)), m.group(2), m.group(3)
+            stage = tree["stages"].setdefault(f"stage{li}", {})
+            if kind == "downsample":
+                if rest == "norm.weight":
+                    _set(stage, ("downsample", "norm", "scale"), v)
+                elif rest == "norm.bias":
+                    _set(stage, ("downsample", "norm", "bias"), v)
+                elif rest == "reduction.weight":
+                    _set(stage, ("downsample", "reduction", "kernel"), v.T)
+                continue
+            bi, _, brest = rest.partition(".")
+            blk = stage.setdefault("blocks", {}).setdefault(bi, {})
+            bm = {
+                "norm1.weight": ("norm1", "scale"),
+                "norm1.bias": ("norm1", "bias"),
+                "norm2.weight": ("norm2", "scale"),
+                "norm2.bias": ("norm2", "bias"),
+                "attn.qkv.weight": ("attn", "qkv", "kernel"),
+                "attn.qkv.bias": ("attn", "qkv", "bias"),
+                "attn.proj.weight": ("attn", "proj", "kernel"),
+                "attn.proj.bias": ("attn", "proj", "bias"),
+                "attn.relative_position_bias_table": ("attn", "rel_bias"),
+                "mlp.fc1.weight": ("mlp", "fc1", "kernel"),
+                "mlp.fc1.bias": ("mlp", "fc1", "bias"),
+                "mlp.fc2.weight": ("mlp", "fc2", "kernel"),
+                "mlp.fc2.bias": ("mlp", "fc2", "bias"),
+            }
+            if brest.endswith("relative_position_index") or brest.endswith("attn_mask"):
+                continue
+            path = bm[brest]
+            val = v.T if brest.endswith(".weight") and ("qkv" in brest or "proj" in brest or "fc" in brest) else v
+            _set(blk, path, val)
+            continue
+        if k.startswith("bn0."):
+            name = {"weight": "scale", "bias": "bias", "running_mean": "mean", "running_var": "var"}.get(
+                k.split(".")[1]
+            )
+            if name:
+                _set(tree, ("bn0", name), v)
+        elif k == "patch_embed.proj.weight":
+            _set(tree, ("patch_embed", "proj", "kernel"), v.transpose(2, 3, 1, 0))
+        elif k == "patch_embed.proj.bias":
+            _set(tree, ("patch_embed", "proj", "bias"), v)
+        elif k == "patch_embed.norm.weight":
+            _set(tree, ("patch_embed", "norm", "scale"), v)
+        elif k == "patch_embed.norm.bias":
+            _set(tree, ("patch_embed", "norm", "bias"), v)
+        elif k == "norm.weight":
+            _set(tree, ("norm", "scale"), v)
+        elif k == "norm.bias":
+            _set(tree, ("norm", "bias"), v)
+        elif k == "tscam_conv.weight":
+            _set(tree, ("tscam_conv", "kernel"), v.transpose(2, 3, 1, 0))
+        elif k == "tscam_conv.bias":
+            _set(tree, ("tscam_conv", "bias"), v)
+        elif k == "head.weight":
+            _set(tree, ("head", "kernel"), v.T)
+        elif k == "head.bias":
+            _set(tree, ("head", "bias"), v)
+        elif "num_batches_tracked" in k or "spectrogram_extractor" in k or "logmel_extractor" in k:
+            continue
+        else:
+            raise KeyError(f"unknown htsat key {k}")
+    return _to_jnp(tree)

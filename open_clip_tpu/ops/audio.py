@@ -126,7 +126,7 @@ def log_mel_whisper(audio: jax.Array, n_mels: int = 80) -> jax.Array:
     # the reference's shipped table is htk-scale + slaney-normalized (verified vs npz)
     filters = jnp.asarray(mel_filter_bank(16000, 400, n_mels, htk=True))  # (n_mels, n_freq)
     mel = jnp.einsum("mf,...tf->...mt", filters, mag2)
-    log_spec = jnp.log10(jnp.clip(mel, a_min=1e-10))
+    log_spec = jnp.log10(jnp.clip(mel, min=1e-10))
     log_spec = jnp.maximum(log_spec, log_spec.max(axis=(-2, -1), keepdims=True) - 8.0)
     return (log_spec + 4.0) / 4.0
 
@@ -149,7 +149,7 @@ def log_mel_clap(
     mag2 = stft_magnitude(audio, n_fft=n_fft, hop_length=hop_length, center=True, power=2.0)
     filters = jnp.asarray(mel_filter_bank(sample_rate, n_fft, n_mels, fmin, fmax))
     mel = jnp.einsum("...tf,mf->...tm", mag2, filters)
-    db = 10.0 * jnp.log10(jnp.clip(mel, a_min=amin))
+    db = 10.0 * jnp.log10(jnp.clip(mel, min=amin))
     db = db - 10.0 * jnp.log10(jnp.maximum(amin, ref))
     if top_db is not None:
         db = jnp.maximum(db, db.max(axis=(-2, -1), keepdims=True) - top_db)
