@@ -141,6 +141,16 @@ def create_model(
 
 def _create_genlip(raw_cfg, model_name, pretrained, precision, seed, load_weights):
     """GenLIP/GenLAP dispatch (reference factory.py:510-535 model-class dispatch)."""
+    if "genlap_cfg" in raw_cfg:
+        from .models import genlap as genlap_mod
+
+        gcfg = genlap_mod.GenLapModelCfg.from_dict(raw_cfg)
+        params = genlap_mod.init_genlap(jax.random.PRNGKey(seed), gcfg)
+        if pretrained and os.path.exists(pretrained) and load_weights:
+            from .checkpoint import read_state_dict
+
+            params = genlap_mod.torch_genlap_to_params(read_state_dict(pretrained), gcfg)
+        return genlap_mod.GenLapModel(gcfg, params, compute_dtype=_compute_dtype(precision))
     from .models import genlip as genlip_mod
 
     gcfg = genlip_mod.GenLipModelCfg.from_dict(raw_cfg)
