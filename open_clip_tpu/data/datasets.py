@@ -161,6 +161,29 @@ def get_data(
         dstype = get("dataset_type", "auto")
         pp = pp_train if is_train else pp_val
         batch_size = get("batch_size", 64)
+        if dstype == "synthetic-audio":
+            from .audio import SyntheticAudioDataset
+
+            ds = SyntheticAudioDataset(
+                pp, tokenizer,
+                dataset_size=get("train_num_samples", 100) or 100,
+                batch_size=batch_size,
+            )
+            n = ds.num_samples
+            return DataInfo(ds, num_samples=n, num_batches=max(1, n // batch_size))
+        if dstype == "webdataset-audio":
+            from .audio import make_wds_audio_pipeline
+            from .wds import WdsConfig
+
+            cfg = WdsConfig(
+                urls=split_path, batch_size=batch_size,
+                caption_key=get("wds_caption_key", "txt"), seed=get("seed", 0),
+                world_size=get("world_size", 1), rank=get("rank", 0),
+                shuffle_shards=2000 if is_train else 0, partial_batches=not is_train,
+            )
+            ds = make_wds_audio_pipeline(cfg, pp, tokenizer)
+            n = get("train_num_samples") or 0
+            return DataInfo(ds, num_samples=n, num_batches=n // batch_size if n else 0)
         if dstype == "synthetic":
             ds = SyntheticDataset(
                 pp, tokenizer,

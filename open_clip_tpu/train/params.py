@@ -42,7 +42,7 @@ def parse_args(args=None):
     parser.add_argument("--val-data", type=str, default=None)
     parser.add_argument("--train-num-samples", type=int, default=None)
     parser.add_argument("--val-num-samples", type=int, default=None)
-    parser.add_argument("--dataset-type", choices=["webdataset", "csv", "synthetic", "auto"], default="auto")
+    parser.add_argument("--dataset-type", choices=["webdataset", "csv", "synthetic", "webdataset-audio", "synthetic-audio", "auto"], default="auto")
     parser.add_argument("--dataset-resampled", action="store_true", default=False)
     parser.add_argument("--csv-separator", type=str, default="\t")
     parser.add_argument("--csv-img-key", type=str, default="filepath")

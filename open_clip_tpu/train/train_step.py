@@ -53,6 +53,14 @@ def create_train_state(params: Any, optimizer: optax.GradientTransformation, ema
 
 
 def _features(params, cfg: CLIPModelCfg, batch, rng, *, compute_dtype, remat):
+    if "audio" in batch:
+        # CLAP: audio features take the image slot for the contrastive loss
+        # (reference clap_task.py maps audio_features -> image_features)
+        out = clip_forward(
+            params, cfg, batch["audio"], batch.get("text"),
+            train=True, rng=rng, compute_dtype=compute_dtype, remat=remat,
+        )
+        return out["audio_features"], out["text_features"]
     out = clip_forward(
         params, cfg, batch.get("image"), batch.get("text"),
         train=True, rng=rng, compute_dtype=compute_dtype, remat=remat,
