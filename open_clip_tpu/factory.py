@@ -165,9 +165,12 @@ def _create_genlip(raw_cfg, model_name, pretrained, precision, seed, load_weight
 def _check_supported(cfg: CLIPModelCfg) -> None:
     v, t = cfg.vision_cfg, cfg.text_cfg
     if v is not None and v.timm_model_name and not v.timm_model_name.startswith("naflexvit"):
-        raise NotImplementedError(
-            f"timm vision tower {v.timm_model_name!r} has no native TPU implementation yet"
-        )
+        import re
+
+        if not re.match(r"vit_[a-z0-9]+_patch\d+_siglip", v.timm_model_name):
+            raise NotImplementedError(
+                f"timm vision tower {v.timm_model_name!r} has no native TPU implementation yet"
+            )
     if t is not None and t.hf_model_name:
         raise NotImplementedError(
             f"HF text tower {t.hf_model_name!r} has no native TPU implementation yet"

@@ -54,8 +54,50 @@ def apply_attentional_pooler(p: Dict[str, Any], x: jax.Array, *, n_head: int, no
     return multi_head_attention(p["attn"], q, kv=k, num_heads=n_head)
 
 
+def resolve_timm_vision_cfg(cfg: CLIPVisionCfg) -> CLIPVisionCfg:
+    """Map a reference timm-tower name to a native CLIPVisionCfg where the architecture
+    is a plain ViT (SigLIP family: no class token, MAP attention-pool head, patch-embed
+    bias). The reference outsources these to timm (model.py:171-210); here they are the
+    same native tower with different pooling/token options."""
+    import dataclasses as _dc
+    import re as _re
+
+    name = cfg.timm_model_name or ""
+    m = _re.match(r"vit_([a-z0-9]+)_patch(\d+)_siglip(?:_\w+)?_?(\d+)?", name)
+    if not m:
+        raise NotImplementedError(f"timm vision tower {name!r} has no native TPU implementation yet")
+    sizes = {
+        "base": (768, 12, 12, 4.0),
+        "large": (1024, 24, 16, 4.0),
+        "so400m": (1152, 27, 16, 4304 / 1152),
+        "giantopt": (1536, 40, 16, 4.0),
+    }
+    if m.group(1) not in sizes:
+        raise NotImplementedError(f"unknown siglip vit size {m.group(1)!r}")
+    width, layers, heads, mlp_ratio = sizes[m.group(1)]
+    res = int(m.group(3)) if m.group(3) else (cfg.image_size if isinstance(cfg.image_size, int) else 224)
+    return _dc.replace(
+        cfg,
+        timm_model_name=None,
+        layers=layers,
+        width=width,
+        head_width=width // heads,
+        mlp_ratio=mlp_ratio,
+        patch_size=int(m.group(2)),
+        image_size=cfg.image_size or res,
+        class_token=False,
+        no_ln_pre=True,
+        pool_type="map" if (cfg.timm_pool in ("map", "", "avg") and cfg.timm_pool != "avg") else "avg",
+        norm_kwargs={"eps": 1e-6},
+    )
+
+
 def init_vision_tower(key, cfg: CLIPVisionCfg, embed_dim: int) -> Dict[str, Any]:
     assert not cfg.is_resnet, "use models/resnet.py for ModifiedResNet configs"
+    no_head_proj = False
+    if cfg.timm_model_name:
+        no_head_proj = cfg.timm_proj == "none"
+        cfg = resolve_timm_vision_cfg(cfg)
     width = cfg.width
     heads = cfg.heads
     gh, gw = cfg.grid_size
@@ -67,6 +109,9 @@ def init_vision_tower(key, cfg: CLIPVisionCfg, embed_dim: int) -> Dict[str, Any]
     p: Dict[str, Any] = {}
     # patch embedding: kernel (ph*pw*3, width) = flattened HWIO conv kernel
     p["patch_embed"] = {"kernel": B.normal_init(ks[0], (ph * pw * 3, width), scale)}
+    if not cfg.class_token:
+        # siglip-style towers use a biased patch embed
+        p["patch_embed"]["bias"] = jnp.zeros((width,))
     if cfg.class_token:
         p["class_embedding"] = B.normal_init(ks[1], (width,), scale)
     if cfg.pos_embed_type == "learnable":
@@ -98,9 +143,25 @@ def init_vision_tower(key, cfg: CLIPVisionCfg, embed_dim: int) -> Dict[str, Any]
         else:
             p["attn_pool"] = init_attentional_pooler(ks[4], embed_dim, width, cfg.attn_pooler_queries)
         pool_dim = embed_dim
+    elif cfg.pool_type == "map":
+        # timm AttentionPoolLatent head (siglip family) — shared shape with naflex_vit
+        kp = jax.random.split(ks[4], 5)
+        hidden = int(width * 4.0)
+        p["map_pool"] = {
+            "latent": B.normal_init(kp[0], (width,), scale),
+            "q": B.torch_linear_init(kp[1], width, width),
+            "kv": B.torch_linear_init(kp[2], width, 2 * width),
+            "proj": B.torch_linear_init(kp[3], width, width),
+            "norm": B._ln_params(width),
+            "mlp": {
+                "c_fc": B.torch_linear_init(jax.random.fold_in(kp[4], 0), width, hidden),
+                "c_proj": B.torch_linear_init(jax.random.fold_in(kp[4], 1), hidden, width),
+            },
+        }
 
     p["ln_post"] = B._ln_params(pool_dim)
-    p["proj"] = B.normal_init(ks[6], (pool_dim, embed_dim), scale)
+    if not no_head_proj:
+        p["proj"] = B.normal_init(ks[6], (pool_dim, embed_dim), scale)
     return p
 
 
@@ -149,11 +210,15 @@ def apply_vision_tower(
     act: str = "gelu",
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (pooled (B, embed_dim), tokens (B, L, width))."""
+    if cfg.timm_model_name:
+        cfg = resolve_timm_vision_cfg(cfg)
     eps = cfg.norm_eps
 
     x = x.astype(compute_dtype)
     x = patchify(x, cfg.patch_size)
     x = jnp.dot(x, params["patch_embed"]["kernel"].astype(compute_dtype))
+    if params["patch_embed"].get("bias") is not None:
+        x = x + params["patch_embed"]["bias"].astype(x.dtype)
 
     num_prefix = 0
     if cfg.class_token:
@@ -195,6 +260,13 @@ def _pool(params, cfg: CLIPVisionCfg, x: jax.Array, *, eps: float) -> Tuple[jax.
     """Pooling incl. attentional-pool variants, mirroring reference _pool
     (transformer.py:817-842)."""
     ln_post = lambda y: layer_norm(y, params["ln_post"]["scale"], params["ln_post"]["bias"], eps=eps)
+    if "map_pool" in params:
+        from .naflex_vit import _apply_map_pool
+
+        x = ln_post(x)
+        valid = jnp.ones(x.shape[:2], bool)
+        pooled = _apply_map_pool(params["map_pool"], x, valid, heads=cfg.heads, eps=eps, act="gelu")
+        return pooled, x
     if "attn_pool" in params:
         if "attn_pool_contrastive" in params:
             # parallel/cascade CoCa-paper style pooling
