@@ -87,7 +87,9 @@ def resolve_timm_vision_cfg(cfg: CLIPVisionCfg) -> CLIPVisionCfg:
         image_size=cfg.image_size or res,
         class_token=False,
         no_ln_pre=True,
-        pool_type="map" if (cfg.timm_pool in ("map", "", "avg") and cfg.timm_pool != "avg") else "avg",
+        # siglip towers carry a MAP attention-pool head (the registry configs all set
+        # timm_pool="map"); only an explicit gap request selects masked avg
+        pool_type="avg" if cfg.timm_pool == "gap" else "map",
         norm_kwargs={"eps": 1e-6},
     )
 
