@@ -171,14 +171,9 @@ def _check_supported(cfg: CLIPModelCfg) -> None:
             raise NotImplementedError(
                 f"timm vision tower {v.timm_model_name!r} has no native TPU implementation yet"
             )
-    if t is not None and t.hf_model_name:
-        raise NotImplementedError(
-            f"HF text tower {t.hf_model_name!r} has no native TPU implementation yet"
-        )
-    if cfg.audio_cfg is not None and (cfg.text_cfg is not None and cfg.text_cfg.hf_model_name):
-        raise NotImplementedError(
-            f"CLAP HF text tower {cfg.text_cfg.hf_model_name!r} has no native implementation yet"
-        )
+    # HF text towers run natively via transformers' Flax classes (models/hf_text.py);
+    # name-only resolution needs hub/cache access, hf_model_config builds offline.
+
 
 
 def _build_preprocess_cfg(cfg: CLIPModelCfg, pretrained_cfg: Dict[str, Any]) -> PreprocessCfg:

@@ -191,6 +191,15 @@ def apply_block(
     return x + h
 
 
+# Scan unroll factor: 1 = compiled loop (fast compiles, default). The profiler sets
+# full unroll so XLA cost analysis counts every layer (a scan body is counted once).
+SCAN_UNROLL: int = 1
+
+
+def scan_unroll() -> int:
+    return SCAN_UNROLL
+
+
 def apply_transformer(
     stacked: Dict[str, Any],
     x: jax.Array,
@@ -214,7 +223,7 @@ def apply_transformer(
 
     if remat:
         body = jax.checkpoint(body, prevent_cse=False)
-    x, _ = jax.lax.scan(body, x, stacked)
+    x, _ = jax.lax.scan(body, x, stacked, unroll=scan_unroll())
     return x
 
 

@@ -113,7 +113,11 @@ def init_clap(key, cfg: CLIPModelCfg) -> Dict[str, Any]:
     import math
 
     ka, kt = jax.random.split(key)
-    if cfg.text_cfg.text_arch == "modern":
+    if cfg.text_cfg.hf_model_name or cfg.text_cfg.hf_model_config:
+        from . import hf_text
+
+        text_params = hf_text.init_hf_text_tower(kt, cfg.text_cfg, cfg.embed_dim)
+    elif cfg.text_cfg.text_arch == "modern":
         from . import modern_text
 
         text_params = modern_text.init_modern_text_tower(kt, cfg.text_cfg, cfg.embed_dim)

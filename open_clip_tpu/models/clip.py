@@ -51,7 +51,11 @@ def init_clip(key, cfg: CLIPModelCfg) -> Dict[str, Any]:
         else:
             params["visual"] = vit.init_vision_tower(kv, cfg.vision_cfg, cfg.embed_dim)
     if cfg.text_cfg is not None:
-        if cfg.text_cfg.text_arch == "modern":
+        if cfg.text_cfg.hf_model_name or cfg.text_cfg.hf_model_config:
+            from . import hf_text
+
+            params["text"] = hf_text.init_hf_text_tower(kt, cfg.text_cfg, cfg.embed_dim)
+        elif cfg.text_cfg.text_arch == "modern":
             from . import modern_text
 
             params["text"] = modern_text.init_modern_text_tower(kt, cfg.text_cfg, cfg.embed_dim)
@@ -128,7 +132,14 @@ def encode_text(
     attn_impl: str = "auto",
 ) -> jax.Array:
     tcfg = cfg.text_cfg
-    if tcfg.text_arch == "modern":
+    if tcfg.hf_model_name or tcfg.hf_model_config:
+        from . import hf_text
+
+        pooled, _ = hf_text.apply_hf_text_tower(
+            params["text"], tcfg, text, compute_dtype=compute_dtype, remat=remat,
+            attn_impl=attn_impl,
+        )
+    elif tcfg.text_arch == "modern":
         from . import modern_text
 
         pooled, _ = modern_text.apply_modern_text_tower(

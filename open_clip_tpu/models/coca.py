@@ -102,7 +102,7 @@ def apply_multimodal_decoder(
 
     if remat:
         body = jax.checkpoint(body, prevent_cse=False)
-    x, _ = jax.lax.scan(body, text_embs, (params["blocks"], params["cross_blocks"]))
+    x, _ = jax.lax.scan(body, text_embs, (params["blocks"], params["cross_blocks"]), unroll=B.scan_unroll())
 
     x = layer_norm(x, params["ln_final"]["scale"], params["ln_final"]["bias"], eps=eps)
     return jnp.dot(x, params["text_projection"].astype(x.dtype))

@@ -378,7 +378,7 @@ def apply_trunk(params, t: GenLipTrunkCfg, x, bias, cos, sin, *, remat=False, tr
 
     if remat:
         body = jax.checkpoint(body, prevent_cse=False)
-    x, _ = jax.lax.scan(body, x, (params["blocks"], jnp.arange(t.depth)))
+    x, _ = jax.lax.scan(body, x, (params["blocks"], jnp.arange(t.depth)), unroll=B.scan_unroll())
     return _norm(x, params["ln_post"], norm_type=t.norm_type, eps=t.layer_norm_eps)
 
 

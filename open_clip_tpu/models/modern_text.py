@@ -302,7 +302,7 @@ def apply_modern_text_tower(
 
     if remat:
         body = jax.checkpoint(body, prevent_cse=False)
-    (x, _), _ = jax.lax.scan(body, (x, v_first0), (params["blocks"], jnp.arange(n_layers)))
+    (x, _), _ = jax.lax.scan(body, (x, v_first0), (params["blocks"], jnp.arange(n_layers)), unroll=B.scan_unroll())
 
     x = _norm(x, params["ln_final"], norm_type=norm_type, eps=eps)
     tokens = x[:, num_reg:] if num_reg else x

@@ -265,7 +265,7 @@ def apply_naflex_vit(
 
         if remat:
             body = jax.checkpoint(body, prevent_cse=False)
-        x, _ = jax.lax.scan(body, x, params["blocks"])
+        x, _ = jax.lax.scan(body, x, params["blocks"], unroll=B.scan_unroll())
     else:
         x = B.apply_transformer(
             params["blocks"], x, heads=cfg.heads, act=act, bias=key_bias, norm_eps=eps, remat=remat,

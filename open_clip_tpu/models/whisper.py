@@ -138,7 +138,7 @@ def apply_whisper_encoder(
 
     if remat:
         body = jax.checkpoint(body, prevent_cse=False)
-    x, _ = jax.lax.scan(body, x, params["blocks"])
+    x, _ = jax.lax.scan(body, x, params["blocks"], unroll=B.scan_unroll())
 
     # avg pool 2 over time
     b, l, d = x.shape

@@ -44,6 +44,29 @@ class JsonlWriter:
             fh.write(json.dumps({"step": step, **{k: _py(v) for k, v in metrics.items()}}) + "\n")
 
 
+class TensorBoardWriter:
+    def __init__(self, log_dir):
+        from torch.utils.tensorboard import SummaryWriter
+
+        self.tb = SummaryWriter(str(log_dir))
+
+    def log(self, metrics, step):
+        for k, v in metrics.items():
+            try:
+                self.tb.add_scalar(k, float(v), step)
+            except (TypeError, ValueError):
+                pass
+
+
+class MultiWriter:
+    def __init__(self, writers):
+        self.writers = writers
+
+    def log(self, metrics, step):
+        for w in self.writers:
+            w.log(metrics, step)
+
+
 def _py(v):
     try:
         return float(v)
@@ -110,7 +133,10 @@ def main(args=None):
     data = get_data(args, (pp_train, pp_val), epoch=0, tokenizer=tokenizer)
     assert "train" in data or "val" in data or "imagenet-val" in data, "no data specified"
 
-    writer = JsonlWriter(log_dir / "results.jsonl") if "jsonl" in (args.report_to or "jsonl") else None
+    writers = [JsonlWriter(log_dir / "results.jsonl")]
+    if "tensorboard" in (args.report_to or ""):
+        writers.append(TensorBoardWriter(log_dir / "tensorboard"))
+    writer = MultiWriter(writers)
 
     start_epoch = 0
     state = None
@@ -132,6 +158,24 @@ def main(args=None):
         )
         num_layers = cfg.vision_cfg.layers if cfg.vision_cfg and not cfg.vision_cfg.is_resnet else None
         optimizer = create_optimizer(opt_cfg, params, schedule, num_layers=num_layers)
+        if args.lock_image or args.lock_text:
+            from .optim import apply_trainable_mask, trainable_mask
+
+            mask = trainable_mask(
+                params,
+                lock_image=args.lock_image,
+                lock_image_unlocked_groups=args.lock_image_unlocked_groups,
+                lock_text=args.lock_text,
+                lock_text_unlocked_layers=args.lock_text_unlocked_layers,
+            )
+            optimizer = apply_trainable_mask(optimizer, mask)
+
+        teacher = None
+        if args.distill_model:
+            from ..factory import create_model as _create_model
+
+            tm = _create_model(args.distill_model, args.distill_pretrained or None, seed=args.seed)
+            teacher = (tm.cfg, tm.params)
         state = create_train_state(params, optimizer, ema=args.ema is not None)
         if mesh is not None:
             state = place_on_mesh(state, mesh)
@@ -147,7 +191,14 @@ def main(args=None):
                     state = place_on_mesh(state, mesh)
                 start_epoch = int(state.step) // max(steps_per_epoch, 1)
 
-        loss_type = "siglip" if args.siglip else ("coca" if cfg.multimodal_cfg is not None else "clip")
+        if args.distill_model:
+            loss_type = "distill"
+        elif args.siglip:
+            loss_type = "siglip"
+        elif cfg.multimodal_cfg is not None:
+            loss_type = "coca"
+        else:
+            loss_type = "clip"
         step_fn = jit_train_step(
             make_train_step(
                 cfg, optimizer,
@@ -159,6 +210,9 @@ def main(args=None):
                 dist_impl=args.loss_dist_impl,
                 accum_steps=args.accum_freq,
                 ema_decay=args.ema,
+                caption_loss_weight=args.coca_caption_loss_weight,
+                clip_loss_weight=args.coca_contrastive_loss_weight,
+                teacher=teacher,
             ),
             mesh,
         )

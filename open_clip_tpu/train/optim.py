@@ -149,3 +149,47 @@ def create_optimizer(
 
     chain.append(optax.scale_by_learning_rate(schedule))
     return optax.chain(*chain)
+
+
+def trainable_mask(
+    params: Any,
+    lock_image: bool = False,
+    lock_image_unlocked_groups: int = 0,
+    lock_text: bool = False,
+    lock_text_unlocked_layers: int = 0,
+) -> Any:
+    """True where a param trains. Tower locking (reference lock_image_tower /
+    lock_text_tower, main.py:315-326): locking freezes the tower subtree; a nonzero
+    unlocked count keeps the head group (final norm + projection / poolers) trainable.
+    Finer per-layer unlocking on scan-stacked blocks needs leaf splitting and lands
+    with the LLRD upgrade.
+    """
+    HEAD_NAMES = {"proj", "text_projection", "ln_post", "ln_final", "attn_pool",
+                  "attn_pool_contrastive", "map_pool", "attnpool", "head", "pool"}
+
+    def leaf_mask(path, leaf):
+        names = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
+        if not names:
+            return True
+        tower = names[0]
+        locked = (tower == "visual" and lock_image) or (tower == "text" and lock_text)
+        if not locked:
+            return True
+        unlocked = lock_image_unlocked_groups if tower == "visual" else lock_text_unlocked_layers
+        if unlocked > 0 and any(n in HEAD_NAMES for n in names[1:]):
+            return True
+        return False
+
+    return jax.tree_util.tree_map_with_path(leaf_mask, params)
+
+
+def apply_trainable_mask(optimizer: optax.GradientTransformation, mask: Any) -> optax.GradientTransformation:
+    """Zero the updates of locked params after the optimizer chain."""
+    zero = optax.GradientTransformation(
+        init=lambda _: optax.EmptyState(),
+        update=lambda updates, state, params=None: (
+            jax.tree.map(lambda u, m: u if m else jnp.zeros_like(u), updates, mask),
+            state,
+        ),
+    )
+    return optax.chain(optimizer, zero)

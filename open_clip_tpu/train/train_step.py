@@ -111,6 +111,7 @@ def make_train_step(
     clamp_scale: float = LOGIT_SCALE_MAX,
     caption_loss_weight: float = 2.0,
     clip_loss_weight: float = 1.0,
+    teacher: Optional[Tuple[CLIPModelCfg, Any]] = None,
 ) -> Callable[[TrainState, Dict[str, jax.Array], jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the (un-jitted) train step; jit it with sharding annotations at the call
     site (see ``jit_train_step``)."""
@@ -138,6 +139,26 @@ def make_train_step(
             return loss, {"contrastive_loss": closs, "caption_loss": cap}
         imf, txf = _features(params, cfg, batch, rng, compute_dtype=compute_dtype, remat=remat)
         loss = loss_fn(imf, txf, scale, bias)
+        if loss_type == "distill":
+            # frozen teacher features; KL on both logit directions
+            # (reference DistillClipLoss, loss.py:187-223 / distill_task.py)
+            tcfg, tparams = teacher
+            t_imf, t_txf = _features(
+                lax.stop_gradient(tparams), tcfg, batch, rng,
+                compute_dtype=compute_dtype, remat=remat,
+            )
+            t_imf = lax.stop_gradient(t_imf.astype(jnp.float32))
+            t_txf = lax.stop_gradient(t_txf.astype(jnp.float32))
+            t_scale = lax.stop_gradient(jnp.exp(tparams["logit_scale"].astype(jnp.float32)))
+
+            def kl(tl, sl):
+                tp = jax.nn.softmax(tl, axis=-1)
+                return -(tp * jax.nn.log_softmax(sl, axis=-1)).sum(-1).mean()
+
+            s_i = scale * imf.astype(jnp.float32) @ txf.astype(jnp.float32).T
+            t_i = t_scale * t_imf @ t_txf.T
+            dloss = 0.5 * (kl(t_i, s_i) + kl(t_i.T, s_i.T))
+            return loss + dloss, {"contrastive_loss": loss, "distill_loss": dloss}
         return loss, {}
 
     def simple_step(state: TrainState, batch, rng):

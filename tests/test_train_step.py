@@ -195,3 +195,49 @@ def test_coca_train_step(rng):
         state, metrics = step(state, batch, jax.random.PRNGKey(i))
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_lock_image_tower(tiny, rng):
+    from open_clip_tpu.train.optim import apply_trainable_mask, trainable_mask
+
+    cfg, params = tiny
+    mask = trainable_mask(params, lock_image=True, lock_image_unlocked_groups=1)
+    assert mask["visual"]["blocks"]["attn"]["qkv"]["kernel"] is False
+    assert mask["visual"]["proj"] is True  # head stays trainable with unlocked_groups=1
+    assert mask["text"]["token_embedding"] is True
+    assert mask["logit_scale"] is True
+
+    opt = apply_trainable_mask(_optimizer(params), mask)
+    step = make_train_step(cfg, opt, compute_dtype=jnp.float32)
+    state = create_train_state(params, opt)
+    batch = _batch(rng, n=8)
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(
+        np.asarray(state.params["visual"]["blocks"]["attn"]["qkv"]["kernel"]),
+        np.asarray(params["visual"]["blocks"]["attn"]["qkv"]["kernel"]),
+    )
+    assert not np.allclose(np.asarray(state.params["visual"]["proj"]), np.asarray(params["visual"]["proj"]))
+    assert not np.allclose(
+        np.asarray(state.params["text"]["blocks"]["attn"]["qkv"]["kernel"]),
+        np.asarray(params["text"]["blocks"]["attn"]["qkv"]["kernel"]),
+    )
+
+
+def test_distill_train_step(tiny, rng):
+    cfg, params = tiny
+    teacher_params = init_clip(jax.random.PRNGKey(9), cfg)
+    opt = _optimizer(params)
+    step = make_train_step(
+        cfg, opt, loss_type="distill", compute_dtype=jnp.float32, teacher=(cfg, teacher_params)
+    )
+    state = create_train_state(params, opt)
+    batch = _batch(rng, n=8)
+    losses = []
+    for i in range(4):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    # teacher must remain untouched
+    np.testing.assert_array_equal(
+        np.asarray(teacher_params["visual"]["proj"]), np.asarray(init_clip(jax.random.PRNGKey(9), cfg)["visual"]["proj"])
+    )
