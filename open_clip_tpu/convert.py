@@ -457,3 +457,119 @@ def _block_path_to_torch(path, v: np.ndarray):
     if path in mapping:
         return mapping[path]
     raise KeyError(path)
+
+
+# ---------------------------------------------------------------------------
+# big_vision (SigLIP) .npz import
+# ---------------------------------------------------------------------------
+
+def load_big_vision_weights(params: Dict[str, Any], cfg: CLIPModelCfg, checkpoint_path: str) -> Dict[str, Any]:
+    """Load official big_vision SigLIP ``.npz`` checkpoints into the native param tree
+    (reference load_big_vision_weights, convert.py:13-220).
+
+    big_vision/flax kernels are already (in, out) like ours, so the mapping is mostly
+    name translation: per-head q/k/v kernels (W, H, hd) flatten+concat into the fused
+    (W, 3W) qkv; the MAP head maps onto the timm AttentionPoolLatent layout this
+    framework shares (models/vit.py map_pool / naflex_vit attn_pool).
+    """
+    w = np.load(checkpoint_path)
+    root = "params/" if any(k.startswith("params/") for k in w.files) else ""
+
+    def g(name):
+        return np.asarray(w[root + name])
+
+    def fused_qkv(prefix):
+        ks = [g(f"{prefix}{n}/kernel") for n in ("query", "key", "value")]  # (W, H, hd)
+        bs = [g(f"{prefix}{n}/bias") for n in ("query", "key", "value")]  # (H, hd)
+        width = ks[0].shape[0]
+        kernel = np.concatenate([k.reshape(width, -1) for k in ks], axis=1)  # (W, 3W)
+        bias = np.concatenate([b.reshape(-1) for b in bs])
+        return kernel, bias
+
+    def block_tree(prefix, i):
+        if f"{root}{prefix}encoderblock/LayerNorm_0/scale" in w.files:
+            bp = f"{prefix}encoderblock/"
+            sel = lambda a: a[i]
+        else:
+            bp = f"{prefix}encoderblock_{i}/"
+            sel = lambda a: a
+        mp = bp + "MultiHeadDotProductAttention_0/"
+        qkv_k, qkv_b = fused_qkv(mp) if sel is None else (None, None)
+        ks_ = [sel(g(f"{mp}{n}/kernel")) for n in ("query", "key", "value")]
+        bs_ = [sel(g(f"{mp}{n}/bias")) for n in ("query", "key", "value")]
+        width = ks_[0].shape[0]
+        out_k = sel(g(f"{mp}out/kernel")).reshape(-1, width)  # (H*hd, W)
+        return {
+            "ln_1": {"scale": sel(g(f"{bp}LayerNorm_0/scale")), "bias": sel(g(f"{bp}LayerNorm_0/bias"))},
+            "attn": {
+                "qkv": {
+                    "kernel": np.concatenate([k.reshape(width, -1) for k in ks_], axis=1),
+                    "bias": np.concatenate([b.reshape(-1) for b in bs_]),
+                },
+                "out": {"kernel": out_k, "bias": sel(g(f"{mp}out/bias"))},
+            },
+            "ln_2": {"scale": sel(g(f"{bp}LayerNorm_1/scale")), "bias": sel(g(f"{bp}LayerNorm_1/bias"))},
+            "mlp": {
+                "c_fc": {"kernel": sel(g(f"{bp}MlpBlock_0/Dense_0/kernel")), "bias": sel(g(f"{bp}MlpBlock_0/Dense_0/bias"))},
+                "c_proj": {"kernel": sel(g(f"{bp}MlpBlock_0/Dense_1/kernel")), "bias": sel(g(f"{bp}MlpBlock_0/Dense_1/bias"))},
+            },
+        }
+
+    def map_head(prefix):
+        bp = f"{prefix}MAPHead_0/"
+        mp = bp + "MultiHeadDotProductAttention_0/"
+        width = g(f"{bp}probe").shape[-1]
+        kv_k = np.concatenate(
+            [g(f"{mp}{n}/kernel").reshape(width, -1) for n in ("key", "value")], axis=1
+        )
+        kv_b = np.concatenate([g(f"{mp}{n}/bias").reshape(-1) for n in ("key", "value")])
+        return {
+            "latent": g(f"{bp}probe").reshape(-1),
+            "q": {"kernel": g(f"{mp}query/kernel").reshape(width, -1), "bias": g(f"{mp}query/bias").reshape(-1)},
+            "kv": {"kernel": kv_k, "bias": kv_b},
+            "proj": {"kernel": g(f"{mp}out/kernel").reshape(-1, width), "bias": g(f"{mp}out/bias")},
+            "norm": {"scale": g(f"{bp}LayerNorm_0/scale"), "bias": g(f"{bp}LayerNorm_0/bias")},
+            "mlp": {
+                "c_fc": {"kernel": g(f"{bp}MlpBlock_0/Dense_0/kernel"), "bias": g(f"{bp}MlpBlock_0/Dense_0/bias")},
+                "c_proj": {"kernel": g(f"{bp}MlpBlock_0/Dense_1/kernel"), "bias": g(f"{bp}MlpBlock_0/Dense_1/bias")},
+            },
+        }
+
+    from .models.vit import resolve_timm_vision_cfg
+
+    vcfg = resolve_timm_vision_cfg(cfg.vision_cfg) if cfg.vision_cfg.timm_model_name else cfg.vision_cfg
+    n_layers = vcfg.layers
+
+    emb_k = g("img/embedding/kernel")  # (P, P, 3, W) or (P*P*3, W)
+    if emb_k.ndim == 4:
+        emb_k = emb_k.reshape(-1, emb_k.shape[-1])
+    pos = g("img/pos_embedding")
+    pos = pos.reshape(-1, pos.shape[-1])
+    vis: Dict[str, Any] = {
+        "patch_embed": {"kernel": emb_k, "bias": g("img/embedding/bias")},
+        "positional_embedding": pos,
+        "ln_post": {"scale": g("img/Transformer/encoder_norm/scale"), "bias": g("img/Transformer/encoder_norm/bias")},
+        "blocks": _stack_blocks({i: block_tree("img/", i) for i in range(n_layers)}),
+    }
+    if f"{root}img/MAPHead_0/probe" in w.files:
+        vis["map_pool"] = map_head("img/")
+
+    tcfg = cfg.text_cfg
+    txt: Dict[str, Any] = {
+        "token_embedding": g("txt/Embed_0/embedding"),
+        "positional_embedding": g("txt/pos_embedding").reshape(-1, g("txt/pos_embedding").shape[-1]),
+        "ln_final": {"scale": g("txt/Encoder_0/encoder_norm/scale"), "bias": g("txt/Encoder_0/encoder_norm/bias")},
+        "blocks": _stack_blocks({i: block_tree("txt/Encoder_0/", i) for i in range(tcfg.layers)}),
+    }
+    if f"{root}txt/head/kernel" in w.files:
+        txt["text_projection"] = {"kernel": g("txt/head/kernel"), "bias": g("txt/head/bias")}
+
+    tree = {
+        "visual": vis,
+        "text": txt,
+        "logit_scale": g("t").reshape(()),
+        "logit_bias": g("b").reshape(()),
+    }
+    from .checkpoint import merge_params
+
+    return merge_params(params, _to_jnp(tree), cfg, strict=False)

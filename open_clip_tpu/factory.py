@@ -65,7 +65,8 @@ def create_model(
 ) -> CLIPModel:
     """Build a model (optionally loading pretrained weights). Returns a CLIPModel facade;
     the functional (cfg, params) pair is available as ``.cfg`` / ``.params``."""
-    model_name = model_name.replace("/", "-")
+    if not model_name.startswith((HF_HUB_PREFIX, LOCAL_DIR_PREFIX)):
+        model_name = model_name.replace("/", "-")
     pretrained_cfg: Dict[str, Any] = {}
 
     if model_name.startswith(HF_HUB_PREFIX):

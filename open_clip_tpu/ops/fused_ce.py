@@ -30,6 +30,8 @@ def fused_linear_cross_entropy(
     """Mean CE over non-ignored rows, fp32 accumulation, O(chunk x V) live memory."""
     n, d = hidden.shape
     v = weight.shape[0]
+    # don't pad tiny inputs up to a full chunk — cap the chunk at n rounded to 128
+    chunk_size = min(chunk_size, max(128, (n + 127) // 128 * 128))
     pad = (-n) % chunk_size
     if pad:
         hidden = jnp.concatenate([hidden, jnp.zeros((pad, d), hidden.dtype)], axis=0)

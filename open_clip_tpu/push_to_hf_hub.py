@@ -33,8 +33,11 @@ def save_for_hf(
     d = Path(save_directory)
     d.mkdir(parents=True, exist_ok=True)
 
+    import numpy as np
+
     sd = params_to_torch_state_dict(model.params, custom_text=True)
-    sd = {k: v for k, v in sd.items()}
+    # safetensors serializes the raw buffer; transposed views must be made contiguous
+    sd = {k: np.ascontiguousarray(v) for k, v in sd.items()}
     save_file(sd, str(d / HF_SAFE_WEIGHTS_NAME))
 
     if model_config is None:
