@@ -549,7 +549,7 @@ def load_big_vision_weights(params: Dict[str, Any], cfg: CLIPModelCfg, checkpoin
         "patch_embed": {"kernel": emb_k, "bias": g("img/embedding/bias")},
         "positional_embedding": pos,
         "ln_post": {"scale": g("img/Transformer/encoder_norm/scale"), "bias": g("img/Transformer/encoder_norm/bias")},
-        "blocks": _stack_blocks({i: block_tree("img/", i) for i in range(n_layers)}),
+        "blocks": _stack_blocks({i: block_tree("img/Transformer/", i) for i in range(n_layers)}),
     }
     if f"{root}img/MAPHead_0/probe" in w.files:
         vis["map_pool"] = map_head("img/")

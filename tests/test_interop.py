@@ -107,7 +107,7 @@ def test_big_vision_npz_import(tmp_path, rng):
     arr["img/pos_embedding"] = rng.standard_normal((1, 4, w)).astype(np.float32) * 0.02
     arr["img/Transformer/encoder_norm/scale"] = np.ones(w, np.float32)
     arr["img/Transformer/encoder_norm/bias"] = np.zeros(w, np.float32)
-    for side, nl, hidden_d in (("img/", 2, w * 4), ("txt/Encoder_0/", 2, w * 4)):
+    for side, nl, hidden_d in (("img/Transformer/", 2, w * 4), ("txt/Encoder_0/", 2, w * 4)):
         for i in range(nl):
             bp = f"{side}encoderblock_{i}/"
             mp = bp + "MultiHeadDotProductAttention_0/"
