@@ -257,7 +257,17 @@ def get_tokenizer(
 
     if text_cfg.get("tokenizer_type"):
         ttype = text_cfg["tokenizer_type"]
-        raise NotImplementedError(f"tokenizer_type {ttype!r} not yet available (needs tiktoken/sentencepiece)")
+        if ttype == "tiktoken":
+            from .tokenizer import TikTokenTokenizer
+
+            return TikTokenTokenizer(
+                text_cfg.get("tiktoken_name", "cl100k_base"), context_length=context_length, **tok_kwargs
+            )
+        if ttype == "siglip":
+            from .tokenizer import SigLipTokenizer
+
+            return SigLipTokenizer(text_cfg["hf_tokenizer_name"], context_length=context_length)
+        raise NotImplementedError(f"tokenizer_type {ttype!r} not supported")
     if text_cfg.get("hf_tokenizer_name"):
         return HFTokenizer(
             text_cfg["hf_tokenizer_name"], context_length=context_length, cache_dir=cache_dir, **tok_kwargs

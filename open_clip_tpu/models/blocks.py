@@ -195,6 +195,19 @@ def apply_block(
 # full unroll so XLA cost analysis counts every layer (a scan body is counted once).
 SCAN_UNROLL: int = 1
 
+# Rematerialization policy for checkpointed blocks: keep matmul (MXU) outputs, recompute
+# the cheap elementwise/norm ops — much less recompute than full-block remat while
+# still dropping the big attention/MLP intermediates. None = save nothing (full remat).
+REMAT_POLICY: str = "dots"
+
+
+def remat_policy():
+    if REMAT_POLICY == "dots":
+        return jax.checkpoint_policies.checkpoint_dots
+    if REMAT_POLICY == "dots_no_batch":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    return None
+
 
 def scan_unroll() -> int:
     return SCAN_UNROLL
@@ -222,7 +235,7 @@ def apply_transformer(
         return y, None
 
     if remat:
-        body = jax.checkpoint(body, prevent_cse=False)
+        body = jax.checkpoint(body, prevent_cse=False, policy=remat_policy())
     x, _ = jax.lax.scan(body, x, stacked, unroll=scan_unroll())
     return x
 

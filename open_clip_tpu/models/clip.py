@@ -261,6 +261,14 @@ class CLIPModel:
         return get_logits(self.params, self.cfg, jnp.asarray(image), jnp.asarray(text),
                           compute_dtype=self.compute_dtype)
 
+    def forward_intermediates(self, image=None, text=None, **kw):
+        return forward_intermediates(
+            self.params, self.cfg,
+            None if image is None else jnp.asarray(image),
+            None if text is None else jnp.asarray(text),
+            compute_dtype=self.compute_dtype, **kw,
+        )
+
     def encode_audio(self, audio, normalize: bool = False):
         from . import clap
 
@@ -283,3 +291,85 @@ class CLIPModel:
     @property
     def visual_preprocess_cfg(self):
         return getattr(self, "_preprocess_cfg", None)
+
+
+def forward_intermediates(
+    params: Dict[str, Any],
+    cfg: CLIPModelCfg,
+    image: Optional[jax.Array] = None,
+    text: Optional[jax.Array] = None,
+    *,
+    image_indices: Optional[list] = None,
+    text_indices: Optional[list] = None,
+    normalize: bool = True,
+    normalize_intermediates: bool = False,
+    compute_dtype=jnp.float32,
+) -> Dict[str, Any]:
+    """Feature-extraction API returning selected per-block intermediates alongside the
+    pooled features (reference CLIP.forward_intermediates / VisionTransformer
+    forward_intermediates, transformer.py:843-930). NLC layout; the vision prefix
+    (class token) is split off like the reference."""
+    from ..ops.layers import layer_norm
+    from .blocks import apply_transformer_intermediates
+
+    out: Dict[str, Any] = {}
+    act = _act_name(cfg)
+    if image is not None:
+        vcfg = cfg.vision_cfg
+        assert not vcfg.is_resnet and not _is_naflex(vcfg), "intermediates: native ViT only for now"
+        vp = params["visual"]
+        x = image.astype(compute_dtype)
+        x = vit.patchify(x, vcfg.patch_size)
+        x = jnp.dot(x, vp["patch_embed"]["kernel"].astype(compute_dtype))
+        if vp["patch_embed"].get("bias") is not None:
+            x = x + vp["patch_embed"]["bias"].astype(x.dtype)
+        n_prefix = 0
+        if "class_embedding" in vp:
+            cls = jnp.broadcast_to(vp["class_embedding"].astype(x.dtype)[None, None], (x.shape[0], 1, x.shape[-1]))
+            x = jnp.concatenate([cls, x], axis=1)
+            n_prefix = 1
+        x = x + vp["positional_embedding"][: x.shape[1]].astype(x.dtype)
+        if "ln_pre" in vp:
+            x = layer_norm(x, vp["ln_pre"]["scale"], vp["ln_pre"]["bias"], eps=vcfg.norm_eps)
+        x, feats = apply_transformer_intermediates(
+            vp["blocks"], x, heads=vcfg.heads, act=act, norm_eps=vcfg.norm_eps,
+            take_indices=image_indices,
+        )
+        if normalize_intermediates:
+            feats = [layer_norm(f, vp["ln_post"]["scale"], vp["ln_post"]["bias"], eps=vcfg.norm_eps) for f in feats]
+        out["image_intermediates"] = [f[:, n_prefix:] for f in feats]
+        if n_prefix:
+            out["image_intermediates_prefix"] = [f[:, :n_prefix] for f in feats]
+        pooled, _ = vit._pool(vp, vcfg, x, eps=vcfg.norm_eps)
+        if vp.get("proj") is not None:
+            pooled = jnp.dot(pooled, vp["proj"].astype(pooled.dtype))
+        out["image_features"] = _l2_normalize(pooled) if normalize else pooled
+    if text is not None:
+        tcfg = cfg.text_cfg
+        assert tcfg.text_arch != "modern" and not tcfg.hf_model_name, "intermediates: classic text tower"
+        tp = params["text"]
+        b, seq_len = text.shape
+        x = tp["token_embedding"][text].astype(compute_dtype)
+        bias = text_mod._build_bias(tcfg, text, seq_len)
+        x = x + tp["positional_embedding"][:seq_len].astype(compute_dtype)
+        x, feats = apply_transformer_intermediates(
+            tp["blocks"], x, heads=tcfg.heads, act=act, bias=bias, norm_eps=tcfg.ln_eps,
+            take_indices=text_indices,
+        )
+        ln_f = lambda y: layer_norm(y, tp["ln_final"]["scale"], tp["ln_final"]["bias"], eps=tcfg.ln_eps)
+        if normalize_intermediates:
+            feats = [ln_f(f) for f in feats]
+        out["text_intermediates"] = feats
+        x = ln_f(x)
+        pooled = text_mod.text_global_pool(x, text, pool_type=tcfg.pool_type, eos_token_id=tcfg.eos_id)
+        tproj = tp.get("text_projection")
+        if tproj is not None:
+            if isinstance(tproj, dict):
+                from ..ops.layers import linear
+
+                pooled = linear(pooled, tproj["kernel"], tproj.get("bias"))
+            else:
+                pooled = jnp.dot(pooled, tproj.astype(pooled.dtype))
+        out["text_features"] = _l2_normalize(pooled) if normalize else pooled
+    out["logit_scale"] = jnp.exp(params["logit_scale"].astype(jnp.float32))
+    return out

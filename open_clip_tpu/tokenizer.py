@@ -363,3 +363,113 @@ def tokenize(texts, context_length: int = DEFAULT_CONTEXT_LENGTH) -> np.ndarray:
 
 def decode(output_ids) -> str:
     return _get_default().decode(np.asarray(output_ids))
+
+
+# ---------------------------------------------------------------------------
+# SigLIP sentencepiece tokenizer (reference tokenizer.py:627-703) — gated on
+# sentencepiece availability (not in this image)
+# ---------------------------------------------------------------------------
+
+class SigLipTokenizer:
+    """T5/Gemma sentencepiece tokenizers used by SigLIP models. Requires the
+    ``sentencepiece``-backed HF tokenizers; raises a clear error when unavailable."""
+
+    VOCAB_FILES = {
+        "c4-en": "http://storage.googleapis.com/t5-data/vocabs/cc_en.32000/sentencepiece.model",
+        "mc4": "http://storage.googleapis.com/t5-data/vocabs/mc4.250000.100extra/sentencepiece.model",
+        "gemma": "gemma tokenizer via hf hub",
+    }
+
+    def __init__(self, tokenizer_name: str, context_length: Optional[int] = 64):
+        try:
+            from transformers import T5TokenizerFast
+
+            if "gemma" in tokenizer_name:
+                from transformers import GemmaTokenizerFast
+
+                self.tokenizer = GemmaTokenizerFast.from_pretrained(tokenizer_name)
+            else:
+                self.tokenizer = T5TokenizerFast.from_pretrained(tokenizer_name)
+        except Exception as e:  # noqa: BLE001 — hub/sentencepiece availability
+            raise RuntimeError(
+                f"SigLipTokenizer needs the hub + sentencepiece backends for {tokenizer_name!r}: {e}"
+            ) from e
+        self.tokenizer.padding_side = "right"
+        self.context_length = context_length
+
+    @property
+    def pad_token_id(self):
+        return self.tokenizer.pad_token_id
+
+    @property
+    def eos_token_id(self):
+        return self.tokenizer.eos_token_id
+
+    def __call__(self, texts: Union[str, List[str]], context_length: Optional[int] = None) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        context_length = context_length or self.context_length
+        texts = [canonicalize_text(basic_clean(t)) for t in texts]
+        out = self.tokenizer(
+            texts, return_tensors="np", max_length=context_length,
+            padding="max_length", truncation=True,
+        )
+        return out.input_ids.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# TikToken tokenizer (reference tokenizer.py:704-804) — gated on tiktoken
+# availability (not in this image)
+# ---------------------------------------------------------------------------
+
+class TikTokenTokenizer:
+    """cl100k/r50k BPE with 3 reserved control ids above the base vocab
+    (eot/pad/sot, reference tokenizer.py:704-770). Supports ``pad=False`` variable mode
+    since the pad id is reserved (unlike SimpleTokenizer)."""
+
+    def __init__(
+        self,
+        tiktoken_name: str = "cl100k_base",
+        context_length: Optional[int] = DEFAULT_CONTEXT_LENGTH,
+        clean: str = "lower",
+    ):
+        try:
+            import tiktoken
+        except ImportError as e:
+            raise RuntimeError(
+                "TikTokenTokenizer requires the `tiktoken` package (not in this image); "
+                "GenLIP-family models need it for training but load/run without it."
+            ) from e
+        base = tiktoken.get_encoding(tiktoken_name)
+        self.encoding = base
+        n = base.n_vocab
+        self.eot_token_id = n
+        self.pad_token_id = n + 1
+        self.sot_token_id = n + 2
+        self.vocab_size = n + 3
+        self.context_length = context_length
+        self.clean_fn = get_clean_fn(clean)
+
+    def encode(self, text: str) -> List[int]:
+        return self.encoding.encode(self.clean_fn(text), disallowed_special=())
+
+    def decode(self, tokens) -> str:
+        specials = {self.eot_token_id, self.pad_token_id, self.sot_token_id}
+        return self.encoding.decode([int(t) for t in tokens if int(t) not in specials])
+
+    def __call__(self, texts, context_length: Optional[int] = None, pad: bool = True):
+        if isinstance(texts, str):
+            texts = [texts]
+        context_length = context_length or self.context_length
+        rows = []
+        for t in texts:
+            ids = [self.sot_token_id] + self.encode(t) + [self.eot_token_id]
+            if len(ids) > context_length:
+                ids = ids[: context_length - 1] + [self.eot_token_id]
+            rows.append(ids)
+        if not pad:
+            return [np.asarray(r, dtype=np.int32) for r in rows]
+        out = np.full((len(rows), context_length), self.pad_token_id, dtype=np.int32)
+        for i, r in enumerate(rows):
+            out[i, : len(r)] = r
+        return out

@@ -55,3 +55,29 @@ def test_unknown_model():
     assert oct.get_model_config("does-not-exist-xyz") is None
     with pytest.raises(RuntimeError):
         parse_model_cfg("does-not-exist-xyz")
+
+
+def test_forward_intermediates():
+    import numpy as np
+    import jax
+    from open_clip_tpu.config import parse_model_cfg
+    from open_clip_tpu.models.clip import forward_intermediates, init_clip
+
+    cfg = parse_model_cfg("tiny-test-model") if oct.get_model_config("tiny-test-model") else None
+    if cfg is None:
+        oct.add_model_config(
+            {"embed_dim": 64, "vision_cfg": {"layers": 2, "width": 64, "patch_size": 16, "image_size": 32},
+             "text_cfg": {"layers": 2, "width": 64, "heads": 2, "vocab_size": 100, "context_length": 8}},
+            name="tiny-test-model",
+        )
+        cfg = parse_model_cfg("tiny-test-model")
+    params = init_clip(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    txt = rng.integers(1, 99, size=(2, 8)).astype(np.int32)
+    out = forward_intermediates(params, cfg, img, txt, image_indices=[0, 1], text_indices=[1])
+    assert len(out["image_intermediates"]) == 2
+    assert out["image_intermediates"][0].shape == (2, 4, 64)  # prefix split off
+    assert out["image_intermediates_prefix"][0].shape == (2, 1, 64)
+    assert len(out["text_intermediates"]) == 1
+    assert out["image_features"].shape == (2, 64)
