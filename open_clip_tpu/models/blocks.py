@@ -195,10 +195,11 @@ def apply_block(
 # full unroll so XLA cost analysis counts every layer (a scan body is counted once).
 SCAN_UNROLL: int = 1
 
-# Rematerialization policy for checkpointed blocks: keep matmul (MXU) outputs, recompute
-# the cheap elementwise/norm ops — much less recompute than full-block remat while
-# still dropping the big attention/MLP intermediates. None = save nothing (full remat).
-REMAT_POLICY: str = "dots"
+# Rematerialization policy for checkpointed blocks. "none" (full remat, save nothing)
+# is the default: saving dot outputs ("dots") keeps every attention-logit/MLP
+# intermediate alive and blows HBM at production batch sizes on v5e (verified: the
+# compile itself OOMs at ViT-B-32 batch 1024).
+REMAT_POLICY: str = "none"
 
 
 def remat_policy():
