@@ -46,7 +46,17 @@ from .pretrained import (
     list_pretrained_models_by_tag,
     list_pretrained_tags_by_model,
 )
-from .tokenizer import DEFAULT_CONTEXT_LENGTH, HFTokenizer, SimpleTokenizer, decode, tokenize
+from .models.clip import forward_intermediates
+from .push_to_hf_hub import push_to_hf_hub, save_for_hf
+from .tokenizer import (
+    DEFAULT_CONTEXT_LENGTH,
+    HFTokenizer,
+    SigLipTokenizer,
+    SimpleTokenizer,
+    TikTokenTokenizer,
+    decode,
+    tokenize,
+)
 from .transform import AugmentationCfg, PreprocessCfg, image_transform, image_transform_v2
 from .version import __version__
 from .zero_shot_classifier import build_zero_shot_classifier, build_zero_shot_classifier_legacy
@@ -97,6 +107,11 @@ __all__ = [
     "AugmentationCfg",
     "image_transform",
     "image_transform_v2",
+    "forward_intermediates",
+    "save_for_hf",
+    "push_to_hf_hub",
+    "SigLipTokenizer",
+    "TikTokenTokenizer",
     "build_zero_shot_classifier",
     "build_zero_shot_classifier_legacy",
     "IMAGENET_CLASSNAMES",

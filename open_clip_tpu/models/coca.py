@@ -277,3 +277,88 @@ def convert_multimodal_decoder(sd_prefixed: Dict[str, Any]) -> Dict[str, Any]:
     tree["blocks"] = _stack_blocks(self_blocks)
     tree["cross_blocks"] = _stack_blocks(cross_blocks)
     return _to_jnp(tree)
+
+
+def generate_beam(
+    params: Dict[str, Any],
+    cfg: CLIPModelCfg,
+    image: jax.Array,
+    *,
+    seq_len: int = 30,
+    min_seq_len: int = 5,
+    num_beams: int = 6,
+    sot_token_id: int = 49406,
+    eos_token_id: int = 49407,
+    pad_token_id: int = 0,
+    length_penalty: float = 1.0,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Beam-search captioning (the reference's default generation_type,
+    coca_model.py:300-320 via HF beam search) as a single jitted fixed-shape program:
+    beams ride a (B*num_beams) batch axis; each step scores vocab continuations for all
+    beams and keeps the top ``num_beams`` by cumulative log-prob. Finished beams
+    (eos emitted) are frozen with their final score (length-penalized, HF convention).
+
+    Returns the best beam per image, (B, seq_len), eos-terminated then padded.
+    """
+    b = image.shape[0]
+    act = "quick_gelu" if cfg.quick_gelu else "gelu"
+    neg = jnp.finfo(jnp.float32).min
+
+    _, image_embs = vit.apply_vision_tower(
+        params["visual"], cfg.vision_cfg, image, compute_dtype=compute_dtype, act=act,
+    )
+    m = image_embs.shape[1]
+    # expand image memory over beams: (B*K, M, W)
+    image_embs_k = jnp.repeat(image_embs, num_beams, axis=0)
+
+    k = num_beams
+    ids0 = jnp.full((b, k, seq_len), pad_token_id, jnp.int32).at[:, :, 0].set(sot_token_id)
+    # only beam 0 is live at t=0 (all beams identical otherwise)
+    scores0 = jnp.where(jnp.arange(k) == 0, 0.0, neg)[None, :].repeat(b, axis=0)  # (B, K)
+    done0 = jnp.zeros((b, k), bool)
+
+    vocab = params["text"]["token_embedding"].shape[0]
+
+    def step(t, carry):
+        ids, scores, done = carry
+        flat_ids = ids.reshape(b * k, seq_len)
+        _, token_embs = text_mod.apply_text_tower(
+            params["text"], cfg.text_cfg, flat_ids, compute_dtype=compute_dtype, act=act,
+        )
+        logits = apply_multimodal_decoder(
+            params["text_decoder"], cfg.multimodal_cfg, image_embs_k, token_embs, act=act,
+        )
+        step_logits = jnp.take_along_axis(
+            logits, jnp.full((b * k, 1, 1), t - 1, jnp.int32), axis=1
+        )[:, 0].astype(jnp.float32)  # (B*K, V)
+        logp = jax.nn.log_softmax(step_logits, axis=-1).reshape(b, k, vocab)
+
+        # block eos before min_seq_len
+        eos_col = (jnp.arange(vocab) == eos_token_id)[None, None, :]
+        logp = jnp.where((t < min_seq_len) & eos_col, neg, logp)
+
+        # finished beams: only a pad continuation keeps the beam, score unchanged
+        pad_col = (jnp.arange(vocab) == pad_token_id)[None, None, :]
+        cont = jnp.where(done[..., None], jnp.where(pad_col, 0.0, neg), logp)
+        total = scores[..., None] + cont  # (B, K, V)
+
+        flat = total.reshape(b, k * vocab)
+        top_scores, top_idx = jax.lax.top_k(flat, k)  # (B, K)
+        beam_idx = top_idx // vocab  # (B, K)
+        tok_idx = (top_idx % vocab).astype(jnp.int32)
+
+        ids = jnp.take_along_axis(ids, beam_idx[..., None], axis=1)
+        done = jnp.take_along_axis(done, beam_idx, axis=1)
+        tok_idx = jnp.where(done, pad_token_id, tok_idx)
+        ids = ids.at[:, :, t].set(tok_idx)
+        done = done | (tok_idx == eos_token_id)
+        return ids, top_scores, done
+
+    ids, scores, done = jax.lax.fori_loop(1, seq_len, step, (ids0, scores0, done0))
+
+    if length_penalty != 1.0:
+        lengths = (ids != pad_token_id).sum(axis=-1).astype(jnp.float32)
+        scores = scores / (lengths ** length_penalty)
+    best = jnp.argmax(scores, axis=1)
+    return jnp.take_along_axis(ids, best[:, None, None], axis=1)[:, 0]

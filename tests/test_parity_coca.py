@@ -122,3 +122,22 @@ def test_coca_generate_shapes_and_eos(pair):
     ids = np.asarray(ids)
     assert ids.shape == (2, 10)
     assert (ids[:, 0] == 61).all()
+
+
+def test_coca_beam_search_matches_reference(pair):
+    tmodel, cfg, params = pair
+    img, _ = _inputs(4)
+    with torch.no_grad():
+        t_ids = tmodel.generate(
+            torch.from_numpy(img).permute(0, 3, 1, 2),
+            seq_len=8, min_seq_len=3, generation_type="beam_search", num_beams=3,
+            num_beam_groups=1, sot_token_id=61, eos_token_id=62, pad_token_id=0,
+        )
+    j_ids = coca.generate_beam(
+        params, cfg, img, seq_len=8, min_seq_len=3, num_beams=3,
+        sot_token_id=61, eos_token_id=62, pad_token_id=0,
+    )
+    j = np.asarray(j_ids)
+    t = t_ids.numpy()
+    L = min(j.shape[1], t.shape[1])
+    np.testing.assert_array_equal(j[:, :L], t[:, :L])
