@@ -184,6 +184,41 @@ def get_data(
             ds = make_wds_audio_pipeline(cfg, pp, tokenizer)
             n = get("train_num_samples") or 0
             return DataInfo(ds, num_samples=n, num_batches=n // batch_size if n else 0)
+        if dstype == "synthetic-naflex":
+            from .naflex import NaFlexDataConfig, SyntheticNaFlexDataset
+
+            ncfg = NaFlexDataConfig(
+                seq_lens=tuple(get("naflex_seq_lens", (128, 256))),
+                patch_sizes=tuple(get("naflex_patch_sizes", (16,))),
+                max_tokens_per_batch=get("naflex_max_tokens", 16384),
+                batch_divisor=get("naflex_batch_divisor", 8),
+                seed=get("seed", 0),
+            )
+            nb = max(1, (get("train_num_samples", 100) or 100) // batch_size)
+            ds = SyntheticNaFlexDataset(ncfg, tokenizer, num_batches=nb)
+            return DataInfo(ds, num_samples=get("train_num_samples", 100) or 100, num_batches=nb)
+        if dstype == "webdataset-naflex":
+            from .naflex import NaFlexDataConfig, NaFlexWdsPipeline
+            from .wds import WdsConfig, WdsPipeline
+
+            wcfg = WdsConfig(
+                urls=split_path, batch_size=batch_size, caption_key=get("wds_caption_key", "txt"),
+                seed=get("seed", 0), world_size=get("world_size", 1), rank=get("rank", 0),
+                shuffle_shards=2000 if is_train else 0,
+                shuffle_samples=get("wds_shuffle_buffer", 5000) if is_train else 0,
+            )
+            inner = WdsPipeline(wcfg, pp, tokenizer)
+            ncfg = NaFlexDataConfig(
+                seq_lens=tuple(get("naflex_seq_lens", (128, 256, 576, 784, 1024))),
+                patch_sizes=tuple(get("naflex_patch_sizes", (16,))),
+                max_tokens_per_batch=get("naflex_max_tokens", 16384),
+                batch_divisor=get("naflex_batch_divisor", 8),
+                seed=get("seed", 0),
+            )
+            n = get("train_num_samples") or 0
+            nb = max(1, n * ncfg.seq_lens[0] // max(ncfg.max_tokens_per_batch, 1)) if n else 8
+            ds = NaFlexWdsPipeline(inner, ncfg, nb, tokenizer)
+            return DataInfo(ds, num_samples=n, num_batches=nb)
         if dstype == "synthetic":
             ds = SyntheticDataset(
                 pp, tokenizer,
@@ -227,7 +262,7 @@ def get_data(
             return DataInfo(ds, num_samples=num_samples, num_batches=num_samples // batch_size if num_samples else 0)
         raise ValueError(f"unsupported dataset type {dstype!r}")
 
-    if get("train_data") or get("dataset_type") == "synthetic":
+    if get("train_data") or str(get("dataset_type", "")).startswith("synthetic"):
         data["train"] = build(get("train_data") or "", is_train=True)
     if get("val_data"):
         data["val"] = build(get("val_data"), is_train=False)

@@ -160,3 +160,73 @@ def naflex_transform_factory(cfg: NaFlexDataConfig, mean=None, std=None) -> Call
         return cache[key]
 
     return get
+
+
+class NaFlexWdsPipeline:
+    """NaFlex wds training pipeline: the deterministic per-epoch (patch, seq_len, batch)
+    schedule drives per-bucket transforms over the shared sample stream (reference
+    NaFlexBatcher + NaFlexMapDatasetWrapper, naflex_data.py:794-1045). Every batch has
+    one static (batch, seq_len) shape from the closed bucket set."""
+
+    def __init__(self, wds_pipeline, data_cfg: NaFlexDataConfig, num_batches: int, tokenizer,
+                 mean=None, std=None):
+        self.inner = wds_pipeline  # provides _samples(epoch) of {image_bytes, caption}
+        self.cfg = data_cfg.resolve()
+        self.scheduler = NaFlexBatchScheduler(self.cfg, num_batches)
+        self.factory = naflex_transform_factory(self.cfg, mean=mean, std=std)
+        self.tokenizer = tokenizer
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+        self.inner.set_epoch(epoch)
+
+    def __iter__(self):
+        from .wds import decode_image_rgb
+
+        schedule = self.scheduler.schedule(self.epoch)
+        stream = self.inner._samples(self.epoch)
+        for patch_size, seq_len, batch_size in schedule:
+            transform = self.factory(seq_len, patch_size)
+            dicts, captions = [], []
+            while len(dicts) < batch_size:
+                try:
+                    rec = next(stream)
+                except StopIteration:
+                    return
+                try:
+                    d = transform(decode_image_rgb(rec["image_bytes"]))
+                except Exception:  # noqa: BLE001 — skip-and-replenish (naflex_data.py:900-925)
+                    continue
+                dicts.append(d)
+                captions.append(rec["caption"])
+            batch = collate_naflex(dicts)
+            yield {"image": batch, "text": np.asarray(self.tokenizer(captions), dtype=np.int32)}
+
+
+class SyntheticNaFlexDataset:
+    """NaFlex patch-dict synthetic batches for smoke tests (one bucket per schedule entry)."""
+
+    def __init__(self, data_cfg: NaFlexDataConfig, tokenizer, num_batches: int = 4,
+                 caption: str = "a synthetic caption"):
+        from PIL import Image
+
+        self.cfg = data_cfg.resolve()
+        self.scheduler = NaFlexBatchScheduler(self.cfg, num_batches)
+        self.factory = naflex_transform_factory(self.cfg)
+        self.tokenizer = tokenizer
+        self.caption = caption
+        self.num_batches = num_batches
+        self.epoch = 0
+        self._img = Image.new("RGB", (96, 64))
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self):
+        for patch_size, seq_len, batch_size in self.scheduler.schedule(self.epoch):
+            t = self.factory(seq_len, patch_size)
+            d = t(self._img)
+            batch = {k: np.repeat(v[None], batch_size, axis=0) for k, v in d.items()}
+            txt = np.repeat(np.asarray(self.tokenizer([self.caption]), np.int32), batch_size, axis=0)
+            yield {"image": batch, "text": txt}

@@ -42,7 +42,15 @@ def parse_args(args=None):
     parser.add_argument("--val-data", type=str, default=None)
     parser.add_argument("--train-num-samples", type=int, default=None)
     parser.add_argument("--val-num-samples", type=int, default=None)
-    parser.add_argument("--dataset-type", choices=["webdataset", "csv", "synthetic", "webdataset-audio", "synthetic-audio", "auto"], default="auto")
+    parser.add_argument("--dataset-type",
+                        choices=["webdataset", "csv", "synthetic", "webdataset-audio",
+                                 "synthetic-audio", "webdataset-naflex", "synthetic-naflex", "auto"],
+                        default="auto")
+    # NaFlex token-budget batching (reference --naflex-* flags)
+    parser.add_argument("--naflex-seq-lens", type=int, nargs="+", default=[128, 256, 576, 784, 1024])
+    parser.add_argument("--naflex-patch-sizes", type=int, nargs="+", default=[16])
+    parser.add_argument("--naflex-max-tokens", type=int, default=16384)
+    parser.add_argument("--naflex-batch-divisor", type=int, default=8)
     parser.add_argument("--dataset-resampled", action="store_true", default=False)
     parser.add_argument("--csv-separator", type=str, default="\t")
     parser.add_argument("--csv-img-key", type=str, default="filepath")

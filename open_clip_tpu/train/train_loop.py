@@ -87,11 +87,11 @@ def train_one_epoch(
 
 
 def _to_device(batch):
-    return {k: jnp.asarray(v) for k, v in batch.items()}
+    return jax.tree.map(jnp.asarray, batch)
 
 
 def _batch_size(batch) -> int:
-    return next(iter(batch.values())).shape[0]
+    return jax.tree_util.tree_leaves(batch)[0].shape[0]
 
 
 def evaluate(

@@ -81,3 +81,41 @@ def test_training_siglip_and_accum(tmp_path):
         ]
     )
     assert int(state.step) == 2
+
+
+def test_training_naflex_synthetic(tmp_path):
+    """NaFlex token-budget training end-to-end through the CLI (variable seq buckets
+    compile to a small closed shape set)."""
+    if "tiny-smoke-naflex" not in oct.list_models():
+        oct.add_model_config(
+            {
+                "embed_dim": 32,
+                "custom_text": True,
+                "vision_cfg": {
+                    "image_size": 64,
+                    "timm_model_name": "naflexvit_tiny_patch16_map",
+                    "timm_model_kwargs": {"pos_embed_grid_size": [4, 4]},
+                },
+                "text_cfg": {"context_length": 77, "vocab_size": 49408, "width": 32, "heads": 2, "layers": 2},
+            },
+            name="tiny-smoke-naflex",
+        )
+    state = main(
+        [
+            "--model", "tiny-smoke-naflex",
+            "--dataset-type", "synthetic-naflex",
+            "--train-num-samples", "32",
+            "--batch-size", "8",
+            "--naflex-seq-lens", "16", "32",
+            "--naflex-max-tokens", "256",
+            "--naflex-batch-divisor", "8",
+            "--epochs", "1",
+            "--lr", "1e-3",
+            "--warmup", "1",
+            "--precision", "fp32",
+            "--logs", str(tmp_path),
+            "--name", "smoke-naflex",
+            "--zeroshot-frequency", "100",
+        ]
+    )
+    assert int(state.step) == 4
