@@ -268,6 +268,8 @@ def get_data(
         data["val"] = build(get("val_data"), is_train=False)
     if get("imagenet_val"):
         data["imagenet-val"] = make_imagenet_val(get("imagenet_val"), pp_val, get("batch_size", 64))
+    if get("imagenet_v2"):
+        data["imagenet-v2"] = make_imagenet_val(get("imagenet_v2"), pp_val, get("batch_size", 64))
     return data
 
 

@@ -36,7 +36,7 @@ def init_audio_tower(key, acfg: CLIPAudioCfg, embed_dim: int) -> Dict[str, Any]:
     if mt == "whisper":
         from . import whisper
 
-        p["encoder"], p_meta = whisper.init_whisper_encoder(ks[0], acfg.model_name, embed_dim)
+        p["encoder"], _meta = whisper.init_whisper_encoder(ks[0], acfg.model_name, embed_dim)
         audio_width = embed_dim
     elif mt == "htsat":
         from . import htsat

@@ -185,7 +185,6 @@ def sample_pos_embed(grid: jax.Array, coords: jax.Array, valid: jax.Array) -> ja
     gh, gw, width = grid.shape
     cy = coords[..., 0].astype(jnp.float32)
     cx = coords[..., 1].astype(jnp.float32)
-    big = jnp.where(valid, cy, 0.0)
     h_ext = jnp.max(jnp.where(valid, cy, 0.0), axis=1, keepdims=True) + 1.0  # (B,1)
     w_ext = jnp.max(jnp.where(valid, cx, 0.0), axis=1, keepdims=True) + 1.0
 

@@ -55,9 +55,16 @@ def train_one_epoch(
     log_every = getattr(args, "log_every_n_steps", 100)
     rng = jax.random.PRNGKey(getattr(args, "seed", 0) + epoch)
 
+    # overlap host decode/tokenize with the device step (the role of the reference's
+    # DataLoader workers, data.py:1023-1055)
+    from ..data.wds import PrefetchIterator
+
+    prefetch_depth = max(1, getattr(args, "workers", 2))
+    loader = PrefetchIterator(dataloader, depth=prefetch_depth)
+
     end = time.perf_counter()
     pending_metrics = None
-    for i, batch in enumerate(dataloader):
+    for i, batch in enumerate(loader):
         data_time.update(time.perf_counter() - end)
         rng, step_rng = jax.random.split(rng)
         state, metrics = step_fn(state, _to_device(batch), step_rng)
