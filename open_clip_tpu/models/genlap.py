@@ -194,6 +194,17 @@ def genlap_forward(
         text_valid = text != cfg.text_cfg.pad_id
     pv = audio["patch_valid"].astype(bool)
 
+    if compute_loss and t.pack_prefix:
+        from .genlip import packed_caption_loss
+
+        loss = packed_caption_loss(
+            params, cfg,
+            embed_audio_patches(params, cfg, audio["patches"], compute_dtype), pv,
+            build_audio_position_ids(audio["patch_coord"], pv, text_valid, rope_1d=cfg.use_rope_1d),
+            text, text_valid, compute_dtype=compute_dtype, remat=remat,
+        )
+        return {"loss": loss}
+
     aud_emb = embed_audio_patches(params, cfg, audio["patches"], compute_dtype)
     txt_emb = embed_text(params, cfg, text, compute_dtype)
     h = jnp.concatenate([aud_emb, txt_emb], axis=1)

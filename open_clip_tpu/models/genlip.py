@@ -444,6 +444,15 @@ def genlip_forward(
         text_valid = text != cfg.text_cfg.pad_id
     pv = image["patch_valid"].astype(bool)
 
+    if compute_loss and t.pack_prefix:
+        loss = packed_caption_loss(
+            params, cfg,
+            embed_patches(params, cfg, image["patches"], compute_dtype), pv,
+            build_mrope_position_ids(image["patch_coord"], pv, text_valid),
+            text, text_valid, compute_dtype=compute_dtype, remat=remat,
+        )
+        return {"loss": loss}
+
     img_emb = embed_patches(params, cfg, image["patches"], compute_dtype)
     txt_emb = embed_text(params, cfg, text, compute_dtype)
     h = jnp.concatenate([img_emb, txt_emb], axis=1)
@@ -584,3 +593,104 @@ class GenLipModel:
         return genlip_forward(self.params, self.cfg, image, jnp.asarray(text),
                               text_valid, compute_loss=compute_loss,
                               compute_dtype=self.compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# packed prefix layout (pack_prefix=True)
+# ---------------------------------------------------------------------------
+
+def build_packed_prefix_lm_bias(prefix_pos: jax.Array, text_pos: jax.Array) -> jax.Array:
+    """Additive bias for the packed [valid prefix ; valid text ; PAD] layout
+    (reference build_packed_prefix_lm_mask, :518-539): per-row prefix/text split,
+    prefix<->prefix bidirectional, text->text causal, text->prefix; pads masked,
+    diagonal forced open."""
+    b, t = prefix_pos.shape
+    valid = prefix_pos | text_pos
+    causal = jnp.tril(jnp.ones((t, t), bool))
+    allowed = (
+        (prefix_pos[:, :, None] & prefix_pos[:, None, :])
+        | (text_pos[:, :, None] & text_pos[:, None, :] & causal[None])
+        | (text_pos[:, :, None] & prefix_pos[:, None, :])
+    )
+    allowed = allowed & valid[:, None, :]
+    allowed = allowed | jnp.eye(t, dtype=bool)[None]
+    return jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)[:, None]
+
+
+def pack_prefix_sequence(
+    prefix_emb: jax.Array,  # (B, Np, W)
+    prefix_valid: jax.Array,  # (B, Np) bool, front-contiguous
+    block_pos: jax.Array,  # (3, B, Np+Nt)
+    text_emb: jax.Array,  # (B, Nt, W)
+    text_valid: jax.Array,  # (B, Nt) bool, front-contiguous
+):
+    """Static-shape packing (reference pack_prefix_sequence, :468-516): each row becomes
+    [valid prefix ; valid text ; PAD] of the SAME total length T = Np + Nt (jit needs a
+    static T; the reference shrinks T to the batch max, which the data pipeline's
+    tighter buckets achieve here instead).
+
+    Returns (combined (B,T,W), pos (3,B,T), bias (B,1,T,T), k (B,), m (B,))."""
+    b, n_prefix, width = prefix_emb.shape
+    n_text = text_emb.shape[1]
+    t = n_prefix + n_text
+    k = prefix_valid.astype(jnp.int32).sum(axis=1)  # (B,)
+    m = text_valid.astype(jnp.int32).sum(axis=1)
+
+    cols = jnp.arange(t)[None, :]  # (1, T)
+    prefix_dst = cols < k[:, None]
+    text_dst = (cols >= k[:, None]) & (cols < (k + m)[:, None])
+
+    # gather index into the concatenated [prefix ; text] source
+    gather_idx = jnp.where(
+        prefix_dst, cols, jnp.where(text_dst, n_prefix + cols - k[:, None], 0)
+    ).astype(jnp.int32)
+
+    concat_emb = jnp.concatenate([prefix_emb, text_emb], axis=1)  # (B, T, W)
+    combined = jnp.take_along_axis(concat_emb, gather_idx[..., None], axis=1)
+    combined = combined * (prefix_dst | text_dst)[..., None].astype(combined.dtype)
+
+    pos = jnp.take_along_axis(block_pos, gather_idx[None], axis=2)
+
+    bias = build_packed_prefix_lm_bias(prefix_dst, text_dst)
+    return combined, pos, bias, k, m
+
+
+def packed_caption_loss(
+    params: Dict[str, Any],
+    cfg,  # GenLipModelCfg or GenLapModelCfg (shared trunk slots)
+    prefix_emb: jax.Array,
+    prefix_valid: jax.Array,
+    block_pos: jax.Array,
+    text: jax.Array,
+    text_valid: jax.Array,
+    *,
+    compute_dtype=jnp.float32,
+    remat: bool = False,
+) -> jax.Array:
+    """Fused AR caption CE over the packed layout (reference packed_caption_loss,
+    :516-539): the first caption token is predicted from the last VALID prefix token."""
+    t_cfg = cfg.trunk_cfg
+    txt_emb = embed_text(params, cfg, text, compute_dtype)
+    combined, pos, bias, k, m = pack_prefix_sequence(
+        prefix_emb, prefix_valid.astype(bool), block_pos, txt_emb, text_valid.astype(bool)
+    )
+    cos, sin = mrope_cos_sin(pos, t_cfg.width // t_cfg.num_heads, t_cfg.mrope_section,
+                             t_cfg.rope_theta, t_cfg.mrope_interleaved)
+    h = apply_trunk(params["trunk"], t_cfg, combined, bias, cos, sin, remat=remat)
+    if "out_proj" in params:
+        h = linear(h, params["out_proj"]["kernel"], params["out_proj"].get("bias"))
+
+    # position j predicts caption token (j - (k-1)) for j in [k-1, k+m-1)
+    t_len = h.shape[1]
+    cols = jnp.arange(t_len)[None, :]
+    pred_dst = (cols >= (k - 1)[:, None]) & (cols < (k + m - 1)[:, None])
+    tok_idx = jnp.clip(cols - (k - 1)[:, None], 0, text.shape[1] - 1)
+    labels = jnp.take_along_axis(text, tok_idx, axis=1)
+    labels = jnp.where(pred_dst, labels, -100)
+
+    return fused_linear_cross_entropy(
+        h.reshape(-1, h.shape[-1]),
+        params["lm_head"]["kernel"].T,
+        labels.reshape(-1),
+        ignore_index=-100,
+    )

@@ -120,6 +120,19 @@ def make_train_step(
         raise NotImplementedError("grad accumulation for CoCa (caption term) lands later")
 
     def full_loss(params, batch, rng):
+        if loss_type in ("genlip", "genlap"):
+            # the model computes its own fused AR loss (reference genlip_task.py fused path)
+            if loss_type == "genlip":
+                from ..models.genlip import genlip_forward as gen_fwd
+
+                out = gen_fwd(params, cfg, batch["image"], batch["text"], compute_loss=True,
+                              compute_dtype=compute_dtype, remat=remat, train=True, rng=rng)
+            else:
+                from ..models.genlap import genlap_forward as gen_fwd
+
+                out = gen_fwd(params, cfg, batch["audio"], batch["text"], compute_loss=True,
+                              compute_dtype=compute_dtype, remat=remat, train=True, rng=rng)
+            return out["loss"], {}
         scale = jnp.exp(params["logit_scale"].astype(jnp.float32))
         bias = params.get("logit_bias")
         if bias is not None:
@@ -224,7 +237,8 @@ def make_train_step(
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         # temperature clamp (reference base_task clamp_logit_scale / train.py:213-218)
-        new_params["logit_scale"] = jnp.minimum(new_params["logit_scale"], clamp_scale)
+        if "logit_scale" in new_params:
+            new_params["logit_scale"] = jnp.minimum(new_params["logit_scale"], clamp_scale)
 
         new_ema = state.ema_params
         if state.ema_params is not None and ema_decay is not None:
@@ -233,7 +247,8 @@ def make_train_step(
 
         metrics = {
             "loss": loss,
-            "logit_scale": jnp.exp(new_params["logit_scale"].astype(jnp.float32)),
+            "logit_scale": jnp.exp(new_params["logit_scale"].astype(jnp.float32))
+            if "logit_scale" in new_params else jnp.float32(0.0),
             "grad_norm": optax.global_norm(grads),
         }
         return TrainState(state.step + 1, new_params, new_opt, new_ema), metrics

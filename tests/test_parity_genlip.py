@@ -85,3 +85,36 @@ def test_genlip_factory():
     image, text = _patch_batch(3)
     out = model(image, text.astype(np.int32), compute_loss=True)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_genlip_pack_prefix_loss_parity(ref, rng_seed=7):
+    """pack_prefix=True packed-layout loss must match the reference's packed loss
+    (first caption token predicted from the last VALID prefix token)."""
+    import json, tempfile, pathlib
+
+    cfg_dict = json.loads(json.dumps(get_model_config("naflexgenlip_test")))
+    cfg_dict["genlip_cfg"]["pack_prefix"] = True
+    name = "naflexgenlip-test-packed"
+    if name not in oct.list_models():
+        oct.add_model_config(cfg_dict, name=name)
+    if name not in ref.list_models():
+        d = pathlib.Path(tempfile.mkdtemp())
+        (d / f"{name}.json").write_text(json.dumps(cfg_dict))
+        ref.add_model_config(d)
+
+    torch.manual_seed(55)
+    tmodel = ref.create_model(name)
+    tmodel.eval()
+    assert tmodel.pack_prefix
+    cfg = G.GenLipModelCfg.from_dict(cfg_dict)
+    params = G.torch_genlip_to_params(tmodel.state_dict(), cfg)
+
+    image, text = _patch_batch(9)
+    timage = {k: torch.from_numpy(np.asarray(v)) for k, v in image.items()}
+    with torch.no_grad():
+        t_out = tmodel(timage, torch.from_numpy(text), compute_loss=True)
+    j_out = G.genlip_forward(
+        params, cfg, {k: jnp.asarray(v) for k, v in image.items()},
+        jnp.asarray(text.astype(np.int32)), compute_loss=True,
+    )
+    np.testing.assert_allclose(float(j_out["loss"]), float(t_out["loss"]), rtol=1e-5)

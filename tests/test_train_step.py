@@ -241,3 +241,28 @@ def test_distill_train_step(tiny, rng):
     np.testing.assert_array_equal(
         np.asarray(teacher_params["visual"]["proj"]), np.asarray(init_clip(jax.random.PRNGKey(9), cfg)["visual"]["proj"])
     )
+
+
+def test_genlip_train_step(rng):
+    from open_clip_tpu.models import genlip as G
+
+    cfg = G.GenLipModelCfg.from_dict(oct.get_model_config("naflexgenlip_test"))
+    params = G.init_genlip(jax.random.PRNGKey(0), cfg)
+    opt = _optimizer(params)
+    step = make_train_step(cfg, opt, loss_type="genlip", compute_dtype=jnp.float32)
+    state = create_train_state(params, opt)
+    n, npatch, pdim, lt = 4, 8, 16 * 16 * 3, 10
+    coords = np.stack(np.meshgrid(np.arange(2), np.arange(4), indexing="ij"), -1).reshape(-1, 2)
+    batch = {
+        "image": {
+            "patches": rng.standard_normal((n, npatch, pdim)).astype(np.float32),
+            "patch_coord": np.repeat(coords[None], n, 0).astype(np.int32),
+            "patch_valid": np.ones((n, npatch), bool),
+        },
+        "text": rng.integers(0, 1000, size=(n, lt)).astype(np.int32),
+    }
+    losses = []
+    for i in range(4):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
