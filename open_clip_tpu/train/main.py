@@ -104,6 +104,18 @@ def main(args=None):
 
     random_seed(args.seed)
 
+    # remote sync background process (reference main.py:211-232)
+    if args.remote_sync:
+        from .file_utils import remote_sync, start_sync_process
+
+        if not remote_sync(str(log_dir), os.path.join(args.remote_sync, args.name), args.remote_sync_protocol):
+            raise RuntimeError("initial remote sync failed; check --remote-sync target")
+        proc = start_sync_process(
+            args.remote_sync_frequency, str(log_dir),
+            os.path.join(args.remote_sync, args.name), args.remote_sync_protocol,
+        )
+        proc.start()
+
     # --- mesh --------------------------------------------------------------------
     n_dev = len(jax.devices())
     fsdp = args.mesh_fsdp
@@ -217,6 +229,14 @@ def main(args=None):
             mesh,
         )
 
+        if args.profile_dir:
+            # jax trace of the first few steps (aux tracing subsystem; SURVEY §5)
+            try:
+                jax.profiler.start_trace(args.profile_dir)
+                _profiling = True
+            except Exception as e:  # noqa: BLE001 — backend may not support tracing
+                logger.warning("profiler trace unavailable: %r", e)
+                _profiling = False
         for epoch in range(start_epoch, args.epochs):
             logger.info("=> epoch %d", epoch)
             data["train"].set_epoch(epoch)
@@ -224,6 +244,10 @@ def main(args=None):
                 state, step_fn, data["train"].dataloader, epoch, args, schedule, writer
             )
             model.params = state.ema_params if state.ema_params is not None else state.params
+            if args.profile_dir and epoch == start_epoch and _profiling:
+                jax.profiler.stop_trace()
+                logger.info("profiler trace written to %s", args.profile_dir)
+                _profiling = False
 
             completed = epoch + 1
             if "val" in data or "imagenet-val" in data:
@@ -235,6 +259,18 @@ def main(args=None):
                 path = ckpt_dir / f"epoch_{completed}"
                 save_native(str(path), state)
                 logger.info("saved checkpoint %s", path)
+            if args.save_most_recent:
+                # atomic latest swap (reference main.py:678-741): write tmp, then rename
+                import shutil
+
+                tmp = ckpt_dir / "tmp_latest"
+                if tmp.exists():
+                    shutil.rmtree(tmp)
+                save_native(str(tmp), state)
+                latest = ckpt_dir / "epoch_latest"
+                if latest.exists():
+                    shutil.rmtree(latest)
+                os.replace(tmp, latest)
                 if args.delete_previous_checkpoint and completed > 1:
                     prev = ckpt_dir / f"epoch_{completed - 1}"
                     if prev.exists():

@@ -128,6 +128,14 @@ def parse_args(args=None):
     parser.add_argument("--checkpoint-format", type=str, default="orbax", choices=["orbax", "pt-interop"])
     parser.add_argument("--delete-previous-checkpoint", action="store_true", default=False)
 
+    # remote sync (reference --remote-sync*)
+    parser.add_argument("--remote-sync", type=str, default=None)
+    parser.add_argument("--remote-sync-frequency", type=int, default=300)
+    parser.add_argument("--remote-sync-protocol", choices=["s3", "fsspec"], default="fsspec")
+    # profiling
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="capture a jax.profiler trace of a few train steps to this dir")
+
     # eval / misc
     parser.add_argument("--val-frequency", type=int, default=1)
     parser.add_argument("--zeroshot-frequency", type=int, default=2)
