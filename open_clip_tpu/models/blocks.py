@@ -170,10 +170,9 @@ def apply_block(
     h = layer_norm(x, p["ln_1"]["scale"], p["ln_1"]["bias"], eps=norm_eps)
     h = multi_head_attention(
         p["attn"], h, num_heads=heads, bias=bias, causal=causal,
-        qk_norm_eps=qk_norm_eps, impl=attn_impl,
+        qk_norm_eps=qk_norm_eps if "ln_q" in p["attn"] else (norm_eps if "ln_inner" in p["attn"] else None),
+        impl=attn_impl,
     )
-    if "ln_inner" in p["attn"]:
-        h = layer_norm(h, p["attn"]["ln_inner"]["scale"], p["attn"]["ln_inner"]["bias"], eps=norm_eps)
     if "ln_attn" in p:
         h = layer_norm(h, p["ln_attn"]["scale"], p["ln_attn"]["bias"], eps=norm_eps)
     if "ls_1" in p:
