@@ -1,0 +1,72 @@
+"""Behavior tests: patch dropout, device-side preprocessing vs host transform,
+const-cooldown schedule."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+import open_clip_tpu as oct
+from open_clip_tpu.models.vit import patch_dropout, patchify
+from open_clip_tpu.train.scheduler import const_lr_cooldown
+from open_clip_tpu.transform import PreprocessCfg, image_transform_v2, make_device_preprocess
+
+
+def test_patch_dropout_keeps_prefix_and_count(rng):
+    x = jnp.asarray(rng.standard_normal((4, 17, 8)).astype(np.float32))  # 1 cls + 16 patches
+    out = patch_dropout(jax.random.PRNGKey(0), x, prob=0.5, num_prefix=1)
+    assert out.shape == (4, 1 + 8, 8)  # keeps ceil/floor(16 * 0.5)
+    np.testing.assert_array_equal(np.asarray(out[:, 0]), np.asarray(x[:, 0]))  # cls kept
+    # kept rows are a subset of the original patch rows
+    orig = np.asarray(x[0, 1:])
+    kept = np.asarray(out[0, 1:])
+    for row in kept:
+        assert any(np.allclose(row, o) for o in orig)
+    # different rng -> different subset
+    out2 = patch_dropout(jax.random.PRNGKey(1), x, prob=0.5, num_prefix=1)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_device_preprocess_matches_host_squash():
+    """uint8 device path == host PIL path for the squash mode at the native size
+    (no resize: purely normalize), and stays close under bicubic resize."""
+    cfg = PreprocessCfg(size=32, resize_mode="squash")
+    host = image_transform_v2(cfg, is_train=False)
+    dev = make_device_preprocess(cfg)
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+    img = Image.fromarray(arr)
+    h = host(img)
+    d = np.asarray(dev(jnp.asarray(arr[None])))[0]
+    np.testing.assert_allclose(d, h, atol=1e-5)
+
+    big = rng.integers(0, 255, size=(64, 48, 3), dtype=np.uint8)
+    h2 = host(Image.fromarray(big))
+    d2 = np.asarray(dev(jnp.asarray(big[None])))[0]
+    # PIL and jax.image bicubic kernels differ slightly; values must be close
+    assert np.abs(d2 - h2).mean() < 0.1
+
+
+def test_const_cooldown_schedule():
+    sched = const_lr_cooldown(1.0, warmup_length=5, steps=100, cooldown_steps=20,
+                              cooldown_power=1.0, cooldown_end_lr=0.1)
+    assert float(sched(0)) == pytest.approx(0.2)
+    assert float(sched(10)) == pytest.approx(1.0)
+    assert float(sched(79)) == pytest.approx(1.0)
+    assert float(sched(90)) == pytest.approx(0.55, abs=1e-6)  # halfway through cooldown
+    assert float(sched(100)) == pytest.approx(0.1)
+
+
+def test_patchify_layout(rng):
+    """patchify flatten order must equal the conv-kernel flatten order used by the
+    converter (ph, pw, c)."""
+    img = rng.standard_normal((1, 4, 4, 3)).astype(np.float32)
+    p = np.asarray(patchify(jnp.asarray(img), 2))
+    # patch (0,0) covers rows 0-1, cols 0-1; flattened as (ph, pw, c)
+    expected = img[0, 0:2, 0:2, :].reshape(-1)
+    np.testing.assert_allclose(p[0, 0], expected)
+    # patch (0,1) covers rows 0-1, cols 2-3
+    np.testing.assert_allclose(p[0, 1], img[0, 0:2, 2:4, :].reshape(-1))
