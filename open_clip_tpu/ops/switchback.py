@@ -64,8 +64,8 @@ def int8_matmul_dequant(
     sw: jax.Array,  # (N,) fp32 col scales
     out_dtype=jnp.float32,
     block_m: int = 256,
-    block_n: int = 256,
-    block_k: int = 512,
+    block_n: int = 512,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
     m, k = qx.shape
