@@ -128,6 +128,8 @@ def create_optimizer(
         chain.append(optax.scale_by_trust_ratio())
     elif opt_name == "adafactor":
         chain.append(optax.scale_by_factored_rms())
+    elif opt_name == "muon":
+        chain.append(scale_by_muon(momentum=cfg.momentum))
     else:
         raise ValueError(f"unknown optimizer {cfg.opt!r}")
 
@@ -193,3 +195,51 @@ def apply_trainable_mask(optimizer: optax.GradientTransformation, mask: Any) -> 
         ),
     )
     return optax.chain(optimizer, zero)
+
+
+def scale_by_muon(momentum: float = 0.95, ns_steps: int = 5, nesterov: bool = True):
+    """Muon: momentum + Newton-Schulz orthogonalization of 2-D updates
+    (the reference routes 'muon'-family names to external impls, optim.py:336-470;
+    here it is native optax). Non-2D leaves (embeddings excluded by the caller's
+    param-group policy; biases/norms) fall through with plain momentum.
+
+    Matrix leaves with a leading stacked-layer axis are orthogonalized per layer
+    (vmapped Newton-Schulz) — the scan-stacked block layout just works.
+    """
+
+    def newton_schulz(g):
+        # quintic NS iteration from the Muon reference implementation
+        a, b, c = 3.4445, -4.7750, 2.0315
+        x = g.astype(jnp.bfloat16)
+        transpose = x.shape[-2] > x.shape[-1]
+        if transpose:
+            x = x.swapaxes(-1, -2)
+        x = x / (jnp.linalg.norm(x, axis=(-2, -1), keepdims=True) + 1e-7)
+        for _ in range(ns_steps):
+            xxt = x @ x.swapaxes(-1, -2)
+            x = a * x + (b * xxt + c * (xxt @ xxt)) @ x
+        if transpose:
+            x = x.swapaxes(-1, -2)
+        return x.astype(g.dtype)
+
+    def init(params):
+        return {"momentum": jax.tree.map(jnp.zeros_like, params)}
+
+    def update(updates, state, params=None):
+        buf = jax.tree.map(lambda m, g: momentum * m + g, state["momentum"], updates)
+        eff = jax.tree.map(lambda m, g: momentum * m + g, buf, updates) if nesterov else buf
+
+        def orth(u):
+            if u.ndim == 2:
+                out = newton_schulz(u)
+            elif u.ndim == 3:  # stacked blocks (L, in, out): per-layer NS
+                out = jax.vmap(newton_schulz)(u)
+            else:
+                return u
+            # match update RMS to adam-style magnitudes (Muon convention)
+            scale_adj = jnp.sqrt(jnp.maximum(u.shape[-2], u.shape[-1]).astype(jnp.float32)) * 0.2
+            return out * scale_adj
+
+        return jax.tree.map(orth, eff), {"momentum": buf}
+
+    return optax.GradientTransformation(init, update)

@@ -20,6 +20,16 @@ def count_params(tree: Any) -> int:
     return sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(tree))
 
 
+def abstract_params(model_name: str):
+    """Shape-only params via eval_shape — no memory or RNG cost even for ViT-bigG."""
+    from ..config import parse_model_cfg
+    from ..models.clip import init_clip
+
+    cfg = parse_model_cfg(model_name)
+    shapes = jax.eval_shape(lambda k: init_clip(k, cfg), jax.random.PRNGKey(0))
+    return cfg, shapes
+
+
 def _flops_of(fn, *args) -> Optional[float]:
     from ..models import blocks as B
 
@@ -40,11 +50,9 @@ def _flops_of(fn, *args) -> Optional[float]:
 def profile_model(model_name: str, batch_size: int = 1, force_custom_text: bool = False) -> Dict[str, Any]:
     """-> {model, image_size, image_width, text_width, embed_dim, params_m, image_params_m,
     text_params_m, gflops, image_gflops, text_gflops} (reference profiler.py:131-208)."""
-    from ..factory import create_model
     from ..models.clip import encode_image, encode_text
 
-    model = create_model(model_name, load_weights=False)
-    cfg, params = model.cfg, model.params
+    cfg, params = abstract_params(model_name)
 
     row: Dict[str, Any] = {"model": model_name}
     total_p = count_params(params)

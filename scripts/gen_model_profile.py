@@ -16,11 +16,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from open_clip_tpu.train.profiler import profile_models  # noqa: E402
 
 DEFAULT = [
-    "ViT-S-32", "ViT-B-32", "ViT-B-16", "ViT-L-14",
-    "RN50",
-    "ViT-B-16-SigLIP",
-    "coca_ViT-B-32",
+    "ViT-S-32", "ViT-B-32", "ViT-B-16", "ViT-L-14", "ViT-L-14-336",
+    "ViT-H-14", "ViT-g-14", "ViT-bigG-14",
+    "RN50", "RN101",
+    "ViT-B-16-SigLIP", "ViT-SO400M-14-SigLIP",
+    "coca_ViT-B-32", "coca_ViT-L-14",
     "moderntext-ViT-B-32-256",
+    "naflexgenlip_b16",
+    "CLAP-HTSAT-tiny",
 ]
 
 if __name__ == "__main__":

@@ -266,3 +266,20 @@ def test_genlip_train_step(rng):
         state, metrics = step(state, batch, jax.random.PRNGKey(i))
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_muon_optimizer(tiny, rng):
+    from open_clip_tpu.train.optim import OptimizerCfg, create_optimizer
+    from open_clip_tpu.train.scheduler import const_lr
+
+    cfg, params = tiny
+    opt = create_optimizer(OptimizerCfg(opt="muon", lr=1e-3, wd=0.0, momentum=0.95),
+                           params, const_lr(1e-3, 0))
+    step = make_train_step(cfg, opt, compute_dtype=jnp.float32)
+    state = create_train_state(params, opt)
+    batch = _batch(rng, n=8)
+    losses = []
+    for i in range(5):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
