@@ -172,6 +172,15 @@ def _convert_attn_pool(prefix: str, sd: Dict[str, np.ndarray], tree: dict, pool_
 def torch_clip_to_params(sd: Mapping[str, Any], cfg: Optional[CLIPModelCfg] = None) -> Dict[str, Any]:
     """Convert a reference CLIP/CustomTextCLIP state dict into the JAX param tree."""
     sd = normalize_torch_state_dict(sd)
+    if any(k.startswith("visual.trunk.stem.") for k in sd):
+        from .models import convnext
+
+        assert cfg is not None, "convnext conversion needs the model cfg"
+        tree = convnext.torch_convnext_clip_to_params(sd, cfg.vision_cfg)
+        rest_sd = {k: v for k, v in sd.items() if not k.startswith("visual.")}
+        rest = torch_clip_to_params(rest_sd, cfg) if rest_sd else {}
+        rest["visual"] = tree
+        return rest
     if any(k.startswith("visual.trunk.") for k in sd):
         raise NotImplementedError("timm-trunk checkpoints not yet supported by the converter")
     if any(k.startswith(("visual.layer1", "visual.layer2")) for k in sd):

@@ -168,7 +168,9 @@ def _check_supported(cfg: CLIPModelCfg) -> None:
     if v is not None and v.timm_model_name and not v.timm_model_name.startswith("naflexvit"):
         import re
 
-        if not re.match(r"vit_[a-z0-9]+_patch\d+_siglip", v.timm_model_name):
+        from .models.convnext import is_convnext
+
+        if not re.match(r"vit_[a-z0-9]+_patch\d+_siglip", v.timm_model_name) and not is_convnext(v):
             raise NotImplementedError(
                 f"timm vision tower {v.timm_model_name!r} has no native TPU implementation yet"
             )

@@ -48,6 +48,10 @@ def init_clip(key, cfg: CLIPModelCfg) -> Dict[str, Any]:
             from . import resnet
 
             params["visual"] = resnet.init_modified_resnet(kv, cfg.vision_cfg, cfg.embed_dim)
+        elif _is_convnext(cfg.vision_cfg):
+            from . import convnext
+
+            params["visual"] = convnext.init_convnext(kv, cfg.vision_cfg, cfg.embed_dim)
         else:
             params["visual"] = vit.init_vision_tower(kv, cfg.vision_cfg, cfg.embed_dim)
     if cfg.text_cfg is not None:
@@ -83,6 +87,12 @@ def _is_naflex(vision_cfg) -> bool:
     return bool(vision_cfg.timm_model_name) and vision_cfg.timm_model_name.startswith("naflexvit")
 
 
+def _is_convnext(vision_cfg) -> bool:
+    from .convnext import is_convnext
+
+    return is_convnext(vision_cfg)
+
+
 def encode_image(
     params: Dict[str, Any],
     cfg: CLIPModelCfg,
@@ -109,6 +119,13 @@ def encode_image(
 
         pooled = resnet.apply_modified_resnet(
             params["visual"], vcfg, image, compute_dtype=compute_dtype
+        )
+    elif _is_convnext(vcfg):
+        from . import convnext
+
+        pooled = convnext.apply_convnext(
+            params["visual"], vcfg, image, train=train, rng=rng,
+            compute_dtype=compute_dtype, remat=remat,
         )
     else:
         pooled, _ = vit.apply_vision_tower(
