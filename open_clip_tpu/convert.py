@@ -169,6 +169,63 @@ def _convert_attn_pool(prefix: str, sd: Dict[str, np.ndarray], tree: dict, pool_
     tree[pool_key] = p
 
 
+def _convert_timm_vit_trunk(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Convert a timm-ViT trunk (``visual.trunk.*`` keys of a reference SigLIP-family
+    torch checkpoint, built via timm in reference timm_model.py:63-110) into the native
+    vision tower layout (same target tree as load_big_vision_weights)."""
+
+    def t(k):
+        v = sd[k]
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    def ln(prefix):
+        return {"scale": t(f"{prefix}.weight"), "bias": t(f"{prefix}.bias")}
+
+    def lin(prefix):
+        p = {"kernel": t(f"{prefix}.weight").T}
+        if f"{prefix}.bias" in sd:
+            p["bias"] = t(f"{prefix}.bias")
+        return p
+
+    n_layers = 1 + max(
+        int(k.split(".")[3]) for k in sd if k.startswith("visual.trunk.blocks.")
+    )
+    blocks = {}
+    for i in range(n_layers):
+        b = f"visual.trunk.blocks.{i}"
+        blocks[i] = {
+            "ln_1": ln(f"{b}.norm1"),
+            "attn": {"qkv": lin(f"{b}.attn.qkv"), "out": lin(f"{b}.attn.proj")},
+            "ln_2": ln(f"{b}.norm2"),
+            "mlp": {"c_fc": lin(f"{b}.mlp.fc1"), "c_proj": lin(f"{b}.mlp.fc2")},
+        }
+
+    emb = t("visual.trunk.patch_embed.proj.weight")  # (W, 3, P, P)
+    pos = t("visual.trunk.pos_embed")
+    vis: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": emb.transpose(2, 3, 1, 0).reshape(-1, emb.shape[0]),
+            "bias": t("visual.trunk.patch_embed.proj.bias"),
+        },
+        "positional_embedding": pos.reshape(-1, pos.shape[-1]),
+        "ln_post": ln("visual.trunk.norm"),
+        "blocks": _stack_blocks(blocks),
+    }
+    if "visual.trunk.cls_token" in sd:
+        vis["class_embedding"] = t("visual.trunk.cls_token").reshape(-1)
+    if "visual.trunk.attn_pool.latent" in sd:
+        ap = "visual.trunk.attn_pool"
+        vis["map_pool"] = {
+            "latent": t(f"{ap}.latent").reshape(-1),
+            "q": lin(f"{ap}.q"),
+            "kv": lin(f"{ap}.kv"),
+            "proj": lin(f"{ap}.proj"),
+            "norm": ln(f"{ap}.norm"),
+            "mlp": {"c_fc": lin(f"{ap}.mlp.fc1"), "c_proj": lin(f"{ap}.mlp.fc2")},
+        }
+    return vis
+
+
 def torch_clip_to_params(sd: Mapping[str, Any], cfg: Optional[CLIPModelCfg] = None) -> Dict[str, Any]:
     """Convert a reference CLIP/CustomTextCLIP state dict into the JAX param tree."""
     sd = normalize_torch_state_dict(sd)
@@ -177,6 +234,12 @@ def torch_clip_to_params(sd: Mapping[str, Any], cfg: Optional[CLIPModelCfg] = No
 
         assert cfg is not None, "convnext conversion needs the model cfg"
         tree = convnext.torch_convnext_clip_to_params(sd, cfg.vision_cfg)
+        rest_sd = {k: v for k, v in sd.items() if not k.startswith("visual.")}
+        rest = torch_clip_to_params(rest_sd, cfg) if rest_sd else {}
+        rest["visual"] = tree
+        return rest
+    if any(k.startswith("visual.trunk.blocks.") for k in sd):
+        tree = _convert_timm_vit_trunk(sd)
         rest_sd = {k: v for k, v in sd.items() if not k.startswith("visual.")}
         rest = torch_clip_to_params(rest_sd, cfg) if rest_sd else {}
         rest["visual"] = tree

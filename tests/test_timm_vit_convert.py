@@ -1,0 +1,106 @@
+"""SigLIP torch-checkpoint (timm-ViT trunk) conversion parity.
+
+timm is not installed here (the reference can't build these towers in this env), so
+the oracle is a from-scratch torch module tree following timm's published ViT +
+AttentionPoolLatent structure and exact state-dict key names — the keys reference
+SigLIP checkpoints carry under ``visual.trunk.``.
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+import torch
+import torch.nn as nn
+
+from open_clip_tpu.config import parse_model_cfg
+from open_clip_tpu.convert import torch_clip_to_params
+from open_clip_tpu.models.clip import encode_image
+
+
+class TimmBlock(nn.Module):
+    def __init__(self, w, heads):
+        super().__init__()
+        self.heads = heads
+        self.norm1 = nn.LayerNorm(w, eps=1e-6)
+        self.attn = nn.Module()
+        self.attn.qkv = nn.Linear(w, 3 * w)
+        self.attn.proj = nn.Linear(w, w)
+        self.norm2 = nn.LayerNorm(w, eps=1e-6)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(w, 4 * w)
+        self.mlp.fc2 = nn.Linear(4 * w, w)
+
+    def _attn(self, x):
+        b, n, w = x.shape
+        hd = w // self.heads
+        qkv = self.attn.qkv(x).reshape(b, n, 3, self.heads, hd).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv.unbind(0)
+        a = torch.softmax(q @ k.transpose(-2, -1) * hd**-0.5, dim=-1)
+        return self.attn.proj((a @ v).transpose(1, 2).reshape(b, n, w))
+
+    def forward(self, x):
+        x = x + self._attn(self.norm1(x))
+        return x + self.mlp.fc2(torch.nn.functional.gelu(self.mlp.fc1(self.norm2(x))))
+
+
+class TimmSiglipViT(nn.Module):
+    """timm vision_transformer + AttentionPoolLatent with timm's key names."""
+
+    def __init__(self, w=768, layers=12, heads=12, patch=16, size=224):
+        super().__init__()
+        n = (size // patch) ** 2
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, w, patch, stride=patch)
+        self.pos_embed = nn.Parameter(torch.randn(1, n, w) * 0.02)
+        self.blocks = nn.ModuleList(TimmBlock(w, heads) for _ in range(layers))
+        self.norm = nn.LayerNorm(w, eps=1e-6)
+        ap = nn.Module()
+        ap.latent = nn.Parameter(torch.randn(1, 1, w) * 0.02)
+        ap.q = nn.Linear(w, w)
+        ap.kv = nn.Linear(w, 2 * w)
+        ap.proj = nn.Linear(w, w)
+        ap.norm = nn.LayerNorm(w, eps=1e-6)
+        ap.mlp = nn.Module()
+        ap.mlp.fc1 = nn.Linear(w, 4 * w)
+        ap.mlp.fc2 = nn.Linear(4 * w, w)
+        self.attn_pool = ap
+        self.heads = heads
+
+    def forward(self, x):  # NCHW
+        x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        x = x + self.pos_embed
+        for blk in self.blocks:
+            x = blk(x)
+        x = self.norm(x)
+        ap, (b, n, w) = self.attn_pool, x.shape
+        hd = w // self.heads
+        q = ap.q(ap.latent.expand(b, -1, -1)).reshape(b, 1, self.heads, hd).transpose(1, 2)
+        kv = ap.kv(x).reshape(b, n, 2, self.heads, hd).permute(2, 0, 3, 1, 4)
+        k, v = kv.unbind(0)
+        a = torch.softmax(q @ k.transpose(-2, -1) * hd**-0.5, dim=-1)
+        out = ap.proj((a @ v).transpose(1, 2).reshape(b, 1, w))
+        out = out + ap.mlp.fc2(torch.nn.functional.gelu(ap.mlp.fc1(ap.norm(out))))
+        return out[:, 0]
+
+
+def test_siglip_torch_trunk_parity():
+    torch.manual_seed(0)
+    trunk = TimmSiglipViT().eval()
+    with torch.no_grad():
+        for p in trunk.parameters():
+            if p.ndim > 1:
+                p.normal_(0, 0.02)
+    sd = {f"visual.trunk.{k}": v for k, v in trunk.state_dict().items()}
+
+    cfg = parse_model_cfg("ViT-B-16-SigLIP")
+    params = torch_clip_to_params(sd, cfg)
+    params["logit_scale"] = jnp.asarray(0.0)
+
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((2, 224, 224, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = trunk(torch.from_numpy(img).permute(0, 3, 1, 2)).numpy()
+    got = np.asarray(encode_image(params, cfg, jnp.asarray(img)))
+    cos = (ref * got).sum(-1) / (np.linalg.norm(ref, axis=-1) * np.linalg.norm(got, axis=-1))
+    assert cos.min() > 1 - 1e-5, cos
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
