@@ -103,6 +103,7 @@ def _convert_block_key(rest: str, value: np.ndarray):
         "attn.ln_inner.weight": (("attn", "ln_inner", "scale"), value),
         "attn.ln_inner.bias": (("attn", "ln_inner", "bias"), value),
         "attn.head_scale": (("attn", "head_scale"), value.reshape(-1)),
+        "attn.logit_scale": (("attn", "logit_scale"), value.reshape(-1)),
         "ln_attn.weight": (("ln_attn", "scale"), value),
         "ln_attn.bias": (("ln_attn", "bias"), value),
         "mlp.c_fc.weight": (("mlp", "c_fc", "kernel"), value.T),

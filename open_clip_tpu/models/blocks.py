@@ -69,6 +69,7 @@ def init_block(
     init_scheme: str = "vision",
     depth_for_init: int = 12,
     qk_norm: bool = False,
+    scaled_cosine: bool = False,
     scale_heads: bool = False,
     scale_attn_inner: bool = False,
     scale_attn: bool = False,
@@ -122,9 +123,14 @@ def init_block(
             "c_fc": torch_linear_init(ks[2], width, mlp_width),
             "c_proj": torch_linear_init(ks[3], mlp_width, width),
         }
+    assert not (scaled_cosine and qk_norm), "cannot combine scaled-cosine attn with qk-norm"
     if qk_norm:
         attn["ln_q"] = _ln_params(head_dim)
         attn["ln_k"] = _ln_params(head_dim)
+    if scaled_cosine:
+        import math as _math
+
+        attn["logit_scale"] = jnp.full((heads,), _math.log(10.0), jnp.float32)
     if scale_heads:
         attn["head_scale"] = jnp.ones((heads,))
     if scale_attn_inner:

@@ -35,7 +35,8 @@ def init_text_tower(key, cfg: CLIPTextCfg, embed_dim: int) -> Dict[str, Any]:
     p["blocks"] = B.init_block_stack(
         ks[3], cfg.layers, width, cfg.heads, int(width * cfg.mlp_ratio),
         ls_init_value=cfg.ls_init_value, init_scheme="text",
-        qk_norm=cfg.qk_norm, scale_heads=cfg.scale_heads,
+        qk_norm=cfg.qk_norm, scaled_cosine=cfg.scaled_cosine_attn,
+        scale_heads=cfg.scale_heads,
         scale_attn_inner=cfg.scale_attn_inner, scale_attn=cfg.scale_attn,
         scale_fc=cfg.scale_fc,
     )

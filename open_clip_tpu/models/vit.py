@@ -132,7 +132,8 @@ def init_vision_tower(key, cfg: CLIPVisionCfg, embed_dim: int) -> Dict[str, Any]
     p["blocks"] = B.init_block_stack(
         ks[3], cfg.layers, width, heads, int(width * cfg.mlp_ratio),
         ls_init_value=cfg.ls_init_value, init_scheme="vision",
-        qk_norm=cfg.qk_norm, scale_heads=cfg.scale_heads,
+        qk_norm=cfg.qk_norm, scaled_cosine=cfg.scaled_cosine_attn,
+        scale_heads=cfg.scale_heads,
         scale_attn_inner=cfg.scale_attn_inner, scale_attn=cfg.scale_attn,
         scale_fc=cfg.scale_fc,
     )

@@ -13,6 +13,7 @@ and contracted with einsum — no explicit transposes materialize on TPU.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -72,6 +73,9 @@ def dot_product_attention(
     return out
 
 
+_LOGIT_SCALE_MAX = math.log(1.0 / 0.01)
+
+
 def multi_head_attention(
     params: dict,
     x: jax.Array,  # (B, Lq, D)
@@ -123,6 +127,21 @@ def multi_head_attention(
     if qk_norm_eps is not None and "ln_q" in params:
         q = layer_norm(q, params["ln_q"]["scale"], params["ln_q"]["bias"], eps=qk_norm_eps)
         k = layer_norm(k, params["ln_k"]["scale"], params["ln_k"]["bias"], eps=qk_norm_eps)
+
+    if "logit_scale" in params:
+        # scaled-cosine attention (reference transformer.py:120-121, 207-218):
+        # cosine-normalized q/k, learned per-head logit scale clamped at log(1/0.01).
+        # Folding exp(scale) * sqrt(hd) into q cancels the 1/sqrt(hd) applied inside
+        # dot_product_attention, so one attention code path serves both.
+        q32 = q.astype(jnp.float32)
+        k32 = k.astype(jnp.float32)
+        q32 = q32 / jnp.maximum(jnp.linalg.norm(q32, axis=-1, keepdims=True), 1e-12)
+        k32 = k32 / jnp.maximum(jnp.linalg.norm(k32, axis=-1, keepdims=True), 1e-12)
+        ls = jnp.exp(jnp.minimum(params["logit_scale"].reshape(-1).astype(jnp.float32),
+                                 _LOGIT_SCALE_MAX))
+        q32 = q32 * (ls[None, None, :, None] * (hd ** 0.5))
+        q = q32.astype(q.dtype)
+        k = k32.astype(k.dtype)
 
     out = dot_product_attention(q, k, v, bias=bias, causal=causal, impl=impl)
 
