@@ -104,6 +104,7 @@ def encode_image(
     compute_dtype=jnp.float32,
     remat: bool = False,
     attn_impl: str = "auto",
+    stats_sink=None,
 ) -> jax.Array:
     vcfg = cfg.vision_cfg
     if _is_naflex(vcfg):
@@ -118,7 +119,8 @@ def encode_image(
         from . import resnet
 
         pooled = resnet.apply_modified_resnet(
-            params["visual"], vcfg, image, compute_dtype=compute_dtype
+            params["visual"], vcfg, image, compute_dtype=compute_dtype,
+            use_batch_stats=train, stats_sink=stats_sink,
         )
     elif _is_convnext(vcfg):
         from . import convnext
@@ -191,6 +193,7 @@ def clip_forward(
     compute_dtype=jnp.float32,
     remat: bool = False,
     attn_impl: str = "auto",
+    stats_sink=None,
 ) -> Dict[str, jax.Array]:
     """Dict-output forward matching reference CLIP.forward(output_dict=True)
     (model.py:528-548). CoCa configs (multimodal_cfg) also return decoder logits."""
@@ -212,6 +215,7 @@ def clip_forward(
         out["image_features"] = encode_image(
             params, cfg, image, normalize=True, train=train, rng=rng,
             compute_dtype=compute_dtype, remat=remat, attn_impl=attn_impl,
+            stats_sink=stats_sink,
         )
     if text is not None:
         out["text_features"] = encode_text(

@@ -37,12 +37,23 @@ def conv2d(x: jax.Array, kernel: jax.Array, stride: int = 1, padding: int = 0) -
     )
 
 
-def batch_norm(x: jax.Array, p: Dict[str, jax.Array], eps: float = 1e-5, use_batch_stats: bool = False) -> jax.Array:
+def _set_nested(tree: Dict[str, Any], path, leaf) -> None:
+    for k in path[:-1]:
+        tree = tree.setdefault(k, {})
+    tree[path[-1]] = leaf
+
+
+def batch_norm(x: jax.Array, p: Dict[str, jax.Array], eps: float = 1e-5, use_batch_stats: bool = False,
+               sink: Optional[Dict[str, Any]] = None, path=()) -> jax.Array:
     dtype = x.dtype
     x32 = x.astype(jnp.float32)
     if use_batch_stats:
         mean = x32.mean(axis=(0, 1, 2))
         var = x32.var(axis=(0, 1, 2))
+        if sink is not None:
+            # running-stat batch contribution; torch tracks the unbiased variance
+            n = x32.shape[0] * x32.shape[1] * x32.shape[2]
+            _set_nested(sink, path, {"mean": mean, "var": var * (n / max(n - 1, 1))})
     else:
         mean, var = p["mean"].astype(jnp.float32), p["var"].astype(jnp.float32)
     inv = jax.lax.rsqrt(var + eps) * p["scale"].astype(jnp.float32)
@@ -135,16 +146,20 @@ def init_modified_resnet(key, cfg: CLIPVisionCfg, embed_dim: int) -> Dict[str, A
 # apply
 # ---------------------------------------------------------------------------
 
-def _apply_bottleneck(p: Dict[str, Any], x: jax.Array, stride: int, use_batch_stats: bool) -> jax.Array:
+def _apply_bottleneck(p: Dict[str, Any], x: jax.Array, stride: int, use_batch_stats: bool,
+                      sink: Optional[Dict[str, Any]] = None, path=()) -> jax.Array:
     identity = x
-    out = jax.nn.relu(batch_norm(conv2d(x, p["conv1"]), p["bn1"], use_batch_stats=use_batch_stats))
-    out = jax.nn.relu(batch_norm(conv2d(out, p["conv2"], padding=1), p["bn2"], use_batch_stats=use_batch_stats))
+    bn = lambda h, name: batch_norm(h, p[name], use_batch_stats=use_batch_stats,
+                                    sink=sink, path=path + (name,))
+    out = jax.nn.relu(bn(conv2d(x, p["conv1"]), "bn1"))
+    out = jax.nn.relu(bn(conv2d(out, p["conv2"], padding=1), "bn2"))
     out = avg_pool(out, stride)
-    out = batch_norm(conv2d(out, p["conv3"]), p["bn3"], use_batch_stats=use_batch_stats)
+    out = bn(conv2d(out, p["conv3"]), "bn3")
     if "downsample" in p:
         identity = avg_pool(x, stride)
         identity = batch_norm(conv2d(identity, p["downsample"]["conv"]), p["downsample"]["bn"],
-                              use_batch_stats=use_batch_stats)
+                              use_batch_stats=use_batch_stats, sink=sink,
+                              path=path + ("downsample", "bn"))
     return jax.nn.relu(out + identity)
 
 
@@ -177,18 +192,22 @@ def apply_modified_resnet(
     *,
     compute_dtype=jnp.float32,
     use_batch_stats: bool = False,
+    stats_sink: Optional[Dict[str, Any]] = None,
 ) -> jax.Array:
     x = x.astype(compute_dtype)
     bs = use_batch_stats
-    x = jax.nn.relu(batch_norm(conv2d(x, params["conv1"], stride=2, padding=1), params["bn1"], use_batch_stats=bs))
-    x = jax.nn.relu(batch_norm(conv2d(x, params["conv2"], padding=1), params["bn2"], use_batch_stats=bs))
-    x = jax.nn.relu(batch_norm(conv2d(x, params["conv3"], padding=1), params["bn3"], use_batch_stats=bs))
+    sink = stats_sink
+    for name, stride, pad in (("1", 2, 1), ("2", 1, 1), ("3", 1, 1)):
+        x = jax.nn.relu(batch_norm(conv2d(x, params[f"conv{name}"], stride=stride, padding=pad),
+                                   params[f"bn{name}"], use_batch_stats=bs,
+                                   sink=sink, path=(f"bn{name}",)))
     x = avg_pool(x, 2)
 
     for li, stride in zip(range(1, 5), (1, 2, 2, 2)):
         stage = params[f"layer{li}"]
         for bi in range(len(stage)):
-            x = _apply_bottleneck(stage[str(bi)], x, stride if bi == 0 else 1, bs)
+            x = _apply_bottleneck(stage[str(bi)], x, stride if bi == 0 else 1, bs,
+                                  sink=sink, path=(f"layer{li}", str(bi)))
 
     heads = cfg.width * 32 // cfg.head_width
     return _apply_attn_pool(params["attnpool"], x, heads)

@@ -52,7 +52,26 @@ def create_train_state(params: Any, optimizer: optax.GradientTransformation, ema
     )
 
 
-def _features(params, cfg: CLIPModelCfg, batch, rng, *, compute_dtype, remat):
+def _merge_bn_stats(params, stats, momentum: float = 0.1):
+    """Fold batch-stat contributions into the running mean/var leaves (torch BN
+    momentum semantics: new = (1-m)*running + m*batch)."""
+
+    def rec(p, st):
+        out = dict(p)
+        for k, v in st.items():
+            if isinstance(v, dict) and set(v) == {"mean", "var"} and isinstance(p.get(k), dict) \
+                    and "mean" in p[k]:
+                out[k] = dict(p[k])
+                out[k]["mean"] = (1 - momentum) * p[k]["mean"] + momentum * v["mean"].astype(p[k]["mean"].dtype)
+                out[k]["var"] = (1 - momentum) * p[k]["var"] + momentum * v["var"].astype(p[k]["var"].dtype)
+            else:
+                out[k] = rec(p[k], v)
+        return out
+
+    return rec(params, stats)
+
+
+def _features(params, cfg: CLIPModelCfg, batch, rng, *, compute_dtype, remat, stats_sink=None):
     if "audio" in batch:
         # CLAP: audio features take the image slot for the contrastive loss
         # (reference clap_task.py maps audio_features -> image_features)
@@ -64,6 +83,7 @@ def _features(params, cfg: CLIPModelCfg, batch, rng, *, compute_dtype, remat):
     out = clip_forward(
         params, cfg, batch.get("image"), batch.get("text"),
         train=True, rng=rng, compute_dtype=compute_dtype, remat=remat,
+        stats_sink=stats_sink,
     )
     return out["image_features"], out["text_features"]
 
@@ -150,7 +170,9 @@ def make_train_step(
             cap = caption_cross_entropy(out["logits"][:, :-1], batch["text"][:, 1:], pad_id=pad_id)
             loss = clip_loss_weight * closs + caption_loss_weight * cap
             return loss, {"contrastive_loss": closs, "caption_loss": cap}
-        imf, txf = _features(params, cfg, batch, rng, compute_dtype=compute_dtype, remat=remat)
+        sink = {} if (cfg.vision_cfg is not None and cfg.vision_cfg.is_resnet) else None
+        imf, txf = _features(params, cfg, batch, rng, compute_dtype=compute_dtype, remat=remat,
+                             stats_sink=sink)
         loss = loss_fn(imf, txf, scale, bias)
         if loss_type == "distill":
             # frozen teacher features; KL on both logit directions
@@ -171,12 +193,21 @@ def make_train_step(
             s_i = scale * imf.astype(jnp.float32) @ txf.astype(jnp.float32).T
             t_i = t_scale * t_imf @ t_txf.T
             dloss = 0.5 * (kl(t_i, s_i) + kl(t_i.T, s_i.T))
-            return loss + dloss, {"contrastive_loss": loss, "distill_loss": dloss}
-        return loss, {}
+            aux = {"contrastive_loss": loss, "distill_loss": dloss}
+            if sink:
+                aux["_bn_stats"] = sink
+            return loss + dloss, aux
+        return loss, ({"_bn_stats": sink} if sink else {})
 
     def simple_step(state: TrainState, batch, rng):
-        (loss, _), grads = jax.value_and_grad(full_loss, has_aux=True)(state.params, batch, rng)
-        return _apply_updates(state, grads, loss)
+        (loss, aux), grads = jax.value_and_grad(full_loss, has_aux=True)(state.params, batch, rng)
+        new_state, metrics = _apply_updates(state, grads, loss)
+        bn = aux.get("_bn_stats") if isinstance(aux, dict) else None
+        if bn:
+            # train-mode BN: fold this batch's stats into the (non-learned) running
+            # mean/var leaves after the optimizer update
+            new_state = new_state._replace(params=_merge_bn_stats(new_state.params, {"visual": bn}))
+        return new_state, metrics
 
     def accum_step(state: TrainState, batch, rng):
         """GradCache exact accumulation over the leading microbatch axis of ``batch``."""
@@ -253,6 +284,12 @@ def make_train_step(
         }
         return TrainState(state.step + 1, new_params, new_opt, new_ema), metrics
 
+    if accum_steps > 1 and cfg.vision_cfg is not None and cfg.vision_cfg.is_resnet:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "grad accumulation with a ResNet tower: BN running stats are not updated "
+            "under the GradCache path; they stay at their initial/loaded values")
     return accum_step if accum_steps > 1 else simple_step
 
 

@@ -1,0 +1,75 @@
+"""Train-mode BatchNorm for ModifiedResNet: normalization by batch stats matches
+torch BatchNorm2d(train), and the train step folds batch stats into the running
+mean/var leaves with torch momentum semantics (reference trains RN towers with
+standard torch BN)."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from open_clip_tpu.config import parse_model_cfg, add_model_config, list_models
+from open_clip_tpu.models.clip import init_clip
+from open_clip_tpu.models.resnet import batch_norm
+from open_clip_tpu.train.optim import OptimizerCfg, create_optimizer
+from open_clip_tpu.train.scheduler import const_lr
+from open_clip_tpu.train.train_step import create_train_state, make_train_step
+
+TINY_RN = {
+    "embed_dim": 16,
+    "vision_cfg": {"image_size": 32, "layers": [1, 1, 1, 1], "width": 8, "head_width": 8},
+    "text_cfg": {"context_length": 12, "vocab_size": 64, "width": 16, "heads": 2, "layers": 2},
+}
+
+
+def test_batch_norm_train_mode_matches_torch(rng):
+    x = rng.standard_normal((4, 6, 6, 3)).astype(np.float32)
+    p = {"scale": jnp.asarray([1.5, 0.5, 2.0]), "bias": jnp.asarray([0.1, -0.2, 0.0]),
+         "mean": jnp.zeros(3), "var": jnp.ones(3)}
+    tbn = torch.nn.BatchNorm2d(3, eps=1e-5, momentum=0.1)
+    with torch.no_grad():
+        tbn.weight.copy_(torch.tensor([1.5, 0.5, 2.0]))
+        tbn.bias.copy_(torch.tensor([0.1, -0.2, 0.0]))
+    tbn.train()
+    ref = tbn(torch.from_numpy(x).permute(0, 3, 1, 2)).detach().permute(0, 2, 3, 1).numpy()
+
+    sink = {}
+    got = np.asarray(batch_norm(jnp.asarray(x), p, use_batch_stats=True, sink=sink, path=("bn",)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    # running stats after one torch forward: (1-m)*init + m*batch  == our sink folded once
+    m = 0.1
+    np.testing.assert_allclose((1 - m) * 0.0 + m * np.asarray(sink["bn"]["mean"]),
+                               tbn.running_mean.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose((1 - m) * 1.0 + m * np.asarray(sink["bn"]["var"]),
+                               tbn.running_var.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_train_step_updates_running_stats(rng):
+    if "tiny-rn-bn" not in list_models():
+        add_model_config(dict(TINY_RN), name="tiny-rn-bn")
+    cfg = parse_model_cfg("tiny-rn-bn")
+    params = init_clip(jax.random.PRNGKey(0), cfg)
+    opt = create_optimizer(OptimizerCfg(lr=1e-3, wd=0.0), params, const_lr(1e-3, 0))
+    step = make_train_step(cfg, opt, compute_dtype=jnp.float32)
+    state = create_train_state(params, opt)
+
+    before = np.asarray(params["visual"]["bn1"]["mean"]).copy()
+    batch = {
+        "image": jnp.asarray(rng.standard_normal((8, 32, 32, 3)).astype(np.float32)),
+        "text": jnp.asarray(rng.integers(1, 63, size=(8, 12)).astype(np.int32)),
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    after = np.asarray(state.params["visual"]["bn1"]["mean"])
+    assert not np.allclose(before, after), "running mean must move after a train step"
+    # torch momentum: one step moves stats exactly 10% toward the batch stat
+    img = np.asarray(batch["image"], np.float32)
+    conv_in = img  # bn1 sits after conv1; recompute its input stats via the model's conv
+    from open_clip_tpu.models.resnet import conv2d
+    h = np.asarray(conv2d(jnp.asarray(img), params["visual"]["conv1"], stride=2, padding=1))
+    expect = 0.9 * before + 0.1 * h.mean(axis=(0, 1, 2))
+    np.testing.assert_allclose(after, expect, rtol=1e-3, atol=1e-5)
+    # deep-stage stats move too
+    assert not np.allclose(
+        np.asarray(params["visual"]["layer4"]["0"]["bn3"]["var"]),
+        np.asarray(state.params["visual"]["layer4"]["0"]["bn3"]["var"]))
