@@ -186,14 +186,31 @@ def apply_block(
     x = x + h
 
     h = layer_norm(x, p["ln_2"]["scale"], p["ln_2"]["bias"], eps=norm_eps)
-    h = linear(h, p["mlp"]["c_fc"]["kernel"], p["mlp"]["c_fc"].get("bias"))
+    h = _mlp_linear(h, p["mlp"]["c_fc"])
     h = act_fn(h)
     if "ln" in p["mlp"]:
         h = layer_norm(h, p["mlp"]["ln"]["scale"], p["mlp"]["ln"]["bias"], eps=norm_eps)
-    h = linear(h, p["mlp"]["c_proj"]["kernel"], p["mlp"]["c_proj"].get("bias"))
+    h = _mlp_linear(h, p["mlp"]["c_proj"])
     if "ls_2" in p:
         h = h * p["ls_2"].astype(h.dtype)
     return x + h
+
+
+# MLP linear implementation for transformer blocks: "dense" (default) or
+# "switchback" — int8 forward / bf16 backward via the Pallas SwitchBack kernel
+# (reference --use-bnb-linear SwitchBackLinearGlobal, main.py:301-311). Set by
+# the training CLI's --use-switchback flag.
+MLP_LINEAR_IMPL: str = "dense"
+
+
+def _mlp_linear(h: jax.Array, pp: Dict[str, Any]) -> jax.Array:
+    if MLP_LINEAR_IMPL == "switchback":
+        from ..ops.switchback import switchback_linear
+
+        # pallas runs in interpret mode off-TPU (tests / CPU dryruns)
+        return switchback_linear(h, pp["kernel"], pp.get("bias"),
+                                 jax.default_backend() == "cpu")
+    return linear(h, pp["kernel"], pp.get("bias"))
 
 
 # Scan unroll factor: 1 = compiled loop (fast compiles, default). The profiler sets

@@ -88,6 +88,10 @@ def get_latest_checkpoint(ckpt_dir: Path) -> Optional[str]:
 
 def main(args=None):
     args = parse_args(args)
+    if getattr(args, "use_switchback", False):
+        from ..models import blocks as _blocks
+
+        _blocks.MLP_LINEAR_IMPL = "switchback"
     logging.basicConfig(level=logging.INFO, format="%(asctime)s | %(levelname)s | %(message)s")
 
     if args.name is None:

@@ -80,6 +80,9 @@ def parse_args(args=None):
     parser.add_argument("--wd", type=float, default=0.2)
     parser.add_argument("--momentum", type=float, default=0.9)
     parser.add_argument("--opt", type=str, default="adamw")
+    parser.add_argument("--use-switchback", action="store_true", default=False,
+                        help="int8 SwitchBack forward for transformer MLP linears "
+                             "(reference --use-bnb-linear)")
     parser.add_argument("--warmup", type=int, default=10000)
     parser.add_argument("--lr-scheduler", type=str, default="cosine",
                         choices=["cosine", "const", "const-cooldown"])

@@ -50,3 +50,45 @@ def test_switchback_linear_grads(rng):
     np.testing.assert_allclose(np.asarray(gx), np.asarray(g @ w.T), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(x.T @ g), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(g.sum(0)), rtol=1e-5)
+
+
+def test_switchback_in_vit_mlp(rng):
+    """MLP_LINEAR_IMPL='switchback' routes block MLPs through the int8 kernel:
+    forward stays close to dense, and a train step still optimizes."""
+    import open_clip_tpu as oct
+    from open_clip_tpu.config import parse_model_cfg
+    from open_clip_tpu.models import blocks
+    from open_clip_tpu.models.clip import init_clip, encode_image
+    from open_clip_tpu.train.optim import OptimizerCfg, create_optimizer
+    from open_clip_tpu.train.scheduler import const_lr
+    from open_clip_tpu.train.train_step import create_train_state, make_train_step
+
+    name = "tiny-sb"
+    if name not in oct.list_models():
+        oct.add_model_config({
+            "embed_dim": 16,
+            "vision_cfg": {"image_size": 32, "layers": 2, "width": 32, "patch_size": 16, "head_width": 16},
+            "text_cfg": {"context_length": 12, "vocab_size": 64, "width": 16, "heads": 2, "layers": 2},
+        }, name=name)
+    cfg = parse_model_cfg(name)
+    params = init_clip(jax.random.PRNGKey(3), cfg)
+    img = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+
+    dense = np.asarray(encode_image(params, cfg, img, normalize=True))
+    blocks.MLP_LINEAR_IMPL = "switchback"
+    try:
+        sb = np.asarray(encode_image(params, cfg, img, normalize=True))
+        cos = (dense * sb).sum(-1)
+        assert cos.min() > 0.99, cos
+
+        opt = create_optimizer(OptimizerCfg(lr=1e-3, wd=0.0), params, const_lr(1e-3, 0))
+        step = make_train_step(cfg, opt, compute_dtype=jnp.float32)
+        state = create_train_state(params, opt)
+        batch = {"image": img, "text": jnp.asarray(rng.integers(1, 63, size=(2, 12)).astype(np.int32))}
+        losses = []
+        for i in range(4):
+            state, metrics = step(state, batch, jax.random.PRNGKey(i))
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all() and losses[-1] < losses[0], losses
+    finally:
+        blocks.MLP_LINEAR_IMPL = "dense"
