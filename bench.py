@@ -32,6 +32,10 @@ def main():
     from open_clip_tpu.train.scheduler import const_lr
     from open_clip_tpu.train.train_step import create_train_state, jit_train_step, make_train_step
 
+    from open_clip_tpu.models import blocks
+
+    blocks.SCAN_UNROLL = 2  # sweep result: unroll 2 edges out 1 (1150 vs 1141 img/s)
+
     cfg = parse_model_cfg("ViT-B-32")
     params = init_clip(jax.random.PRNGKey(0), cfg)
     opt = create_optimizer(OptimizerCfg(lr=5e-4, wd=0.2, grad_clip_norm=1.0), params, const_lr(5e-4, 0))

@@ -107,6 +107,10 @@ def encode_image(
     stats_sink=None,
 ) -> jax.Array:
     vcfg = cfg.vision_cfg
+    if isinstance(image, dict) and not _is_naflex(vcfg):
+        raise ValueError(
+            "got a NaFlex patch-dict batch but the model's vision tower is not a "
+            "naflexvit_* — use a naflex model (e.g. naflex_ViT-B-16) or image-tensor data")
     if _is_naflex(vcfg):
         from . import naflex_vit
 

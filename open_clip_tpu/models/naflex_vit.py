@@ -47,7 +47,7 @@ _SIZES = {
     "base": (768, 12, 12),
     "large": (1024, 24, 16),
     "so150m": (880, 18, 13),  # shape-optimized 150M family (timm naming)
-    "so150m2": (832, 21, 13),
+    "so150m2": (832, 21, 13),  # verified vs reference naflexgenlip_so150m2.json dims
     "so400m": (1152, 27, 16),
 }
 
@@ -64,6 +64,7 @@ class NaFlexVitCfg:
     class_token: bool = False
     swiglu_mlp: bool = False
     attn_pool_mlp_ratio: float = 4.0
+    reg_tokens: int = 0
     norm_eps: float = 1e-6
     ls_init_value: Optional[float] = None
     proj_bias: bool = True
@@ -81,17 +82,21 @@ def parse_naflex_cfg(vision_cfg: CLIPVisionCfg) -> NaFlexVitCfg:
         raise ValueError(f"unknown naflex size {size!r}; known: {sorted(_SIZES)}")
     width, layers, heads = _SIZES[size]
     pool = "map" if "map" in tail else ("avg" if "gap" in tail else "tok")
+    reg = re.search(r"reg(\d+)", tail)
     kw = dict(vision_cfg.timm_model_kwargs or {})
     cfg = NaFlexVitCfg(
-        width=width,
-        layers=layers,
-        heads=heads,
+        # timm_model_kwargs may override the named size (the reference's
+        # moderntext-naflex_ViT-B-deep-16 passes depth/embed_dim/num_heads)
+        width=kw.get("embed_dim", width),
+        layers=kw.get("depth", layers),
+        heads=kw.get("num_heads", heads),
         patch_size=kw.get("patch_size", patch),
         mlp_ratio=kw.get("mlp_ratio", 4.0),
         pos_grid=tuple(kw.get("pos_embed_grid_size", (16, 16))),
         pool=vision_cfg.timm_pool or pool,
         swiglu_mlp=kw.get("swiglu_mlp", False),
         attn_pool_mlp_ratio=kw.get("attn_pool_mlp_ratio", 4.0),
+        reg_tokens=kw.get("reg_tokens", int(reg.group(1)) if reg else 0),
     )
     return cfg
 
@@ -117,6 +122,8 @@ def init_naflex_vit(key, cfg: NaFlexVitCfg, embed_dim: int) -> Dict[str, Any]:
     }
     if cfg.class_token:
         p["cls_token"] = B.normal_init(ks[2], (width,), 1e-6)
+    if cfg.reg_tokens:
+        p["reg_tokens"] = B.normal_init(jax.random.fold_in(ks[2], 7), (cfg.reg_tokens, width), 1e-6)
 
     if cfg.swiglu_mlp:
         # swiglu blocks need a dedicated stack layout; reuse modern-text style mlp
@@ -248,11 +255,17 @@ def apply_naflex_vit(
 
     num_prefix = 0
     key_valid = valid
+    if "reg_tokens" in params:
+        regs = jnp.broadcast_to(params["reg_tokens"].astype(compute_dtype)[None],
+                                (b,) + params["reg_tokens"].shape)
+        x = jnp.concatenate([regs, x], axis=1)
+        key_valid = jnp.concatenate([jnp.ones((b, regs.shape[1]), bool), key_valid], axis=1)
+        num_prefix += regs.shape[1]
     if "cls_token" in params:
         cls = jnp.broadcast_to(params["cls_token"].astype(compute_dtype)[None, None], (b, 1, x.shape[-1]))
         x = jnp.concatenate([cls, x], axis=1)
-        key_valid = jnp.concatenate([jnp.ones((b, 1), bool), valid], axis=1)
-        num_prefix = 1
+        key_valid = jnp.concatenate([jnp.ones((b, 1), bool), key_valid], axis=1)
+        num_prefix += 1
 
     x = layer_norm(x, params["norm_pre"]["scale"], params["norm_pre"]["bias"], eps=eps)
 

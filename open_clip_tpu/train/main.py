@@ -229,6 +229,8 @@ def main(args=None):
                 caption_loss_weight=args.coca_caption_loss_weight,
                 clip_loss_weight=args.coca_contrastive_loss_weight,
                 teacher=teacher,
+                naflex_loss_scale=args.naflex_loss_scale,
+                reference_batch_size=args.batch_size,
             ),
             mesh,
         )

@@ -51,6 +51,10 @@ def parse_args(args=None):
     parser.add_argument("--naflex-patch-sizes", type=int, nargs="+", default=[16])
     parser.add_argument("--naflex-max-tokens", type=int, default=16384)
     parser.add_argument("--naflex-batch-divisor", type=int, default=8)
+    parser.add_argument("--naflex-loss-scale", type=str, default="none",
+                        choices=["none", "linear", "sqrt"],
+                        help="scale the loss by (actual batch / --batch-size) for "
+                             "token-budget NaFlex batches (reference train.py:319-335)")
     parser.add_argument("--dataset-resampled", action="store_true", default=False)
     parser.add_argument("--csv-separator", type=str, default="\t")
     parser.add_argument("--csv-img-key", type=str, default="filepath")

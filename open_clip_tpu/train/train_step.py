@@ -128,6 +128,8 @@ def make_train_step(
     dist_impl: str = "bidir",
     accum_steps: int = 1,
     ema_decay: Optional[float] = None,
+    naflex_loss_scale: str = "none",
+    reference_batch_size: Optional[int] = None,
     clamp_scale: float = LOGIT_SCALE_MAX,
     caption_loss_weight: float = 2.0,
     clip_loss_weight: float = 1.0,
@@ -174,6 +176,13 @@ def make_train_step(
         imf, txf = _features(params, cfg, batch, rng, compute_dtype=compute_dtype, remat=remat,
                              stats_sink=sink)
         loss = loss_fn(imf, txf, scale, bias)
+        if naflex_loss_scale != "none" and isinstance(batch.get("image"), dict):
+            # token-budget NaFlex buckets have varying (static per compile) batch
+            # sizes; rescale so small buckets don't dominate (reference
+            # train.py:319-335). Shape-derived, so it folds into the trace.
+            assert reference_batch_size, "naflex loss scaling needs the reference batch size"
+            ratio = imf.shape[0] / reference_batch_size
+            loss = loss * (ratio if naflex_loss_scale == "linear" else ratio ** 0.5)
         if loss_type == "distill":
             # frozen teacher features; KL on both logit directions
             # (reference DistillClipLoss, loss.py:187-223 / distill_task.py)

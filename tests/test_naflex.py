@@ -124,3 +124,63 @@ def test_vit_to_naflex_folding():
     pooled_nf, _ = naflex_vit.apply_naflex_vit(nf_params, ncfg, batch)
     # pos-embed sampling at exact grid centers reproduces the table; outputs must match
     np.testing.assert_allclose(np.asarray(pooled_nf), np.asarray(pooled_vit), atol=1e-4)
+
+
+def test_naflex_loss_scale():
+    """linear/sqrt loss scaling by (bucket batch / reference batch), static per shape."""
+    import open_clip_tpu as oct
+    from open_clip_tpu.config import parse_model_cfg
+    from open_clip_tpu.models.clip import init_clip
+    from open_clip_tpu.train.optim import OptimizerCfg, create_optimizer
+    from open_clip_tpu.train.scheduler import const_lr
+    from open_clip_tpu.train.train_step import create_train_state, make_train_step
+
+    name = "tiny-naflex-scale"
+    if name not in oct.list_models():
+        oct.add_model_config({
+            "embed_dim": 16,
+            "vision_cfg": {"image_size": 64, "patch_size": 16,
+                           "timm_model_name": "naflexvit_tiny_patch16_map",
+                           "timm_model_kwargs": {"depth": 2},
+                           "layers": 2, "width": 32, "head_width": 16},
+            "text_cfg": {"context_length": 12, "vocab_size": 64, "width": 16,
+                         "heads": 2, "layers": 2},
+        }, name=name)
+    cfg = parse_model_cfg(name)
+    params = init_clip(jax.random.PRNGKey(0), cfg)
+    opt = create_optimizer(OptimizerCfg(lr=0.0, wd=0.0), params, const_lr(0.0, 0))
+
+    rng = np.random.default_rng(0)
+    n, seq = 4, 16
+    batch = {
+        "image": {
+            "patches": jnp.asarray(rng.standard_normal((n, seq, 16 * 16 * 3)).astype(np.float32)),
+            "patch_coord": jnp.asarray(np.stack(np.meshgrid(np.arange(4), np.arange(4), indexing="ij"),
+                                                -1).reshape(1, seq, 2).repeat(n, 0).astype(np.int32)),
+            "patch_valid": jnp.ones((n, seq), bool),
+        },
+        "text": jnp.asarray(rng.integers(1, 63, size=(n, 12)).astype(np.int32)),
+    }
+    losses = {}
+    for mode in ("none", "linear", "sqrt"):
+        step = make_train_step(cfg, opt, compute_dtype=jnp.float32,
+                               naflex_loss_scale=mode, reference_batch_size=16)
+        state = create_train_state(params, opt)
+        _, metrics = step(state, batch, jax.random.PRNGKey(1))
+        losses[mode] = float(metrics["loss"])
+    assert losses["linear"] == pytest.approx(losses["none"] * (4 / 16), rel=1e-6)
+    assert losses["sqrt"] == pytest.approx(losses["none"] * 0.5, rel=1e-6)
+
+
+
+def test_naflex_name_parsing_overrides_and_registers():
+    """timm_model_kwargs depth/embed_dim/num_heads override the named size, and regN
+    in the name adds register tokens (stock configs moderntext-naflex_ViT-B-deep-16 /
+    ViT-SO150M2-16)."""
+    from open_clip_tpu.config import parse_model_cfg
+    from open_clip_tpu.models.naflex_vit import parse_naflex_cfg
+
+    deep = parse_naflex_cfg(parse_model_cfg("moderntext-naflex_ViT-B-deep-16").vision_cfg)
+    assert (deep.layers, deep.width, deep.heads) == (16, 768, 12)
+    so = parse_naflex_cfg(parse_model_cfg("moderntext-naflex_ViT-SO150M2-16").vision_cfg)
+    assert (so.layers, so.width, so.heads, so.reg_tokens) == (21, 832, 13, 1)
