@@ -231,6 +231,7 @@ def main(args=None):
                 teacher=teacher,
                 naflex_loss_scale=args.naflex_loss_scale,
                 reference_batch_size=args.batch_size,
+                freeze_bn_stats=args.lock_image and args.lock_image_freeze_bn_stats,
             ),
             mesh,
         )

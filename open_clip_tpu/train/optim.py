@@ -160,11 +160,11 @@ def trainable_mask(
     lock_text: bool = False,
     lock_text_unlocked_layers: int = 0,
 ) -> Any:
-    """True where a param trains. Tower locking (reference lock_image_tower /
-    lock_text_tower, main.py:315-326): locking freezes the tower subtree; a nonzero
-    unlocked count keeps the head group (final norm + projection / poolers) trainable.
-    Finer per-layer unlocking on scan-stacked blocks needs leaf splitting and lands
-    with the LLRD upgrade.
+    """Per-leaf trainability weights (1.0 trains, 0.0 frozen). Tower locking
+    (reference lock_image_tower / lock_text_tower, main.py:315-326): group order is
+    [embeddings, block_0..block_{L-1}, head]; ``unlocked_groups=k`` keeps the last k
+    groups trainable (head first, then the last blocks). Scan-stacked block leaves get
+    a per-layer (L, 1, ...) weight so individual layers unlock without leaf splitting.
     """
     HEAD_NAMES = {"proj", "text_projection", "ln_post", "ln_final", "attn_pool",
                   "attn_pool_contrastive", "map_pool", "attnpool", "head", "pool"}
@@ -172,25 +172,31 @@ def trainable_mask(
     def leaf_mask(path, leaf):
         names = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
         if not names:
-            return True
+            return 1.0
         tower = names[0]
         locked = (tower == "visual" and lock_image) or (tower == "text" and lock_text)
         if not locked:
-            return True
+            return 1.0
         unlocked = lock_image_unlocked_groups if tower == "visual" else lock_text_unlocked_layers
         if unlocked > 0 and any(n in HEAD_NAMES for n in names[1:]):
-            return True
-        return False
+            return 1.0
+        if unlocked > 1 and "blocks" in names[1:]:
+            # stacked leaf (L, ...): unlock the last (unlocked - 1) layers
+            n_layers = leaf.shape[0]
+            keep = jnp.arange(n_layers) >= n_layers - (unlocked - 1)
+            return keep.astype(jnp.float32).reshape((n_layers,) + (1,) * (leaf.ndim - 1))
+        return 0.0
 
     return jax.tree_util.tree_map_with_path(leaf_mask, params)
 
 
 def apply_trainable_mask(optimizer: optax.GradientTransformation, mask: Any) -> optax.GradientTransformation:
-    """Zero the updates of locked params after the optimizer chain."""
+    """Zero the updates of locked params (or locked layer slices of stacked leaves)
+    after the optimizer chain."""
     zero = optax.GradientTransformation(
         init=lambda _: optax.EmptyState(),
         update=lambda updates, state, params=None: (
-            jax.tree.map(lambda u, m: u if m else jnp.zeros_like(u), updates, mask),
+            jax.tree.map(lambda u, m: (u * jnp.asarray(m, u.dtype)), updates, mask),
             state,
         ),
     )

@@ -84,6 +84,8 @@ def parse_args(args=None):
     parser.add_argument("--wd", type=float, default=0.2)
     parser.add_argument("--momentum", type=float, default=0.9)
     parser.add_argument("--opt", type=str, default="adamw")
+    parser.add_argument("--lock-image-freeze-bn-stats", action="store_true", default=False,
+                        help="when the image tower is locked, also freeze BN running stats")
     parser.add_argument("--use-switchback", action="store_true", default=False,
                         help="int8 SwitchBack forward for transformer MLP linears "
                              "(reference --use-bnb-linear)")

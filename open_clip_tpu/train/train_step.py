@@ -130,6 +130,7 @@ def make_train_step(
     ema_decay: Optional[float] = None,
     naflex_loss_scale: str = "none",
     reference_batch_size: Optional[int] = None,
+    freeze_bn_stats: bool = False,
     clamp_scale: float = LOGIT_SCALE_MAX,
     caption_loss_weight: float = 2.0,
     clip_loss_weight: float = 1.0,
@@ -172,7 +173,8 @@ def make_train_step(
             cap = caption_cross_entropy(out["logits"][:, :-1], batch["text"][:, 1:], pad_id=pad_id)
             loss = clip_loss_weight * closs + caption_loss_weight * cap
             return loss, {"contrastive_loss": closs, "caption_loss": cap}
-        sink = {} if (cfg.vision_cfg is not None and cfg.vision_cfg.is_resnet) else None
+        sink = {} if (cfg.vision_cfg is not None and cfg.vision_cfg.is_resnet
+                      and not freeze_bn_stats) else None
         imf, txf = _features(params, cfg, batch, rng, compute_dtype=compute_dtype, remat=remat,
                              stats_sink=sink)
         loss = loss_fn(imf, txf, scale, bias)

@@ -283,3 +283,33 @@ def test_muon_optimizer(tiny, rng):
         state, metrics = step(state, batch, jax.random.PRNGKey(i))
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_per_layer_unlock_on_stacked_leaves(tiny, rng):
+    """lock_image with unlocked_groups=2: head + LAST block train, earlier blocks and
+    embeddings stay frozen (reference VisionTransformer.lock group order)."""
+    from open_clip_tpu.train.optim import (OptimizerCfg, apply_trainable_mask,
+                                           create_optimizer, trainable_mask)
+    from open_clip_tpu.train.scheduler import const_lr
+
+    cfg, params = tiny
+    mask = trainable_mask(params, lock_image=True, lock_image_unlocked_groups=2)
+    opt = apply_trainable_mask(
+        create_optimizer(OptimizerCfg(lr=1e-2, wd=0.0), params, const_lr(1e-2, 0)), mask)
+    step = make_train_step(cfg, opt, compute_dtype=jnp.float32)
+    state = create_train_state(params, opt)
+    state, _ = step(state, _batch(rng, n=8), jax.random.PRNGKey(0))
+
+    before = params["visual"]["blocks"]["mlp"]["c_fc"]["kernel"]
+    after = state.params["visual"]["blocks"]["mlp"]["c_fc"]["kernel"]
+    n_layers = before.shape[0]
+    # all but the last block frozen; last block moved
+    np.testing.assert_array_equal(np.asarray(before[:-1]), np.asarray(after[:-1]))
+    assert not np.allclose(np.asarray(before[-1]), np.asarray(after[-1]))
+    # embeddings frozen, head trainable, text tower trainable
+    np.testing.assert_array_equal(np.asarray(params["visual"]["patch_embed"]["kernel"]),
+                                  np.asarray(state.params["visual"]["patch_embed"]["kernel"]))
+    assert not np.allclose(np.asarray(params["visual"]["proj"]),
+                           np.asarray(state.params["visual"]["proj"]))
+    assert not np.allclose(np.asarray(params["text"]["token_embedding"]),
+                           np.asarray(state.params["text"]["token_embedding"]))
