@@ -145,14 +145,14 @@ def test_ema(tiny, rng):
 def test_wd_mask_policy(tiny):
     cfg, params = tiny
     mask = wd_mask(params)
-    assert mask["visual"]["blocks"]["attn"]["qkv"]["kernel"] is True
-    assert mask["visual"]["blocks"]["attn"]["qkv"]["bias"] is False
-    assert mask["visual"]["blocks"]["ln_1"]["scale"] is False
-    assert mask["visual"]["positional_embedding"] is False
-    assert mask["visual"]["class_embedding"] is False
-    assert mask["logit_scale"] is False
-    assert mask["text"]["token_embedding"] is True
-    assert mask["visual"]["patch_embed"]["kernel"] is True
+    assert mask["visual"]["blocks"]["attn"]["qkv"]["kernel"] == 1.0
+    assert mask["visual"]["blocks"]["attn"]["qkv"]["bias"] == 0.0
+    assert mask["visual"]["blocks"]["ln_1"]["scale"] == 0.0
+    assert mask["visual"]["positional_embedding"] == 0.0
+    assert mask["visual"]["class_embedding"] == 0.0
+    assert mask["logit_scale"] == 0.0
+    assert mask["text"]["token_embedding"] == 1.0
+    assert mask["visual"]["patch_embed"]["kernel"] == 1.0
 
 
 def test_cosine_schedule():
@@ -202,10 +202,10 @@ def test_lock_image_tower(tiny, rng):
 
     cfg, params = tiny
     mask = trainable_mask(params, lock_image=True, lock_image_unlocked_groups=1)
-    assert mask["visual"]["blocks"]["attn"]["qkv"]["kernel"] is False
-    assert mask["visual"]["proj"] is True  # head stays trainable with unlocked_groups=1
-    assert mask["text"]["token_embedding"] is True
-    assert mask["logit_scale"] is True
+    assert float(np.max(np.asarray(mask["visual"]["blocks"]["attn"]["qkv"]["kernel"]))) == 0.0
+    assert mask["visual"]["proj"] == 1.0  # head stays trainable with unlocked_groups=1
+    assert mask["text"]["token_embedding"] == 1.0
+    assert mask["logit_scale"] == 1.0
 
     opt = apply_trainable_mask(_optimizer(params), mask)
     step = make_train_step(cfg, opt, compute_dtype=jnp.float32)
