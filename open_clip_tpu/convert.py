@@ -227,6 +227,33 @@ def _convert_timm_vit_trunk(sd: Mapping[str, Any]) -> Dict[str, Any]:
     return vis
 
 
+def convert_params_dtype(params, dtype):
+    """Cast linear/conv kernels+biases and bare projection leaves to ``dtype``,
+    keeping norm affine params (scale/bias pairs), embeddings, and logit scales in
+    fp32 — the same partition reference ``convert_weights_to_lp`` applies
+    (model.py:738-771) so fp32 islands stay fp32 under pure_bf16/pure_fp16.
+    """
+    PROJ_LEAVES = {"proj", "text_projection", "head"}
+
+    def rec(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        has_kernel = "kernel" in node
+        for k, v in node.items():
+            if isinstance(v, dict):
+                out[k] = rec(v)
+            elif hasattr(v, "astype") and getattr(v, "ndim", 0) >= 1 and (
+                (has_kernel and k in ("kernel", "bias")) or (k in PROJ_LEAVES and v.ndim == 2)
+            ):
+                out[k] = v.astype(dtype)
+            else:
+                out[k] = v
+        return out
+
+    return rec(params)
+
+
 def torch_clip_to_params(sd: Mapping[str, Any], cfg: Optional[CLIPModelCfg] = None) -> Dict[str, Any]:
     """Convert a reference CLIP/CustomTextCLIP state dict into the JAX param tree."""
     sd = normalize_torch_state_dict(sd)

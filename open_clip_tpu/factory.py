@@ -41,6 +41,8 @@ _PRECISION_DTYPES = {
     "amp_bf16": jnp.bfloat16,
     "fp16": jnp.float16,
     "amp": jnp.bfloat16,  # on TPU, "mixed precision" means bf16 compute
+    "pure_bf16": jnp.bfloat16,
+    "pure_fp16": jnp.float16,
 }
 
 
@@ -135,6 +137,10 @@ def create_model(
     elif require_pretrained and not ckpt_path:
         raise RuntimeError(f"pretrained weights required but not resolved for {model_name}")
 
+    if precision in ("pure_bf16", "pure_fp16"):
+        from .convert import convert_params_dtype
+
+        params = convert_params_dtype(params, _compute_dtype(precision))
     model = CLIPModel(cfg, params, compute_dtype=_compute_dtype(precision))
     model._preprocess_cfg = _build_preprocess_cfg(cfg, pretrained_cfg)
     return model
@@ -262,16 +268,46 @@ def get_tokenizer(
         if ttype == "tiktoken":
             from .tokenizer import TikTokenTokenizer
 
-            return TikTokenTokenizer(
+            tok = TikTokenTokenizer(
                 text_cfg.get("tiktoken_name", "cl100k_base"), context_length=context_length, **tok_kwargs
             )
-        if ttype == "siglip":
+        elif ttype == "siglip":
             from .tokenizer import SigLipTokenizer
 
-            return SigLipTokenizer(text_cfg["hf_tokenizer_name"], context_length=context_length)
-        raise NotImplementedError(f"tokenizer_type {ttype!r} not supported")
-    if text_cfg.get("hf_tokenizer_name"):
-        return HFTokenizer(
+            tok = SigLipTokenizer(text_cfg["hf_tokenizer_name"], context_length=context_length)
+        else:
+            raise NotImplementedError(f"tokenizer_type {ttype!r} not supported")
+    elif text_cfg.get("hf_tokenizer_name"):
+        tok = HFTokenizer(
             text_cfg["hf_tokenizer_name"], context_length=context_length, cache_dir=cache_dir, **tok_kwargs
         )
-    return SimpleTokenizer(context_length=context_length, **tok_kwargs)
+    else:
+        tok = SimpleTokenizer(context_length=context_length, **tok_kwargs)
+    validate_special_tokens(text_cfg, tok)
+    return tok
+
+
+def validate_special_tokens(text_cfg: Dict[str, Any], tokenizer) -> None:
+    """Fail fast when a config's special-token ids disagree with the resolved tokenizer
+    (reference _validate_special_tokens, factory.py:705-744): a wrong eos_id pools the
+    wrong positions silently; a drifting pad_id corrupts pad masks silently."""
+    pool_type = text_cfg.get("pool_type", "argmax")
+    uses_eos = pool_type == "eos" or (text_cfg.get("text_arch") == "modern" and pool_type == "argmax")
+    if uses_eos:
+        eos_id = text_cfg.get("eos_id")
+        if eos_id is None:
+            raise ValueError(
+                "pool_type='eos' requires text_cfg.eos_id (must match the tokenizer eos/eot id)")
+        tok_eos = getattr(tokenizer, "eot_token_id", None)
+        if tok_eos is not None and int(tok_eos) != int(eos_id):
+            raise ValueError(
+                f"text_cfg.eos_id ({eos_id}) != tokenizer eos/eot id ({tok_eos}); "
+                "eos pooling would index the wrong positions")
+    tok_pad = getattr(tokenizer, "pad_token_id", None)
+    if text_cfg.get("variable_text", False) and tok_pad is None:
+        raise ValueError("variable_text=True requires a tokenizer with a reserved pad_token_id")
+    pad_id = text_cfg.get("pad_id")
+    if pad_id is not None and tok_pad is not None and int(tok_pad) != int(pad_id):
+        raise ValueError(
+            f"text_cfg.pad_id ({pad_id}) != tokenizer pad id ({tok_pad}); "
+            "pad masks and padding would disagree")

@@ -81,3 +81,28 @@ def test_forward_intermediates():
     assert out["image_intermediates_prefix"][0].shape == (2, 1, 64)
     assert len(out["text_intermediates"]) == 1
     assert out["image_features"].shape == (2, 64)
+
+
+def test_validate_special_tokens_and_pure_precision():
+    """get_tokenizer fails fast on special-token drift (reference factory.py:705-744);
+    pure_bf16 casts linear kernels but keeps norm affines fp32."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    import open_clip_tpu as oct
+
+    oct.add_model_config({
+        "embed_dim": 16,
+        "vision_cfg": {"image_size": 32, "layers": 1, "width": 16, "patch_size": 16, "head_width": 16},
+        "text_cfg": {"context_length": 8, "vocab_size": 64, "width": 16, "heads": 2, "layers": 1,
+                     "text_arch": "modern", "pool_type": "argmax", "eos_id": 123},
+    }, name="tok-probe-cfg")
+    with pytest.raises(ValueError, match="eos"):
+        oct.get_tokenizer("tok-probe-cfg")
+    assert oct.get_tokenizer("ViT-B-32") is not None
+
+    m = oct.create_model("ViT-S-32", load_weights=False, precision="pure_bf16")
+    assert m.params["visual"]["blocks"]["attn"]["qkv"]["kernel"].dtype == jnp.bfloat16
+    assert m.params["visual"]["blocks"]["ln_1"]["scale"].dtype == jnp.float32
+    assert m.params["logit_scale"].dtype == jnp.float32
