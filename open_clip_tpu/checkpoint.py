@@ -83,8 +83,10 @@ def merge_params(
         if isinstance(new, dict):
             for k in new:
                 if k not in cur:
+                    # drop, never grow the param tree: extra leaves would later break
+                    # optimizer init / jit shardings with a confusing error (torch
+                    # load_state_dict(strict=True) likewise rejects unexpected keys)
                     unexpected.append("/".join(path + (k,)))
-                    out[k] = new[k] if not isinstance(new[k], dict) else new[k]
         return out
 
     missing: list = []
@@ -96,7 +98,11 @@ def merge_params(
             raise KeyError(msg)
         logger.warning(msg)
     if unexpected:
-        logger.warning("unexpected checkpoint keys kept: %s", unexpected[:10])
+        msg = (f"unexpected checkpoint keys dropped: {unexpected[:10]}"
+               f"{'...' if len(unexpected) > 10 else ''}")
+        if strict:
+            raise KeyError(msg)
+        logger.warning(msg)
     return merged
 
 

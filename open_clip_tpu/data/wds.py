@@ -215,11 +215,13 @@ class WdsPipeline:
         # split by rank then (single-process) workers consume jointly
         return order[self.cfg.rank :: self.cfg.world_size] or order[:1]
 
-    def _samples(self, epoch: int) -> Iterator[Dict[str, Any]]:
-        rng = random.Random(self.cfg.seed * 7919 + epoch)
+    def _samples(self, epoch: int, worker_id: int = 0, num_workers: int = 1) -> Iterator[Dict[str, Any]]:
+        rng = random.Random(self.cfg.seed * 7919 + epoch * 131 + worker_id)
         buf: List[Dict[str, Any]] = []
-        failures = 0
-        for shard in self._my_shards(epoch):
+        shards = self._my_shards(epoch)
+        if num_workers > 1:
+            shards = shards[worker_id::num_workers]
+        for shard in shards:
             for sample in iterate_tar_samples(shard):
                 caption = extract_caption(sample, self.cfg.caption_key)
                 img_bytes = next((sample[e] for e in IMAGE_EXTS if e in sample), None)
@@ -237,13 +239,29 @@ class WdsPipeline:
         yield from buf
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        """Yield batches for the current epoch; decode errors are rate-limit logged and
-        skipped (reference log_and_continue + failure bound, data.py:413-466)."""
+        """Yield batches for the current epoch.
+
+        With ``num_workers > 1`` the decode/transform stage runs in that many forked
+        worker processes (the reference's DataLoader-worker equivalent, data.py:694-948):
+        shards are split per (rank, worker), each worker batches independently, and the
+        parent interleaves worker outputs round-robin — deterministic for a fixed
+        (seed, epoch, num_workers), like torch's DataLoader ordering.
+        """
+        if self.cfg.num_workers > 1:
+            yield from _multiprocess_batches(self, self.epoch, self.cfg.num_workers)
+            return
+        yield from self._batches_for_worker(self.epoch, 0, 1)
+
+    def _batches_for_worker(self, epoch: int, worker_id: int, num_workers: int
+                            ) -> Iterator[Dict[str, np.ndarray]]:
+        """Single-process decode loop over this worker's shard subset; decode errors are
+        rate-limit logged and skipped (reference log_and_continue + failure bound,
+        data.py:413-466)."""
         cfg = self.cfg
         images: List[np.ndarray] = []
         captions: List[str] = []
         failures = 0
-        for rec in self._samples(self.epoch):
+        for rec in self._samples(epoch, worker_id, num_workers):
             try:
                 img = decode_image_rgb(rec["image_bytes"])
                 arr = self.preprocess(img)
@@ -268,6 +286,74 @@ class WdsPipeline:
             "image": np.stack(images, axis=0),
             "text": np.asarray(self.tokenizer(captions), dtype=np.int32),
         }
+
+
+def _worker_main(pipeline: "WdsPipeline", epoch: int, worker_id: int, num_workers: int, q) -> None:
+    """Decode-worker entry: stream this worker's batches into its queue, then a sentinel.
+    Exceptions are shipped to the parent and re-raised there."""
+    try:
+        for batch in pipeline._batches_for_worker(epoch, worker_id, num_workers):
+            q.put(("batch", batch))
+        q.put(("done", None))
+    except BaseException as e:  # noqa: BLE001 — re-raised parent-side
+        q.put(("error", repr(e)))
+
+
+def _start_workers(ctx, pipeline, epoch, num_workers, queue_depth):
+    queues = [ctx.Queue(maxsize=queue_depth) for _ in range(num_workers)]
+    procs = [
+        ctx.Process(target=_worker_main, args=(pipeline, epoch, w, num_workers, queues[w]),
+                    daemon=True)
+        for w in range(num_workers)
+    ]
+    for p in procs:
+        p.start()
+    return queues, procs
+
+
+def _multiprocess_batches(pipeline: "WdsPipeline", epoch: int, num_workers: int,
+                          queue_depth: int = 4) -> Iterator[Dict[str, np.ndarray]]:
+    """Fan the decode stage out to ``num_workers`` worker processes, one bounded queue
+    each (double-buffered prefetch), and interleave round-robin for determinism.
+
+    Start method defaults to ``fork`` (cheap, inherits closures); set
+    OPEN_CLIP_TPU_MP_METHOD=forkserver for a JAX-threaded trainer where fork could
+    deadlock — that requires picklable preprocess/tokenizer callables and falls back
+    to fork if the forkserver can't launch."""
+    import multiprocessing as mp
+    import pickle
+
+    method = os.environ.get("OPEN_CLIP_TPU_MP_METHOD", "fork")
+    try:
+        ctx = mp.get_context(method)
+    except ValueError:
+        method, ctx = "fork", mp.get_context("fork")
+    try:
+        queues, procs = _start_workers(ctx, pipeline, epoch, num_workers, queue_depth)
+    except (pickle.PicklingError, AttributeError, TypeError, OSError) as e:
+        if method == "fork":
+            raise
+        logger.warning("%s data workers failed to launch (%r); falling back to fork",
+                       method, e)
+        queues, procs = _start_workers(mp.get_context("fork"), pipeline, epoch,
+                                       num_workers, queue_depth)
+    active = list(range(num_workers))
+    try:
+        while active:
+            for w in list(active):
+                kind, payload = queues[w].get()
+                if kind == "batch":
+                    yield payload
+                elif kind == "done":
+                    active.remove(w)
+                else:
+                    raise RuntimeError(f"wds decode worker {w} failed: {payload}")
+    finally:
+        for p in procs:
+            if p.is_alive():
+                p.terminate()
+        for p in procs:
+            p.join(timeout=5)
 
 
 class PrefetchIterator:

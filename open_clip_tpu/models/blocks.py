@@ -170,10 +170,13 @@ def apply_block(
     norm_eps: float = 1e-5,
     attn_impl: str = "auto",
 ) -> jax.Array:
+    from jax.ad_checkpoint import checkpoint_name
+
     act_fn = ACT_FNS[act]
     qk_norm_eps = norm_eps if "ln_q" in p["attn"] else None
 
     h = layer_norm(x, p["ln_1"]["scale"], p["ln_1"]["bias"], eps=norm_eps)
+    h = checkpoint_name(h, "remat_ln1")
     h = multi_head_attention(
         p["attn"], h, num_heads=heads, bias=bias, causal=causal,
         qk_norm_eps=qk_norm_eps if "ln_q" in p["attn"] else (norm_eps if "ln_inner" in p["attn"] else None),
@@ -186,10 +189,12 @@ def apply_block(
     x = x + h
 
     h = layer_norm(x, p["ln_2"]["scale"], p["ln_2"]["bias"], eps=norm_eps)
+    h = checkpoint_name(h, "remat_ln2")
     h = _mlp_linear(h, p["mlp"]["c_fc"])
     h = act_fn(h)
     if "ln" in p["mlp"]:
         h = layer_norm(h, p["mlp"]["ln"]["scale"], p["mlp"]["ln"]["bias"], eps=norm_eps)
+    h = checkpoint_name(h, "remat_act")
     h = _mlp_linear(h, p["mlp"]["c_proj"])
     if "ls_2" in p:
         h = h * p["ls_2"].astype(h.dtype)
@@ -221,7 +226,15 @@ SCAN_UNROLL: int = 1
 # is the default: saving dot outputs ("dots") keeps every attention-logit/MLP
 # intermediate alive and blows HBM at production batch sizes on v5e (verified: the
 # compile itself OOMs at ViT-B-32 batch 1024).
+#
+# "names" saves only the intermediates tagged with ``checkpoint_name`` in
+# ``apply_block`` (the inputs of each block matmul), so the backward pass reuses
+# them for weight grads instead of recomputing the whole block forward — ~25%
+# fewer train FLOPs than full remat at a bounded, explicit memory cost.
 REMAT_POLICY: str = "none"
+
+# which named intermediates the "names" policy keeps (see apply_block tags)
+REMAT_SAVE_NAMES: tuple = ("remat_ln1", "remat_attn_ctx", "remat_ln2", "remat_act")
 
 
 def remat_policy():
@@ -229,6 +242,8 @@ def remat_policy():
         return jax.checkpoint_policies.checkpoint_dots
     if REMAT_POLICY == "dots_no_batch":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if REMAT_POLICY == "names":
+        return jax.checkpoint_policies.save_only_these_names(*REMAT_SAVE_NAMES)
     return None
 
 

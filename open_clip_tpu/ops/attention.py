@@ -152,6 +152,9 @@ def multi_head_attention(
     if "ln_inner" in params:  # Sub-LN: normalize the attention context BEFORE out-proj
         out = layer_norm(out, params["ln_inner"]["scale"], params["ln_inner"]["bias"],
                          eps=qk_norm_eps or 1e-5)
+    from jax.ad_checkpoint import checkpoint_name
+
+    out = checkpoint_name(out, "remat_attn_ctx")
     out = jnp.dot(out, params["out"]["kernel"].astype(out.dtype))
     if params["out"].get("bias") is not None:
         out = out + params["out"]["bias"].astype(out.dtype)

@@ -82,16 +82,36 @@ def canonicalize_text(
     return " ".join(text.split()).strip()
 
 
+# module-level (not lambdas) so tokenizers stay picklable for forkserver data workers
+def _clean_canonicalize(x: str) -> str:
+    return canonicalize_text(basic_clean(x))
+
+
+def _clean_lower(x: str) -> str:
+    return whitespace_clean(basic_clean(x)).lower()
+
+
+def _clean_whitespace(x: str) -> str:
+    return whitespace_clean(basic_clean(x))
+
+
+def _clean_whitespace_underscore(x: str) -> str:
+    return whitespace_clean(basic_clean(x).replace("_", " "))
+
+
+_CLEAN_FNS = {
+    "canonicalize": _clean_canonicalize,
+    "lower": _clean_lower,
+    "whitespace": _clean_whitespace,
+    "whitespace_underscore": _clean_whitespace_underscore,
+}
+
+
 def get_clean_fn(kind: str) -> Callable[[str], str]:
-    if kind == "canonicalize":
-        return lambda x: canonicalize_text(basic_clean(x))
-    if kind == "lower":
-        return lambda x: whitespace_clean(basic_clean(x)).lower()
-    if kind == "whitespace":
-        return lambda x: whitespace_clean(basic_clean(x))
-    if kind == "whitespace_underscore":
-        return lambda x: whitespace_clean(basic_clean(x).replace("_", " "))
-    raise ValueError(f"invalid clean function {kind!r}")
+    try:
+        return _CLEAN_FNS[kind]
+    except KeyError:
+        raise ValueError(f"invalid clean function {kind!r}") from None
 
 
 class SimpleTokenizer:

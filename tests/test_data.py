@@ -21,9 +21,13 @@ from open_clip_tpu.transform import PreprocessCfg, image_transform_v2
 
 
 def _fake_tokenizer(texts):
+    import zlib
+
     out = np.zeros((len(texts), 8), dtype=np.int32)
     for i, t in enumerate(texts):
-        h = abs(hash(t))
+        # crc32, not hash(): str hash is salted per process and the multiworker
+        # pipeline tokenizes inside forkserver children
+        h = zlib.crc32(t.encode()) * 2654435761 % 2**63
         ids = [(h >> (7 * j)) % 127 + 1 for j in range(8)]
         out[i, :] = ids
     return out
@@ -111,6 +115,33 @@ def test_wds_deterministic_per_epoch(shards):
     c = [b["text"] for b in pipe]
     np.testing.assert_array_equal(np.concatenate(a), np.concatenate(b))
     assert not np.array_equal(np.concatenate(a), np.concatenate(c))
+
+
+def test_wds_multiworker_covers_all_samples(shards):
+    pp = image_transform_v2(PreprocessCfg(size=16), is_train=False)
+    base = dict(urls=str(shards / "shard-{000000..000001}.tar"), batch_size=3,
+                shuffle_shards=0, shuffle_samples=0, partial_batches=True, seed=3)
+    single = WdsPipeline(WdsConfig(**base, num_workers=1), pp, _fake_tokenizer)
+    multi = WdsPipeline(WdsConfig(**base, num_workers=2), pp, _fake_tokenizer)
+
+    def keyset(pipe):
+        return sorted(tuple(row) for b in pipe for row in b["text"])
+
+    a, b = keyset(single), keyset(multi)
+    assert a == b  # same sample multiset, worker split is a partition
+    # deterministic across re-iterations at the same epoch
+    assert keyset(multi) == b
+
+
+def test_wds_multiworker_propagates_worker_error(shards, tmp_path):
+    def bad_preprocess(img):
+        raise ValueError("boom")
+
+    cfg = WdsConfig(urls=str(shards / "shard-000000.tar"), batch_size=2,
+                    num_workers=2, max_consecutive_failures=2)
+    pipe = WdsPipeline(cfg, bad_preprocess, _fake_tokenizer)
+    with pytest.raises(RuntimeError):
+        list(pipe)
 
 
 def test_csv_dataset(tmp_path):

@@ -70,3 +70,17 @@ def test_patchify_layout(rng):
     np.testing.assert_allclose(p[0, 0], expected)
     # patch (0,1) covers rows 0-1, cols 2-3
     np.testing.assert_allclose(p[0, 1], img[0, 0:2, 2:4, :].reshape(-1))
+
+
+def test_merge_params_unexpected_keys_strict():
+    from open_clip_tpu.checkpoint import merge_params
+
+    params = {"a": {"kernel": jnp.zeros((2, 2))}, "logit_scale": jnp.zeros(())}
+    loaded = {"a": {"kernel": np.ones((2, 2)), "stray": np.ones((3,))},
+              "logit_scale": np.ones(())}
+    with pytest.raises(KeyError):
+        merge_params(params, loaded, strict=True)
+    merged = merge_params(params, loaded, strict=False)
+    # unexpected keys are dropped, never grow the tree
+    assert set(merged["a"]) == {"kernel"}
+    np.testing.assert_array_equal(np.asarray(merged["a"]["kernel"]), np.ones((2, 2)))
