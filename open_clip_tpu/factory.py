@@ -72,11 +72,35 @@ def create_model(
     pretrained_cfg: Dict[str, Any] = {}
 
     if model_name.startswith(HF_HUB_PREFIX):
-        raise NotImplementedError(
-            "hf-hub: model resolution requires hub config download; pass a local-dir: path "
-            "or a builtin model name + local checkpoint instead"
-        )
-    if model_name.startswith(LOCAL_DIR_PREFIX):
+        # resolve config + weights from a HF hub repo (reference factory.py:92-152);
+        # works against a local HF cache when offline (HF_HUB_OFFLINE=1)
+        import json
+
+        from huggingface_hub import hf_hub_download
+
+        model_id = model_name[len(HF_HUB_PREFIX):]
+        ckpt_file = None
+        parts = model_id.split("/")
+        if len(parts) > 2:  # "org/repo/filename" form pins a checkpoint file
+            model_id, ckpt_file = "/".join(parts[:2]), "/".join(parts[2:])
+        config_path = hf_hub_download(model_id, "open_clip_config.json", cache_dir=cache_dir)
+        with open(config_path) as fh:
+            hub_cfg = json.load(fh)
+        raw_cfg = hub_cfg["model_cfg"]
+        pretrained_cfg = {"preprocess_cfg": hub_cfg.get("preprocess_cfg", {})}
+        if "genlip_cfg" in raw_cfg or "genlap_cfg" in raw_cfg:
+            if load_weights and pretrained is None:
+                from .pretrained import download_pretrained_from_hf
+
+                pretrained = download_pretrained_from_hf(
+                    model_id, filename=ckpt_file, cache_dir=cache_dir)
+            return _create_genlip(raw_cfg, model_name, pretrained, precision, seed, load_weights)
+        cfg = CLIPModelCfg.from_dict(raw_cfg)
+        if load_weights and pretrained is None:
+            from .pretrained import download_pretrained_from_hf
+
+            pretrained = download_pretrained_from_hf(model_id, filename=ckpt_file, cache_dir=cache_dir)
+    elif model_name.startswith(LOCAL_DIR_PREFIX):
         import json
 
         d = Path(model_name[len(LOCAL_DIR_PREFIX):])
@@ -251,12 +275,26 @@ def get_tokenizer(
     **kwargs,
 ):
     """Resolve the tokenizer for a model config (reference factory.py:746-927)."""
+    raw = None
     if model_name.startswith(HF_HUB_PREFIX):
-        return HFTokenizer(
-            model_name[len(HF_HUB_PREFIX):], context_length=context_length or DEFAULT_CONTEXT_LENGTH,
-            cache_dir=cache_dir, **kwargs,
-        )
-    raw = get_model_config(model_name) if model_name else None
+        # prefer the repo's open_clip_config.json text_cfg; fall back to the repo's
+        # own HF tokenizer when the config isn't available
+        import json
+
+        model_id = "/".join(model_name[len(HF_HUB_PREFIX):].split("/")[:2])
+        try:
+            from huggingface_hub import hf_hub_download
+
+            with open(hf_hub_download(model_id, "open_clip_config.json",
+                                      cache_dir=cache_dir)) as fh:
+                raw = json.load(fh).get("model_cfg")
+        except Exception:  # noqa: BLE001 — config-less repos use their HF tokenizer
+            return HFTokenizer(
+                model_id, context_length=context_length or DEFAULT_CONTEXT_LENGTH,
+                cache_dir=cache_dir, **kwargs,
+            )
+    elif model_name:
+        raw = get_model_config(model_name)
     text_cfg: Dict[str, Any] = (raw or {}).get("text_cfg", {})
     tok_kwargs = dict(text_cfg.get("tokenizer_kwargs", {}))
     tok_kwargs.update(kwargs)

@@ -1,12 +1,13 @@
-"""Flash attention for TPU — Pallas kernel.
+"""Flash attention for TPU — Pallas forward AND backward kernels.
 
 Tiled online-softmax attention replacing the reference's
 ``F.scaled_dot_product_attention`` (reference ``src/open_clip/transformer.py:223``) on
 the TPU hot path. Forward is a Pallas kernel: per (batch*head, q-block) program, K/V
 stream through VMEM in blocks with fp32 running max/sum accumulators (the standard
-flash construction), so the L x L score matrix never materializes in HBM. Backward is
-a recompute-based VJP through the einsum formulation (exact gradients; a fused Pallas
-backward is a later optimization).
+flash construction), so the L x L score matrix never materializes in HBM. The forward
+additionally emits the per-row logsumexp; backward recomputes block softmax from
+(q, k, lse) inside two Pallas kernels (dq; dk/dv) — exact gradients with O(L) memory,
+never an (L, L) intermediate.
 
 Long-sequence towers (NaFlex / GenLIP at 1k-4k tokens) are the target; at classic CLIP
 lengths (50-257) XLA's fused softmax is already fine and dispatch stays on that path
@@ -16,7 +17,6 @@ lengths (50-257) XLA's fused softmax is already fine and dispatch stays on that 
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax
@@ -24,10 +24,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = float(jnp.finfo(jnp.float32).min)
+# Large-negative instead of -inf so exp(masked - masked) never hits NaN.
+NEG_INF = float(jnp.finfo(jnp.float32).min) * 0.5
 
 
-def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool, block_k: int, seq_len: int):
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fa_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, causal: bool,
+                   block_k: int, seq_len: int):
     """One program: one q block (block_q, hd) vs all k/v blocks of this batch-head."""
     block_q = q_ref.shape[1]
     hd = q_ref.shape[2]
@@ -39,6 +49,7 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool, block_
     if causal:
         # only blocks up to (and including) the diagonal contribute
         num_kb_eff = pl.cdiv((qi + 1) * block_q, block_k)
+        num_kb_eff = jnp.minimum(num_kb_eff, num_kb)
     else:
         num_kb_eff = num_kb
 
@@ -50,12 +61,11 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool, block_
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (bq, bk)
+        cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         if causal:
             rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-            cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             s = jnp.where(rows >= cols, s, NEG_INF)
         # mask k-padding beyond seq_len
-        cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         s = jnp.where(cols < seq_len, s, NEG_INF)
 
         m_cur = jnp.max(s, axis=-1)  # (bq,)
@@ -73,71 +83,233 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool, block_
     m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q,), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_kb_eff, body, (acc0, m0, l0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)[:, None]).astype(o_ref.dtype)
-
-
-def _round_up(x, m):
-    return (x + m - 1) // m * m
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l_safe)
 
 
 def _flash_forward(
-    q: jax.Array,  # (B, L, H, hd)
-    k: jax.Array,
-    v: jax.Array,
+    qb: jax.Array,  # (BH, Lp, hd), already padded to block multiples
+    kb: jax.Array,
+    vb: jax.Array,
     *,
     causal: bool,
     scale: float,
-    block_q: int = 128,
-    block_k: int = 128,
+    seq_len: int,
+    block_q: int,
+    block_k: int,
     interpret: bool = False,
-) -> jax.Array:
-    b, lq, h, hd = q.shape
-    lk = k.shape[1]
-    assert lq == lk, "flash kernel assumes self-attention lengths"
-
-    # (B, L, H, hd) -> (B*H, L, hd)
-    def to_bh(x):
-        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], hd)
-
-    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
-
-    block_q = min(block_q, _round_up(lq, 128))
-    block_k = min(block_k, _round_up(lk, 128))
-    lq_pad = _round_up(lq, block_q)
-    lk_pad = _round_up(lk, block_k)
-    if lq_pad != lq:
-        qb = jnp.pad(qb, ((0, 0), (0, lq_pad - lq), (0, 0)))
-    if lk_pad != lk:
-        kb = jnp.pad(kb, ((0, 0), (0, lk_pad - lk), (0, 0)))
-        vb = jnp.pad(vb, ((0, 0), (0, lk_pad - lk), (0, 0)))
-
-    grid = (b * h, lq_pad // block_q)
-    out = pl.pallas_call(
-        functools.partial(_fa_kernel, scale=scale, causal=causal, block_k=block_k, seq_len=lk),
-        out_shape=jax.ShapeDtypeStruct((b * h, lq_pad, hd), q.dtype),
+):
+    bh, lq_pad, hd = qb.shape
+    lk_pad = kb.shape[1]
+    grid = (bh, lq_pad // block_q)
+    out, lse = pl.pallas_call(
+        functools.partial(_fa_fwd_kernel, scale=scale, causal=causal, block_k=block_k,
+                          seq_len=seq_len),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, lq_pad, hd), qb.dtype),
+            jax.ShapeDtypeStruct((bh, lq_pad), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, hd), lambda bh, i: (bh, i, 0)),
-            pl.BlockSpec((1, lk_pad, hd), lambda bh, i: (bh, 0, 0)),
-            pl.BlockSpec((1, lk_pad, hd), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, lk_pad, hd), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, lk_pad, hd), lambda b, i: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, hd), lambda bh, i: (bh, i, 0)),
+        out_specs=(
+            pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i)),
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * lq * lk * hd,
+            flops=4 * bh * lq_pad * lk_pad * hd,
             bytes_accessed=(qb.size + kb.size + vb.size) * qb.dtype.itemsize,
-            transcendentals=b * h * lq * lk,
+            transcendentals=bh * lq_pad * lk_pad,
         ),
         interpret=interpret,
     )(qb, kb, vb)
+    return out, lse
 
-    out = out[:, :lq].reshape(b, h, lq, hd).transpose(0, 2, 1, 3)
-    return out
+
+# ---------------------------------------------------------------------------
+# backward: dq kernel (per q block, loop over k blocks)
+# ---------------------------------------------------------------------------
+
+def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, *,
+                      scale: float, causal: bool, block_k: int, seq_len: int):
+    block_q = q_ref.shape[1]
+    hd = q_ref.shape[2]
+    qi = pl.program_id(1)
+
+    q = q_ref[0].astype(jnp.float32) * scale
+    do = do_ref[0].astype(jnp.float32)  # (bq, hd)
+    lse = lse_ref[0]  # (bq,)
+    di = di_ref[0]  # (bq,)
+    rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+
+    num_kb = pl.cdiv(seq_len, block_k)
+    if causal:
+        num_kb_eff = jnp.minimum(pl.cdiv((qi + 1) * block_q, block_k), num_kb)
+    else:
+        num_kb_eff = num_kb
+
+    def body(ki, dq):
+        k = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = cols < seq_len
+        if causal:
+            mask = mask & (rows >= cols)
+        p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)  # (bq, bk)
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, bk)
+        ds = p * (dp - di[:, None])
+        return dq + jax.lax.dot_general(
+            ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dq = jax.lax.fori_loop(0, num_kb_eff, body, jnp.zeros((block_q, hd), jnp.float32))
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# backward: dk/dv kernel (per k block, loop over q blocks)
+# ---------------------------------------------------------------------------
+
+def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref, *,
+                       scale: float, causal: bool, block_q: int, seq_len: int):
+    block_k = k_ref.shape[1]
+    hd = k_ref.shape[2]
+    ki = pl.program_id(1)
+
+    k = k_ref[0].astype(jnp.float32)  # (bk, hd)
+    v = v_ref[0].astype(jnp.float32)
+    cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+
+    lq_pad = q_ref.shape[1]
+    num_qb = lq_pad // block_q
+    if causal:
+        # only q blocks at/after this k block's diagonal contribute
+        first_qb = (ki * block_k) // block_q
+    else:
+        first_qb = 0
+
+    def body(qi, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32) * scale
+        do = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(qi * block_q, block_q)]
+        di = di_ref[0, pl.ds(qi * block_q, block_q)]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, bk)
+        rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        mask = (cols < seq_len) & (rows < seq_len)
+        if causal:
+            mask = mask & (rows >= cols)
+        p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)
+        dv = dv + jax.lax.dot_general(
+            p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bk, hd)
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, bk)
+        ds = p * (dp - di[:, None])
+        dk = dk + jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bk, hd) — note q already carries `scale`
+        return dk, dv
+
+    dk0 = jnp.zeros((block_k, hd), jnp.float32)
+    dv0 = jnp.zeros((block_k, hd), jnp.float32)
+    dk, dv = jax.lax.fori_loop(first_qb, num_qb, body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_dq(qb, kb, vb, dob, lse, di, *, causal, scale, seq_len, block_q, block_k,
+            interpret=False):
+    bh, lq_pad, hd = qb.shape
+    lk_pad = kb.shape[1]
+    grid = (bh, lq_pad // block_q)
+    return pl.pallas_call(
+        functools.partial(_fa_bwd_dq_kernel, scale=scale, causal=causal,
+                          block_k=block_k, seq_len=seq_len),
+        out_shape=jax.ShapeDtypeStruct((bh, lq_pad, hd), qb.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, lk_pad, hd), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, lk_pad, hd), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i)),
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * lq_pad * lk_pad * hd,
+            bytes_accessed=(qb.size * 3 + kb.size * 2) * qb.dtype.itemsize,
+            transcendentals=bh * lq_pad * lk_pad,
+        ),
+        interpret=interpret,
+    )(qb, kb, vb, dob, lse, di)
+
+
+def _bwd_dkv(qb, kb, vb, dob, lse, di, *, causal, scale, seq_len, block_q, block_k,
+             interpret=False):
+    bh, lq_pad, hd = qb.shape
+    lk_pad = kb.shape[1]
+    grid = (bh, lk_pad // block_k)
+    return pl.pallas_call(
+        functools.partial(_fa_bwd_dkv_kernel, scale=scale, causal=causal,
+                          block_q=block_q, seq_len=seq_len),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, lk_pad, hd), kb.dtype),
+            jax.ShapeDtypeStruct((bh, lk_pad, hd), vb.dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, lq_pad, hd), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_k, hd), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_k, hd), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, lq_pad, hd), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, lq_pad), lambda b, i: (b, 0)),
+            pl.BlockSpec((1, lq_pad), lambda b, i: (b, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, hd), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_k, hd), lambda b, i: (b, i, 0)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * bh * lq_pad * lk_pad * hd,
+            bytes_accessed=(qb.size * 3 + kb.size * 2) * qb.dtype.itemsize,
+            transcendentals=bh * lq_pad * lk_pad,
+        ),
+        interpret=interpret,
+    )(qb, kb, vb, dob, lse, di)
 
 
 def _reference_attention(q, k, v, *, causal, scale):
+    """Dense einsum attention (testing oracle only — materializes (L, L))."""
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
     if causal:
         lq, lk = q.shape[1], k.shape[1]
@@ -147,19 +319,71 @@ def _reference_attention(q, k, v, *, causal, scale):
     return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash(q, k, v, causal, scale):
-    return _flash_forward(q, k, v, causal=causal, scale=scale)
+# ---------------------------------------------------------------------------
+# custom VJP wiring
+# ---------------------------------------------------------------------------
+
+_INTERPRET = False  # flipped by tests to run kernels off-TPU
 
 
-def _flash_fwd(q, k, v, causal, scale):
-    return _flash_forward(q, k, v, causal=causal, scale=scale), (q, k, v)
+def _blocks_for(seq_len: int, block_q: int, block_k: int):
+    bq = min(block_q, _round_up(seq_len, 128))
+    bk = min(block_k, _round_up(seq_len, 128))
+    return bq, bk
 
 
-def _flash_bwd(causal, scale, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda a, b, c: _reference_attention(a, b, c, causal=causal, scale=scale), q, k, v)
-    return vjp(g)
+def _to_bh(x):
+    b, l, h, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b * h, l, hd)
+
+
+def _from_bh(x, b, h):
+    bh, l, hd = x.shape
+    return x.reshape(b, h, l, hd).transpose(0, 2, 1, 3)
+
+
+def _pad_seq(x, lp):
+    if x.shape[1] == lp:
+        return x
+    return jnp.pad(x, ((0, 0), (0, lp - x.shape[1]), (0, 0)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash(q, k, v, causal, scale, block_q, block_k):
+    out, _ = _flash_fwd_impl(q, k, v, causal, scale, block_q, block_k)
+    return out
+
+
+def _flash_fwd_impl(q, k, v, causal, scale, block_q, block_k):
+    b, l, h, hd = q.shape
+    assert k.shape[1] == l, "flash kernel assumes self-attention lengths"
+    bq, bk = _blocks_for(l, block_q, block_k)
+    lp = _round_up(l, max(bq, bk))
+    qb = _pad_seq(_to_bh(q), lp)
+    kb = _pad_seq(_to_bh(k), lp)
+    vb = _pad_seq(_to_bh(v), lp)
+    ob, lse = _flash_forward(qb, kb, vb, causal=causal, scale=scale, seq_len=l,
+                             block_q=bq, block_k=bk, interpret=_INTERPRET)
+    out = _from_bh(ob[:, :l], b, h)
+    return out, (qb, kb, vb, ob, lse)
+
+
+def _flash_fwd(q, k, v, causal, scale, block_q, block_k):
+    out, res = _flash_fwd_impl(q, k, v, causal, scale, block_q, block_k)
+    return out, (res, q.shape)
+
+
+def _flash_bwd(causal, scale, block_q, block_k, res_shape, g):
+    (qb, kb, vb, ob, lse), (b, l, h, hd) = res_shape
+    bq, bk = _blocks_for(l, block_q, block_k)
+    dob = _pad_seq(_to_bh(g), qb.shape[1])
+    # di = rowsum(o * do) in fp32 — tiny fused elementwise reduce, O(L) memory
+    di = jnp.sum(ob.astype(jnp.float32) * dob.astype(jnp.float32), axis=-1)
+    dq = _bwd_dq(qb, kb, vb, dob, lse, di, causal=causal, scale=scale, seq_len=l,
+                 block_q=bq, block_k=bk, interpret=_INTERPRET)
+    dk, dv = _bwd_dkv(qb, kb, vb, dob, lse, di, causal=causal, scale=scale, seq_len=l,
+                      block_q=bq, block_k=bk, interpret=_INTERPRET)
+    return (_from_bh(dq[:, :l], b, h), _from_bh(dk[:, :l], b, h), _from_bh(dv[:, :l], b, h))
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -172,8 +396,11 @@ def flash_attention(
     *,
     causal: bool = False,
     scale: Optional[float] = None,
+    block_q: int = 128,
+    block_k: int = 128,
 ) -> jax.Array:
-    """(B, L, H, hd) x3 -> (B, L, H, hd). Differentiable."""
+    """(B, L, H, hd) x3 -> (B, L, H, hd). Differentiable; fwd and bwd are Pallas
+    kernels with O(L) memory (no (L, L) intermediate ever hits HBM)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    return _flash(q, k, v, causal, scale)
+    return _flash(q, k, v, causal, scale, block_q, block_k)

@@ -2,94 +2,36 @@
 
 Behavioral equivalent of reference ``src/open_clip/pretrained.py``: a registry mapping
 ``(model, tag)`` -> hub location + preprocess overrides, preferring safetensors. The
-full ~120-family table is grown lazily; the highest-traffic families (openai, laion2b,
-datacomp) are registered here. Local file paths always work without the registry.
+full table (~119 model families, 200 tags, reference pretrained.py:456-768) is carried
+as data in ``pretrained_data.json``; entries split ``hf_hub``/``url`` from the
+preprocess-override dict. Local file paths always work without the registry.
 """
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
-from .constants import (
-    HF_SAFE_WEIGHTS_NAME,
-    HF_WEIGHTS_NAME,
-    IMAGENET_MEAN,
-    IMAGENET_STD,
-    INCEPTION_MEAN,
-    INCEPTION_STD,
-    OPENAI_DATASET_MEAN,
-    OPENAI_DATASET_STD,
-)
+from .constants import HF_SAFE_WEIGHTS_NAME, HF_WEIGHTS_NAME
 
+_DATA_PATH = os.path.join(os.path.dirname(__file__), "pretrained_data.json")
 
-def _cfg(hf_hub: str = "", url: str = "", **kw) -> Dict[str, Any]:
-    pp = {
-        "mean": OPENAI_DATASET_MEAN,
-        "std": OPENAI_DATASET_STD,
-        "interpolation": "bicubic",
-        "resize_mode": "shortest",
-    }
-    pp.update(kw)
-    out = {"preprocess_cfg": pp}
-    if hf_hub:
-        out["hf_hub"] = hf_hub if hf_hub.endswith("/") else hf_hub + "/"
-    if url:
-        out["url"] = url
-    return out
+with open(_DATA_PATH) as _fh:
+    _PRETRAINED: Dict[str, Dict[str, Dict[str, Any]]] = json.load(_fh)
+
+# tuple-ify mean/std so downstream dataclasses hash/compare cleanly
+for _tags in _PRETRAINED.values():
+    for _cfg_entry in _tags.values():
+        _pp = _cfg_entry.get("preprocess_cfg", {})
+        for _k in ("mean", "std"):
+            if isinstance(_pp.get(_k), list):
+                _pp[_k] = tuple(_pp[_k])
 
 
-_PRETRAINED: Dict[str, Dict[str, Dict[str, Any]]] = {
-    "ViT-B-32": {
-        "openai": _cfg(hf_hub="timm/vit_base_patch32_clip_224.openai", quick_gelu=True),
-        "laion400m_e31": _cfg(hf_hub="timm/vit_base_patch32_clip_224.laion400m_e31", quick_gelu=True),
-        "laion400m_e32": _cfg(hf_hub="timm/vit_base_patch32_clip_224.laion400m_e32", quick_gelu=True),
-        "laion2b_e16": _cfg(hf_hub="laion/CLIP-ViT-B-32-laion2B-e16", quick_gelu=True),
-        "laion2b_s34b_b79k": _cfg(hf_hub="laion/CLIP-ViT-B-32-laion2B-s34B-b79K"),
-        "datacomp_xl_s13b_b90k": _cfg(hf_hub="laion/CLIP-ViT-B-32-DataComp.XL-s13B-b90K"),
-    },
-    "ViT-B-16": {
-        "openai": _cfg(hf_hub="timm/vit_base_patch16_clip_224.openai", quick_gelu=True),
-        "laion400m_e31": _cfg(hf_hub="timm/vit_base_patch16_clip_224.laion400m_e31", quick_gelu=True),
-        "laion400m_e32": _cfg(hf_hub="timm/vit_base_patch16_clip_224.laion400m_e32", quick_gelu=True),
-        "laion2b_s34b_b88k": _cfg(hf_hub="laion/CLIP-ViT-B-16-laion2B-s34B-b88K"),
-        "datacomp_xl_s13b_b90k": _cfg(hf_hub="laion/CLIP-ViT-B-16-DataComp.XL-s13B-b90K"),
-    },
-    "ViT-L-14": {
-        "openai": _cfg(hf_hub="timm/vit_large_patch14_clip_224.openai", quick_gelu=True),
-        "laion400m_e31": _cfg(hf_hub="timm/vit_large_patch14_clip_224.laion400m_e31", quick_gelu=True),
-        "laion400m_e32": _cfg(hf_hub="timm/vit_large_patch14_clip_224.laion400m_e32", quick_gelu=True),
-        "laion2b_s32b_b82k": _cfg(
-            hf_hub="laion/CLIP-ViT-L-14-laion2B-s32B-b82K", mean=INCEPTION_MEAN, std=INCEPTION_STD
-        ),
-        "datacomp_xl_s13b_b90k": _cfg(hf_hub="laion/CLIP-ViT-L-14-DataComp.XL-s13B-b90K"),
-    },
-    "ViT-L-14-336": {
-        "openai": _cfg(hf_hub="timm/vit_large_patch14_clip_336.openai", quick_gelu=True),
-    },
-    "ViT-H-14": {
-        "laion2b_s32b_b79k": _cfg(hf_hub="laion/CLIP-ViT-H-14-laion2B-s32B-b79K"),
-    },
-    "ViT-g-14": {
-        "laion2b_s12b_b42k": _cfg(hf_hub="laion/CLIP-ViT-g-14-laion2B-s12B-b42K"),
-        "laion2b_s34b_b88k": _cfg(hf_hub="laion/CLIP-ViT-g-14-laion2B-s34B-b88K"),
-    },
-    "ViT-bigG-14": {
-        "laion2b_s39b_b160k": _cfg(hf_hub="laion/CLIP-ViT-bigG-14-laion2B-39B-b160k"),
-    },
-    "RN50": {
-        "openai": _cfg(hf_hub="timm/resnet50_clip.openai", quick_gelu=True),
-    },
-    "RN101": {
-        "openai": _cfg(hf_hub="timm/resnet101_clip.openai", quick_gelu=True),
-    },
-    "coca_ViT-B-32": {
-        "laion2b_s13b_b90k": _cfg(hf_hub="laion/CoCa-ViT-B-32-laion2B-s13B-b90k"),
-    },
-    "coca_ViT-L-14": {
-        "laion2b_s13b_b90k": _cfg(hf_hub="laion/CoCa-ViT-L-14-laion2B-s13B-b90k"),
-    },
-}
+def register_pretrained(model: str, tag: str, cfg: Dict[str, Any]) -> None:
+    """Add/override a registry entry at runtime (mirror of editing _PRETRAINED)."""
+    _PRETRAINED.setdefault(model, {})[tag.lower()] = cfg
 
 
 def list_pretrained(as_str: bool = False) -> List:
@@ -122,19 +64,11 @@ def download_pretrained(cfg: Dict[str, Any], cache_dir: Optional[str] = None) ->
     """Fetch checkpoint to local path (HF hub preferred, safetensors first)."""
     hf_hub = cfg.get("hf_hub", "")
     if hf_hub:
-        from huggingface_hub import hf_hub_download
-
-        repo = hf_hub.rstrip("/")
-        last_err = None
-        for fname in (HF_SAFE_WEIGHTS_NAME, HF_WEIGHTS_NAME, "model.safetensors", "pytorch_model.bin"):
-            try:
-                return hf_hub_download(repo, fname, cache_dir=cache_dir)
-            except Exception as e:  # noqa: BLE001 — iterate filename candidates
-                last_err = e
-        raise RuntimeError(
-            f"could not download weights from hf hub repo {repo!r} "
-            f"(offline environment? pass a local checkpoint path instead): {last_err}"
-        )
+        # registry form is "org/repo/" or "org/repo/filename"
+        parts = hf_hub.rstrip("/").split("/")
+        repo = "/".join(parts[:2])
+        fname = parts[2] if len(parts) > 2 else None
+        return download_pretrained_from_hf(repo, filename=fname, cache_dir=cache_dir)
     url = cfg.get("url", "")
     if url:
         raise RuntimeError(
@@ -142,3 +76,26 @@ def download_pretrained(cfg: Dict[str, Any], cache_dir: Optional[str] = None) ->
             "pass the local path as `pretrained=`."
         )
     raise ValueError("pretrained cfg has no hf_hub or url")
+
+
+def download_pretrained_from_hf(
+    repo_id: str,
+    filename: Optional[str] = None,
+    cache_dir: Optional[str] = None,
+) -> str:
+    """HF-hub download preferring safetensors (reference pretrained.py:879-914)."""
+    from huggingface_hub import hf_hub_download
+
+    candidates = ([filename] if filename else []) + [
+        HF_SAFE_WEIGHTS_NAME, "model.safetensors", HF_WEIGHTS_NAME, "pytorch_model.bin",
+    ]
+    last_err = None
+    for fname in candidates:
+        try:
+            return hf_hub_download(repo_id, fname, cache_dir=cache_dir)
+        except Exception as e:  # noqa: BLE001 — iterate filename candidates
+            last_err = e
+    raise RuntimeError(
+        f"could not download weights from hf hub repo {repo_id!r} "
+        f"(offline environment? pass a local checkpoint path instead): {last_err}"
+    )

@@ -1,13 +1,17 @@
-"""Pallas flash-attention kernel vs the einsum reference (interpret mode on CPU)."""
-
-import functools
+"""Pallas flash-attention fwd + bwd kernels vs the einsum reference (interpret mode)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from open_clip_tpu.ops.flash_attention import _flash_forward, _reference_attention, flash_attention
+import open_clip_tpu.ops.flash_attention as fa
+from open_clip_tpu.ops.flash_attention import _reference_attention, flash_attention
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setattr(fa, "_INTERPRET", True)
 
 
 def _qkv(rng, b=2, l=160, h=2, hd=64):
@@ -21,30 +25,57 @@ def _qkv(rng, b=2, l=160, h=2, hd=64):
 @pytest.mark.parametrize("l", [128, 160, 384])
 def test_flash_matches_reference(rng, causal, l):
     q, k, v = _qkv(rng, l=l)
-    scale = q.shape[-1] ** -0.5
-    ref = _reference_attention(q, k, v, causal=causal, scale=scale)
-    out = _flash_forward(q, k, v, causal=causal, scale=scale, interpret=True, block_q=128, block_k=128)
+    ref = _reference_attention(q, k, v, causal=causal, scale=q.shape[-1] ** -0.5)
+    out = flash_attention(q, k, v, causal=causal)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-def test_flash_grad_matches_reference(rng):
-    q, k, v = _qkv(rng, l=128, h=1)
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("l", [128, 160, 320])
+def test_flash_grad_matches_reference(rng, causal, l):
+    """Backward runs the Pallas dq/dkv kernels — compare all three grads to autodiff
+    of the dense reference, including non-block-multiple lengths (padding masks)."""
+    q, k, v = _qkv(rng, b=1, l=l, h=2)
     scale = q.shape[-1] ** -0.5
+    # non-uniform cotangent so dq/dk/dv asymmetries show up
+    g = jnp.asarray(np.linspace(-1, 1, q.size, dtype=np.float32).reshape(q.shape))
 
     def loss_flash(q, k, v):
-        return _flash_forward(q, k, v, causal=True, scale=scale, interpret=True).sum()
+        return (flash_attention(q, k, v, causal=causal) * g).sum()
 
-    # custom_vjp backward is the einsum recompute — verify it against direct autodiff
-    import open_clip_tpu.ops.flash_attention as fa
+    def loss_ref(q, k, v):
+        return (_reference_attention(q, k, v, causal=causal, scale=scale) * g).sum()
 
-    def loss_custom(q, k, v):
-        out = fa._flash_bwd(True, scale, (q, k, v), jnp.ones_like(q))
-        return out
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5, err_msg=f"d{name} mismatch"
+        )
 
-    g_custom = loss_custom(q, k, v)
-    g_direct = jax.grad(
-        lambda a, b, c: fa._reference_attention(a, b, c, causal=True, scale=scale).sum(),
-        argnums=(0, 1, 2),
-    )(q, k, v)
-    for gc, gd in zip(g_custom, g_direct):
-        np.testing.assert_allclose(np.asarray(gc), np.asarray(gd), atol=1e-5)
+
+def test_flash_bwd_never_materializes_lxl(rng):
+    """Memory assertion: no (L, L) intermediate in the backward jaxpr's shapes."""
+    l = 512
+    q, k, v = _qkv(rng, b=1, l=l, h=1)
+
+    def loss(q, k, v):
+        return flash_attention(q, k, v, causal=False).sum()
+
+    jaxpr = jax.make_jaxpr(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+    for eqn in jaxpr.jaxpr.eqns:
+        for var in eqn.outvars:
+            shape = getattr(var.aval, "shape", ())
+            assert not (len(shape) >= 2 and shape[-1] >= l and shape[-2] >= l), (
+                f"(L, L) intermediate {shape} in {eqn.primitive}"
+            )
+
+
+def test_flash_bf16_close(rng):
+    q, k, v = _qkv(rng, l=256)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    ref = _reference_attention(q, k, v, causal=False, scale=q.shape[-1] ** -0.5)
+    out = flash_attention(qb, kb, vb, causal=False)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=2e-2, rtol=2e-2
+    )

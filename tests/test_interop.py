@@ -169,3 +169,50 @@ def test_profiler_matches_reference_static_numbers():
     row = profile_model("ViT-B-32")
     assert row["params (M)"] == pytest.approx(151.28, abs=0.01)  # reference model_profile.csv:8
     assert row["GFLOPs"] == pytest.approx(14.78, rel=0.05)  # XLA counts a few extra elementwise ops
+
+
+def test_hf_hub_model_resolution(tmp_path, monkeypatch, rng):
+    """create_model('hf-hub:org/repo') resolves config + weights from a (mocked local)
+    hub cache and reproduces the exported model's embeddings (reference factory.py:92-152)."""
+    name = "tiny-hub"
+    if name not in oct.list_models():
+        oct.add_model_config(dict(TINY, custom_text=True), name=name)
+    model = oct.create_model(name, seed=7)
+    out_dir = tmp_path / "hubrepo"
+    save_for_hf(model, str(out_dir), model_config=oct.get_model_config(name))
+
+    def fake_download(repo_id, filename, cache_dir=None, **kw):
+        assert repo_id == "acme/tiny-hub"
+        p = out_dir / filename
+        if not p.exists():
+            raise FileNotFoundError(filename)
+        return str(p)
+
+    import huggingface_hub
+
+    monkeypatch.setattr(huggingface_hub, "hf_hub_download", fake_download)
+
+    m2 = oct.create_model("hf-hub:acme/tiny-hub")
+    img = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    a = np.asarray(model.encode_image(img, normalize=True))
+    b = np.asarray(m2.encode_image(img, normalize=True))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+    tok = oct.get_tokenizer("hf-hub:acme/tiny-hub")
+    assert tok is not None
+
+
+def test_pretrained_registry_breadth():
+    """Full reference table parity: >=112 model families, hub/url per tag."""
+    prs = oct.list_pretrained()
+    models = {m for m, _ in prs}
+    assert len(models) >= 112, len(models)
+    assert len(prs) >= 195, len(prs)
+    assert ("ViT-B-32", "laion2b_s34b_b79k") in prs
+    assert ("ViT-SO400M-14-SigLIP", "webli") in prs
+    assert ("MobileCLIP-S1", "datacompdr") in prs
+    from open_clip_tpu.pretrained import get_pretrained_cfg
+
+    cfg = get_pretrained_cfg("ViT-B-32", "laion2b_s34b_b79k")
+    assert cfg["hf_hub"].startswith("laion/")
+    assert tuple(cfg["preprocess_cfg"]["mean"])
