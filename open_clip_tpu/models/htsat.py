@@ -118,15 +118,41 @@ def init_htsat(
     freq_ratio = spec_size // acfg.mel_bins
     ks = jax.random.split(key, 16)
 
+    fusion_type = acfg.fusion_type if acfg.enable_fusion else "none"
+    in_chans = 4 if fusion_type == "channel_map" else 1
     p: Dict[str, Any] = {
         "bn0": {"scale": jnp.ones((acfg.mel_bins,)), "bias": jnp.zeros((acfg.mel_bins,)),
                 "mean": jnp.zeros((acfg.mel_bins,)), "var": jnp.ones((acfg.mel_bins,))},
         "patch_embed": {
-            "proj": {"kernel": _trunc_normal(ks[0], (4, 4, 1, embed_dim)), "bias": jnp.zeros((embed_dim,))},
+            "proj": {"kernel": _trunc_normal(ks[0], (4, 4, in_chans, embed_dim)),
+                     "bias": jnp.zeros((embed_dim,))},
             "norm": B._ln_params(embed_dim),
         },
         "norm": B._ln_params(num_features),
     }
+    if fusion_type in ("daf_2d", "aff_2d", "iaff_2d"):
+        # local-branch conv over 3 stacked mel chunks + fusion head inside the patch
+        # embed (reference htsat.py:140-153)
+        from .fusion import init_fusion
+
+        kf = jax.random.split(ks[11], 2)
+        p["patch_embed"]["mel_conv2d"] = {
+            "kernel": _trunc_normal(kf[0], (4, 4 * 3, 1, embed_dim)),
+            "bias": jnp.zeros((embed_dim,)),
+        }
+        p["patch_embed"]["fusion"] = init_fusion(kf[1], fusion_type, embed_dim)
+    elif fusion_type in ("daf_1d", "aff_1d", "iaff_1d"):
+        # waveform-level 1D fusion over mel bins (reference htsat.py:906-917)
+        from .fusion import init_fusion
+
+        kf = jax.random.split(ks[11], 2)
+        p["mel_conv1d"] = {
+            "conv": {"kernel": _trunc_normal(kf[0], (5, acfg.mel_bins, acfg.mel_bins)),
+                     "bias": jnp.zeros((acfg.mel_bins,))},
+            "bn": {"scale": jnp.ones((acfg.mel_bins,)), "bias": jnp.zeros((acfg.mel_bins,)),
+                   "mean": jnp.zeros((acfg.mel_bins,)), "var": jnp.ones((acfg.mel_bins,))},
+        }
+        p["fusion"] = init_fusion(kf[1], fusion_type, acfg.mel_bins)
 
     stages = {}
     res = spec_size // patch_stride[0]
@@ -216,9 +242,9 @@ def _patch_merge(p, x, resolution):
 
 
 def _bicubic_resize(x, target_t, target_f):
-    """(B, 1, T, F) -> (B, 1, target_t, target_f), align_corners=True cubic
+    """(B, C, T, F) -> (B, C, target_t, target_f), align_corners=True cubic
     (torch F.interpolate parity via jax.image with translation mapping)."""
-    b = x.shape[0]
+    b, c = x.shape[0], x.shape[1]
     # align_corners=True == resize with scale (n_out-1)/(n_in-1) and no half-pixel offset;
     # jax.image.resize uses half-pixel (align_corners=False). Implement via scale_and_translate.
     import jax.image as jimage
@@ -230,7 +256,7 @@ def _bicubic_resize(x, target_t, target_f):
     scale_f = (target_f - 1) / max(f_in - 1, 1)
     return jimage.scale_and_translate(
         x.astype(jnp.float32),
-        (b, 1, target_t, target_f),
+        (b, c, target_t, target_f),
         spatial_dims=(2, 3),
         scale=jnp.array([scale_t, scale_f]),
         translation=jnp.array([0.0, 0.0]),
@@ -240,8 +266,8 @@ def _bicubic_resize(x, target_t, target_f):
 
 
 def reshape_wav2img(x: jax.Array, spec_size: int, freq_ratio: int) -> jax.Array:
-    """(B, 1, T, F) mel -> (B, 1, spec, spec) via freq-ratio folding (reference :999-1016)."""
-    b = x.shape[0]
+    """(B, C, T, F) mel -> (B, C, spec, spec) via freq-ratio folding (reference :999-1016)."""
+    b, c = x.shape[0], x.shape[1]
     target_t = spec_size * freq_ratio
     target_f = spec_size // freq_ratio
     assert x.shape[2] <= target_t and x.shape[3] <= target_f, (
@@ -249,16 +275,76 @@ def reshape_wav2img(x: jax.Array, spec_size: int, freq_ratio: int) -> jax.Array:
     )
     if x.shape[2] != target_t or x.shape[3] != target_f:
         x = _bicubic_resize(x, target_t, target_f)
-    x = x.transpose(0, 1, 3, 2)  # (B, 1, F, T)
-    x = x.reshape(b, 1, target_f, freq_ratio, target_t // freq_ratio)
-    x = x.transpose(0, 1, 3, 2, 4)  # (B, 1, fr, F, T/fr)
-    return x.reshape(b, 1, freq_ratio * target_f, target_t // freq_ratio)
+    x = x.transpose(0, 1, 3, 2)  # (B, C, F, T)
+    x = x.reshape(b, c, target_f, freq_ratio, target_t // freq_ratio)
+    x = x.transpose(0, 1, 3, 2, 4)  # (B, C, fr, F, T/fr)
+    return x.reshape(b, c, freq_ratio * target_f, target_t // freq_ratio)
 
 
 def _interpolate_frames(x: jax.Array, ratio: int) -> jax.Array:
     """(B, T, C) -> (B, T*ratio, C) frame repeat (reference interpolate, :41-53)."""
     b, t, c = x.shape
     return jnp.repeat(x, ratio, axis=1)
+
+
+def _fuse_1d(params: Dict[str, Any], fusion_type: str, x: jax.Array, longer: jax.Array) -> jax.Array:
+    """1D waveform-level fusion (reference htsat.py:1040-1066): local mel chunks pass a
+    strided Conv1d+BN over time, concatenate chunk-major, and fuse with the global mel
+    over the mel-bin channel axis. x: (B, 4, T, F) -> (B, 1, T, F)."""
+    from .fusion import apply_fusion
+
+    b, nch, t, f = x.shape
+    global_x = x[:, 0]  # (B, T, F) — channel-last over mel bins already
+    local = x[:, 1:].reshape(b * (nch - 1), t, f)
+    mc = params["mel_conv1d"]
+    y = jax.lax.conv_general_dilated(
+        local, mc["conv"]["kernel"].astype(local.dtype), (3,), [(2, 2)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    ) + mc["conv"]["bias"].astype(local.dtype)
+    bn = mc["bn"]
+    inv = jax.lax.rsqrt(bn["var"].astype(jnp.float32) + 1e-5) * bn["scale"].astype(jnp.float32)
+    y = (y.astype(jnp.float32) - bn["mean"]) * inv + bn["bias"]
+    tl = y.shape[1]
+    y = y.reshape(b, (nch - 1) * tl, f)  # chunk-major along time (reference flatten(2))
+    if y.shape[1] < t:
+        y = jnp.pad(y, ((0, 0), (0, t - y.shape[1]), (0, 0)))
+    else:
+        y = y[:, :t]
+    fused = apply_fusion(params.get("fusion", {}), fusion_type, global_x, y)
+    out = jnp.where(longer[:, None, None], fused, global_x)
+    return out[:, None]  # (B, 1, T, F)
+
+
+def _patch_embed_fused(pe: Dict[str, Any], fusion_type: str, x: jax.Array, longer: jax.Array) -> jax.Array:
+    """2D fused patch embed (reference htsat.py:155-192): global channel through the
+    4x4 proj; the 3 local chunks through a (4, 12)-strided conv, interleaved chunk-major
+    along width, zero-padded to the global grid, fused, per-sample selected. Returns
+    NHWC (B, gh, gw, embed)."""
+    from .fusion import apply_fusion
+
+    b, nch, s, _ = x.shape
+    gx = x[:, 0:1].transpose(0, 2, 3, 1)  # NHWC (B, S, S, 1)
+    gx = jax.lax.conv_general_dilated(
+        gx, pe["proj"]["kernel"].astype(gx.dtype), (4, 4), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + pe["proj"]["bias"].astype(gx.dtype)  # (B, gh, gw, E)
+    gh, gw = gx.shape[1], gx.shape[2]
+
+    lx = x[:, 1:].reshape(b * (nch - 1), s, s, 1)
+    lx = jax.lax.conv_general_dilated(
+        lx, pe["mel_conv2d"]["kernel"].astype(lx.dtype), (4, 12), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + pe["mel_conv2d"]["bias"].astype(lx.dtype)  # (B*3, gh, wl, E)
+    wl = lx.shape[2]
+    lx = lx.reshape(b, nch - 1, gh, wl, -1).transpose(0, 2, 1, 3, 4)  # (B, gh, 3, wl, E)
+    lx = lx.reshape(b, gh, (nch - 1) * wl, -1)
+    if lx.shape[2] < gw:
+        lx = jnp.pad(lx, ((0, 0), (0, 0), (0, gw - lx.shape[2]), (0, 0)))
+    else:
+        lx = lx[:, :, :gw]
+
+    fused = apply_fusion(pe.get("fusion", {}), fusion_type, gx, lx)
+    return jnp.where(longer[:, None, None, None], fused, gx)
 
 
 def apply_htsat(
@@ -279,33 +365,56 @@ def apply_htsat(
     rng: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """waveform dict -> {"embedding" (B, num_features), "clipwise_output",
-    "framewise_output", "fine_grained_embedding"} (reference forward_features :937-985)."""
-    wav = audio["waveform"]
-    mel = log_mel_clap(
-        wav, sample_rate=acfg.sample_rate, n_fft=acfg.window_size, hop_length=acfg.hop_size,
-        n_mels=acfg.mel_bins, fmin=acfg.fmin, fmax=acfg.fmax,
-    )  # (B, T, F)
-    x = mel[:, None, :, :]  # (B, 1, T, F)
+    "framewise_output", "fine_grained_embedding"} (reference forward_features :937-985).
 
-    # bn0 over mel bins with stored stats (reference applies BatchNorm2d on transposed layout)
+    With ``acfg.enable_fusion`` the batch carries a host-precomputed ``mel_fusion``
+    stack (B, 4, T, F) + ``longer`` mask; fusion is computed full-batch with static
+    shapes and selected per-sample (vs the reference's longer_idx dynamic gather,
+    htsat.py:1034-1106)."""
+    fusion_type = acfg.fusion_type if acfg.enable_fusion else "none"
+    fused_input = acfg.enable_fusion and "mel_fusion" in audio
+    longer = None
+    if fused_input:
+        x = audio["mel_fusion"].astype(jnp.float32)  # (B, 4, T, F)
+        longer = audio["longer"].reshape(-1).astype(bool)
+    else:
+        wav = audio["waveform"]
+        mel = log_mel_clap(
+            wav, sample_rate=acfg.sample_rate, n_fft=acfg.window_size, hop_length=acfg.hop_size,
+            n_mels=acfg.mel_bins, fmin=acfg.fmin, fmax=acfg.fmax,
+        )  # (B, T, F)
+        x = mel[:, None, :, :]  # (B, 1, T, F)
+
+    # bn0 over mel bins with stored stats (reference applies BatchNorm2d on transposed
+    # layout; broadcasts over the fusion channel dim)
     bn = params["bn0"]
     inv = jax.lax.rsqrt(bn["var"].astype(jnp.float32) + 1e-5) * bn["scale"].astype(jnp.float32)
     x = (x.astype(jnp.float32) - bn["mean"]) * inv + bn["bias"]
+
+    if fused_input and fusion_type in ("daf_1d", "aff_1d", "iaff_1d"):
+        x = _fuse_1d(params, fusion_type, x, longer)  # (B, 1, T, F)
 
     if train and rng is not None:
         x = spec_augment(rng, x)
 
     freq_ratio = spec_size // acfg.mel_bins
-    x = reshape_wav2img(x, spec_size, freq_ratio)  # (B, 1, spec, spec)
-    x = x.transpose(0, 2, 3, 1).astype(compute_dtype)  # NHWC
+    x = reshape_wav2img(x, spec_size, freq_ratio)  # (B, C, spec, spec)
 
-    # patch embed: conv 4x4 stride 4 + LN
-    x = jax.lax.conv_general_dilated(
-        x, params["patch_embed"]["proj"]["kernel"].astype(x.dtype), (4, 4), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ) + params["patch_embed"]["proj"]["bias"].astype(x.dtype)
-    b, gh, gw, c = x.shape
-    x = x.reshape(b, gh * gw, c)
+    if fused_input and fusion_type in ("daf_2d", "aff_2d", "iaff_2d"):
+        x = _patch_embed_fused(params["patch_embed"], fusion_type, x.astype(compute_dtype), longer)
+        b, gh, gw, c = x.shape
+        x = x.reshape(b, gh * gw, c)
+    else:
+        if fusion_type == "channel_map" and x.shape[1] == 1:
+            x = jnp.broadcast_to(x, (x.shape[0], 4, *x.shape[2:]))
+        x = x.transpose(0, 2, 3, 1).astype(compute_dtype)  # NHWC
+        # patch embed: conv 4x4 stride 4 + LN
+        x = jax.lax.conv_general_dilated(
+            x, params["patch_embed"]["proj"]["kernel"].astype(x.dtype), (4, 4), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + params["patch_embed"]["proj"]["bias"].astype(x.dtype)
+        b, gh, gw, c = x.shape
+        x = x.reshape(b, gh * gw, c)
     x = layer_norm(x, params["patch_embed"]["norm"]["scale"], params["patch_embed"]["norm"]["bias"])
 
     res = spec_size // patch_stride[0]
@@ -389,8 +498,23 @@ def torch_htsat_to_params(sd: Dict[str, Any], prefix: str = "") -> Dict[str, Any
 
     sub = {k[len(prefix):]: _np(v) for k, v in sd.items() if k.startswith(prefix)}
     tree: Dict[str, Any] = {"stages": {}}
+
+    # fusion modules (AFF/iAFF/DAF + local-chunk convs, reference htsat.py:136-153,906-917)
+    from .fusion import torch_fusion_to_params
+
+    pe_fusion = {k[len("patch_embed.fusion_model."):]: v for k, v in sub.items()
+                 if k.startswith("patch_embed.fusion_model.")}
+    if pe_fusion:
+        tree.setdefault("patch_embed", {})["fusion"] = torch_fusion_to_params(pe_fusion)
+    top_fusion = {k[len("fusion_model."):]: v for k, v in sub.items()
+                  if k.startswith("fusion_model.")}
+    if top_fusion:
+        tree["fusion"] = torch_fusion_to_params(top_fusion)
+
     layer_re = _re.compile(r"^layers\.(\d+)\.(blocks|downsample)\.(.*)$")
     for k, v in sub.items():
+        if k.startswith("patch_embed.fusion_model.") or k.startswith("fusion_model."):
+            continue
         m = layer_re.match(k)
         if m:
             li, kind, rest = int(m.group(1)), m.group(2), m.group(3)
@@ -436,6 +560,19 @@ def torch_htsat_to_params(sd: Dict[str, Any], prefix: str = "") -> Dict[str, Any
             _set(tree, ("patch_embed", "proj", "kernel"), v.transpose(2, 3, 1, 0))
         elif k == "patch_embed.proj.bias":
             _set(tree, ("patch_embed", "proj", "bias"), v)
+        elif k == "patch_embed.mel_conv2d.weight":
+            _set(tree, ("patch_embed", "mel_conv2d", "kernel"), v.transpose(2, 3, 1, 0))
+        elif k == "patch_embed.mel_conv2d.bias":
+            _set(tree, ("patch_embed", "mel_conv2d", "bias"), v)
+        elif k == "mel_conv1d.0.weight":  # Sequential(Conv1d, BatchNorm1d)
+            _set(tree, ("mel_conv1d", "conv", "kernel"), v.transpose(2, 1, 0))
+        elif k == "mel_conv1d.0.bias":
+            _set(tree, ("mel_conv1d", "conv", "bias"), v)
+        elif k.startswith("mel_conv1d.1."):
+            name = {"weight": "scale", "bias": "bias", "running_mean": "mean",
+                    "running_var": "var"}.get(k.split(".")[-1])
+            if name:
+                _set(tree, ("mel_conv1d", "bn", name), v)
         elif k == "patch_embed.norm.weight":
             _set(tree, ("patch_embed", "norm", "scale"), v)
         elif k == "patch_embed.norm.bias":

@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..loss import clip_loss
 from .metrics import get_clip_metrics
 from .train_step import TrainState, eval_forward
 
@@ -101,6 +100,41 @@ def _batch_size(batch) -> int:
     return jax.tree_util.tree_leaves(batch)[0].shape[0]
 
 
+def make_eval_step(cfg, compute_dtype=jnp.bfloat16):
+    """One jitted validation step: normalized paired features + in-batch contrastive
+    loss + generative (caption) loss where the model has a decoder. Replaces the
+    reference's per-batch autocast forward (train.py:605-640) with a single compiled
+    function — no per-batch Python encode calls or host syncs."""
+    from ..models.clip import clip_forward
+    from ..loss import caption_cross_entropy
+
+    def step(params, batch):
+        primary_in = batch.get("audio", batch.get("image"))
+        out = clip_forward(
+            params, cfg, primary_in, batch.get("text"),
+            train=False, compute_dtype=compute_dtype,
+        )
+        primary = out.get("image_features", out.get("audio_features"))
+        txf = out["text_features"]
+        scale = out["logit_scale"]
+        res = {"primary_features": primary, "text_features": txf, "logit_scale": scale}
+        if primary is not None and txf is not None:
+            # in-batch CE both directions (reference train.py:620-630)
+            logits = scale * primary.astype(jnp.float32) @ txf.astype(jnp.float32).T
+            labels = jnp.arange(primary.shape[0])
+            li = -jnp.take_along_axis(jax.nn.log_softmax(logits, axis=-1), labels[:, None], 1).mean()
+            lt = -jnp.take_along_axis(jax.nn.log_softmax(logits.T, axis=-1), labels[:, None], 1).mean()
+            res["loss"] = 0.5 * (li + lt)
+        if "logits" in out and "text" in batch:
+            # CoCa generative val loss (reference maybe_compute_generative_loss, train.py:631)
+            pad_id = cfg.text_cfg.pad_id if cfg.text_cfg else 0
+            res["gen_loss"] = caption_cross_entropy(
+                out["logits"][:, :-1], batch["text"][:, 1:], pad_id=pad_id)
+        return res
+
+    return jax.jit(step)
+
+
 def evaluate(
     model,
     data: Dict[str, Any],
@@ -109,8 +143,8 @@ def evaluate(
     tokenizer=None,
     writer=None,
 ) -> Dict[str, float]:
-    """Validation: paired retrieval + contrastive val loss + zero-shot
-    (reference train.py:536-714)."""
+    """Validation: paired retrieval + contrastive val loss + generative loss +
+    zero-shot (reference train.py:536-714), via one jitted eval step."""
     metrics: Dict[str, float] = {}
 
     from .zero_shot import zero_shot_eval
@@ -118,23 +152,35 @@ def evaluate(
     metrics.update(zero_shot_eval(model, data, epoch, args, tokenizer=tokenizer))
 
     if "val" in data:
+        eval_step = make_eval_step(model.cfg, compute_dtype=getattr(model, "compute_dtype", jnp.bfloat16))
         all_imf, all_txf = [], []
-        losses = []
-        n = 0
+        loss_sum = gen_sum = 0.0
+        n = gen_n = 0
+        primary_key = "image"
+        pending = []  # device results awaiting host transfer (keeps device busy)
         for batch in data["val"].dataloader:
-            imf = model.encode_image(jnp.asarray(batch["image"]), normalize=True)
-            txf = model.encode_text(jnp.asarray(batch["text"]), normalize=True)
-            scale = jnp.exp(model.params["logit_scale"].astype(jnp.float32))
-            losses.append(float(clip_loss(imf, txf, scale)) * imf.shape[0])
-            n += imf.shape[0]
-            all_imf.append(np.asarray(imf, dtype=np.float32))
-            all_txf.append(np.asarray(txf, dtype=np.float32))
-        if n:
-            metrics["clip_val_loss"] = float(np.sum(losses) / n)
+            if "audio" in batch:
+                primary_key = "audio"
+            res = eval_step(model.params, _to_device(batch))
+            pending.append((res, _batch_size(batch)))
+        for res, bs in pending:
+            if res.get("primary_features") is not None:
+                all_imf.append(np.asarray(res["primary_features"], dtype=np.float32))
+                all_txf.append(np.asarray(res["text_features"], dtype=np.float32))
+                loss_sum += float(np.asarray(res["loss"])) * bs
+            if "gen_loss" in res:
+                gen_sum += float(np.asarray(res["gen_loss"])) * bs
+                gen_n += bs
+            n += bs
+        if n and all_imf:
+            loss_key = "clip_val_loss" if primary_key == "image" else f"{primary_key}_val_loss"
+            metrics[loss_key] = loss_sum / n
             metrics.update(
                 get_clip_metrics(all_imf, all_txf, float(np.exp(np.asarray(model.params["logit_scale"]))))
             )
             metrics["num_samples"] = n
+        if gen_n:
+            metrics["val_generative_loss"] = gen_sum / gen_n
 
     metrics["epoch"] = epoch
     if metrics and writer is not None:
