@@ -46,14 +46,22 @@ def dot_product_attention(
         scale = q.shape[-1] ** -0.5
 
     if impl == "auto":
-        use_flash = (
-            _on_tpu()
-            and bias is None
-            and q.shape[1] >= _FLASH_MIN_SEQ
-            and q.shape[1] == k.shape[1]
-            and q.shape[-1] % 128 == 0
-        )
-        impl = "flash" if use_flash else "xla"
+        if _on_tpu() and q.shape[1] == k.shape[1]:
+            from .short_attention import supports as _short_ok
+
+            if _short_ok(q.shape[1], q.shape[2], q.shape[-1], bias):
+                impl = "short"
+            elif bias is None and q.shape[1] >= _FLASH_MIN_SEQ and q.shape[-1] % 128 == 0:
+                impl = "flash"
+            else:
+                impl = "xla"
+        else:
+            impl = "xla"
+
+    if impl == "short":
+        from .short_attention import short_attention
+
+        return short_attention(q, k, v, causal=causal, scale=scale)
 
     if impl == "flash":
         from .flash_attention import flash_attention

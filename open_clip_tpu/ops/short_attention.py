@@ -1,0 +1,270 @@
+"""Fused short-sequence attention — Pallas TPU kernel for CLIP-length towers.
+
+The reference runs attention through ``F.scaled_dot_product_attention`` (reference
+``src/open_clip/transformer.py:223``). At CLIP sequence lengths (50-257 tokens) XLA's
+path is pathologically slow on TPU — measured at B=1024, L=50, H=12, hd=64:
+4.3 ms for the batched logit matmuls (~0.9 TF/s effective), 4.2 ms for softmax on the
+(B, H, 50, 50) fp32 tensor (50 lanes < the 128-lane VPU width), plus 1.8 ms per
+(B, L, H, hd) <-> (B, H, L, hd) relayout. ~7.3 ms/layer against a ~0.3 ms compute bound.
+
+Kernel design:
+- q/k/v stay in the tower's native (B, L, H*hd) flattened layout — no HBM relayouts.
+- A group of samples is processed per grid step with every (L, L) tile in VMEM;
+  logits -> masked fp32 softmax -> context run back-to-back, zero HBM round-trips.
+- **Head pairing**: with hd=64, two heads share each 128-lane tile. Their q/k/v are
+  row-stacked into (2L, hd) and attention runs as ONE (2L, 2L) matmul + softmax with a
+  block-diagonal mask — every MXU pass and VPU lane is full-width; the off-diagonal
+  cross-head logits are masked to zero and cancel exactly in the AV product and in all
+  four backward matmuls (they multiply a zero probability).
+
+Backward recomputes the softmax in-kernel (single block: no saved probs, no lse) and
+emits dq/dk/dv in one fused kernel — exact gradients; the only residuals are q/k/v
+themselves. Long sequences (NaFlex/GenLIP 1k-4k) tile through ops/flash_attention.py
+instead; dispatch lives in ops/attention.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min) * 0.5
+
+# max sequence length this kernel targets; beyond it the flash kernel tiles better
+MAX_SEQ = 256
+LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _pair_mask(lp: int, per: int, seq_len: int, causal: bool) -> jnp.ndarray:
+    """(per*lp, per*lp) mask: block-diagonal (same head) & key within seq (& causal)."""
+    n = per * lp
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    mask = (rows // lp) == (cols // lp)
+    mask = mask & ((cols % lp) < seq_len)
+    if causal:
+        mask = mask & ((rows % lp) >= (cols % lp))
+    return mask
+
+
+def _stack_heads(tile: jnp.ndarray, per: int, hd: int) -> jnp.ndarray:
+    """(Lp, per*hd) lane-tiled heads -> (per*Lp, hd) row-stacked.
+
+    Mosaic can't concatenate vectors whose lane offsets differ, so each head is
+    rotated to lane offset 0 before the sublane concat."""
+    if per == 1:
+        return tile
+    parts = [tile[:, :hd]]
+    for i in range(1, per):
+        parts.append(jnp.roll(tile, -i * hd, axis=1)[:, :hd])
+    return jnp.concatenate(parts, axis=0)
+
+
+def _unstack_heads(stacked: jnp.ndarray, per: int, lp: int, hd: int) -> jnp.ndarray:
+    """(per*Lp, hd) row-stacked -> (Lp, per*hd) lane-tiled (roll to sublane offset 0
+    before the lane concat, mirroring _stack_heads)."""
+    if per == 1:
+        return stacked
+    parts = [stacked[:lp]]
+    for i in range(1, per):
+        parts.append(jnp.roll(stacked, -i * lp, axis=0)[:lp])
+    return jnp.concatenate(parts, axis=1)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool, seq_len: int,
+                hd: int):
+    gb, lp, w = q_ref.shape
+    per = max(min(LANES // hd, w // hd), 1)
+    tw = per * hd
+    mask = _pair_mask(lp, per, seq_len, causal)
+    # staged phases: all logit dots, then all softmaxes, then all AV dots — each
+    # phase is a run of independent same-shape ops the scheduler can pipeline,
+    # instead of 48 serialized dot->softmax->dot latency chains
+    # dtype discipline: inputs stay bf16 into the MXU (bf16 x bf16 -> f32 accumulate;
+    # fp32 operands would run the MXU at a fraction of peak), softmax math in f32,
+    # probabilities cast back to the input dtype for the AV matmul
+    idx = [(g, base) for g in range(gb) for base in range(0, w, tw)]
+    qs = [_stack_heads(q_ref[g, :, b:b + tw], per, hd) for g, b in idx]
+    ks = [_stack_heads(k_ref[g, :, b:b + tw], per, hd) for g, b in idx]
+    vs = [_stack_heads(v_ref[g, :, b:b + tw], per, hd) for g, b in idx]
+    ss = [jax.lax.dot_general(qp, kp, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32) for qp, kp in zip(qs, ks)]
+    ps = []
+    for s in ss:
+        s = jnp.where(mask, s * scale, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        ps.append((p / jnp.sum(p, axis=-1, keepdims=True)).astype(q_ref.dtype))
+    os_ = [jax.lax.dot_general(p, vp, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32) for p, vp in zip(ps, vs)]
+    for (g, b), o in zip(idx, os_):
+        o_ref[g, :, b:b + tw] = _unstack_heads(o, per, lp, hd).astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                scale: float, causal: bool, seq_len: int, hd: int):
+    """Fused dq/dk/dv with in-kernel softmax recompute. The block-diagonal mask zeroes
+    p off-diagonal, so cross-head terms vanish from every product below."""
+    gb, lp, w = q_ref.shape
+    per = max(min(LANES // hd, w // hd), 1)
+    tw = per * hd
+    mask = _pair_mask(lp, per, seq_len, causal)
+    # same staged-phase structure as the forward; one (g, tile) at a time would
+    # serialize eight dependent ops per iteration
+    idx = [(g, base) for g in range(gb) for base in range(0, w, tw)]
+    qs = [_stack_heads(q_ref[g, :, b:b + tw], per, hd) for g, b in idx]
+    ks = [_stack_heads(k_ref[g, :, b:b + tw], per, hd) for g, b in idx]
+    vs = [_stack_heads(v_ref[g, :, b:b + tw], per, hd) for g, b in idx]
+    dos = [_stack_heads(do_ref[g, :, b:b + tw], per, hd) for g, b in idx]
+    ss = [jax.lax.dot_general(qp, kp, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32) for qp, kp in zip(qs, ks)]
+    in_dt = q_ref.dtype
+    ps32, ps = [], []
+    for s in ss:
+        s = jnp.where(mask, s * scale, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        ps32.append(p)
+        ps.append(p.astype(in_dt))
+    dvs = [jax.lax.dot_general(p, dop, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32) for p, dop in zip(ps, dos)]
+    dps = [jax.lax.dot_general(dop, vp, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32) for dop, vp in zip(dos, vs)]
+    dss = [(p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))).astype(in_dt)
+           for p32, dp in zip(ps32, dps)]
+    dqs = [jax.lax.dot_general(ds, kp, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32) * scale
+           for ds, kp in zip(dss, ks)]
+    dks = [jax.lax.dot_general(ds, qp, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32) * scale
+           for ds, qp in zip(dss, qs)]
+    for (g, b), dq, dk, dv in zip(idx, dqs, dks, dvs):
+        dq_ref[g, :, b:b + tw] = _unstack_heads(dq, per, lp, hd).astype(dq_ref.dtype)
+        dk_ref[g, :, b:b + tw] = _unstack_heads(dk, per, lp, hd).astype(dk_ref.dtype)
+        dv_ref[g, :, b:b + tw] = _unstack_heads(dv, per, lp, hd).astype(dv_ref.dtype)
+
+
+_INTERPRET = False  # flipped by tests to run kernels off-TPU
+
+# samples per grid step; VMEM use ~= GROUP * Lp * width * (2B in/out + fp32 temps).
+# The backward holds 7 HBM-blocked tensors + staged fp32 intermediates, so it runs a
+# smaller group (GROUP=8 bwd measured 17.7M scoped vmem > the 16M limit).
+GROUP_FWD = 8
+GROUP_BWD = 4
+
+
+def _pick_group(b: int, limit: int) -> int:
+    for gb in (limit, 8, 4, 2, 1):
+        if gb <= limit and b % gb == 0:
+            return gb
+    return 1
+
+
+def _pad(x, lp):
+    if x.shape[1] == lp:
+        return x
+    return jnp.pad(x, ((0, 0), (0, lp - x.shape[1]), (0, 0)))
+
+
+def _fwd_call(q, k, v, causal, scale, hd):
+    b, l, w = q.shape
+    lp = _round_up(l, 16)
+    qb, kb, vb = _pad(q, lp), _pad(k, lp), _pad(v, lp)
+    gb = _pick_group(b, GROUP_FWD)
+    spec = pl.BlockSpec((gb, lp, w), lambda i: (i, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, causal=causal, seq_len=l, hd=hd),
+        out_shape=jax.ShapeDtypeStruct((b, lp, w), q.dtype),
+        grid=(b // gb,),
+        in_specs=[spec] * 3,
+        out_specs=spec,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * lp * lp * w,
+            bytes_accessed=4 * b * lp * w * q.dtype.itemsize,
+            transcendentals=b * (w // hd) * lp * lp,
+        ),
+        interpret=_INTERPRET,
+    )(qb, kb, vb)
+    return out[:, :l]
+
+
+def _bwd_call(q, k, v, do, causal, scale, hd):
+    b, l, w = q.shape
+    lp = _round_up(l, 16)
+    qb, kb, vb, dob = _pad(q, lp), _pad(k, lp), _pad(v, lp), _pad(do, lp)
+    gb = _pick_group(b, GROUP_BWD)
+    spec = pl.BlockSpec((gb, lp, w), lambda i: (i, 0, 0))
+    shape = jax.ShapeDtypeStruct((b, lp, w), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, causal=causal, seq_len=l, hd=hd),
+        out_shape=(shape, shape, shape),
+        grid=(b // gb,),
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec, spec),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * lp * lp * w,
+            bytes_accessed=7 * b * lp * w * q.dtype.itemsize,
+            transcendentals=b * (w // hd) * lp * lp,
+        ),
+        interpret=_INTERPRET,
+    )(qb, kb, vb, dob)
+    return dq[:, :l], dk[:, :l], dv[:, :l]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _short_attn(q, k, v, causal, scale, hd):
+    return _fwd_call(q, k, v, causal, scale, hd)
+
+
+def _short_fwd(q, k, v, causal, scale, hd):
+    return _fwd_call(q, k, v, causal, scale, hd), (q, k, v)
+
+
+def _short_bwd(causal, scale, hd, res, g):
+    q, k, v = res
+    return _bwd_call(q, k, v, g, causal, scale, hd)
+
+
+_short_attn.defvjp(_short_fwd, _short_bwd)
+
+
+def supports(l: int, h: int, hd: int, bias) -> bool:
+    """Can this kernel serve the given attention shape?"""
+    if bias is not None or l > MAX_SEQ:
+        return False
+    if hd not in (32, 64, 128):
+        return False
+    per_tile = max(min(LANES // hd, h), 1)
+    return h % per_tile == 0
+
+
+def short_attention(
+    q: jax.Array,  # (B, L, H, hd)
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Fused single-block attention for L <= MAX_SEQ. Differentiable (fused Pallas
+    backward, exact gradients). Self-attention only (Lq == Lk)."""
+    assert q.shape == k.shape == v.shape, "short_attention assumes self-attention shapes"
+    b, l, h, hd = q.shape
+    assert l <= MAX_SEQ
+    if scale is None:
+        scale = hd ** -0.5
+    flat = lambda x: x.reshape(b, l, h * hd)  # contiguous: free reshape, no relayout
+    out = _short_attn(flat(q), flat(k), flat(v), causal, scale, hd)
+    return out.reshape(b, l, h, hd)
