@@ -206,3 +206,138 @@ def torch_clap_to_params(sd, cfg: CLIPModelCfg) -> Dict[str, Any]:
     }
     tree["audio"] = {"encoder": enc, "proj": _to_jnp(proj)}
     return tree
+
+
+# ---------------------------------------------------------------------------
+# HF (transformers ClapModel) converter — reference audio/convert.py:76-123
+# ---------------------------------------------------------------------------
+
+_HF_BLOCK_SWAPS = (
+    ("layernorm_before.", "norm1."),
+    ("layernorm_after.", "norm2."),
+    ("attention.self.relative_position_bias_table", "attn.relative_position_bias_table"),
+    ("attention.output.dense.", "attn.proj."),
+    ("intermediate.dense.", "mlp.fc1."),
+    ("output.dense.", "mlp.fc2."),
+)
+
+
+def convert_hf_clap_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Transformers ``ClapModel`` keys -> reference-CLAP keys (audio.encoder.* /
+    audio.proj.* / text.*), mirroring reference ``audio/convert.py:76-123``: separate
+    HF q/k/v projections concatenate into the fused qkv, block submodules rename, and
+    the learned audio->text ``logit_scale_a`` maps onto the single symmetric scale."""
+    import re
+
+    import numpy as np
+
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}
+    out: Dict[str, Any] = {}
+    qkv_re = re.compile(
+        r"audio_model\.audio_encoder\.layers\.(\d+)\.blocks\.(\d+)\.attention\.self\."
+        r"(query|key|value)\.(weight|bias)")
+    block_re = re.compile(r"audio_model\.audio_encoder\.layers\.(\d+)\.blocks\.(\d+)\.(.+)")
+
+    grouped: Dict[tuple, Dict[str, Any]] = {}
+    for k, v in sd.items():
+        m = qkv_re.match(k)
+        if m:
+            li, bi, name, param = m.groups()
+            grouped.setdefault((li, bi, param), {})[name] = v
+    for (li, bi, param), tensors in grouped.items():
+        if all(n in tensors for n in ("query", "key", "value")):
+            out[f"audio.encoder.layers.{li}.blocks.{bi}.attn.qkv.{param}"] = np.concatenate(
+                [np.asarray(tensors["query"]), np.asarray(tensors["key"]),
+                 np.asarray(tensors["value"])], axis=0)
+
+    for k, v in sd.items():
+        if qkv_re.match(k):
+            continue
+        if k == "logit_scale_a":
+            out["logit_scale"] = v
+        elif k.endswith((".position_ids", ".token_type_ids", "num_batches_tracked",
+                         "relative_position_index", "attn_mask")):
+            continue
+        elif k.startswith("audio_model.audio_encoder.batch_norm."):
+            out[k.replace("audio_model.audio_encoder.batch_norm.", "audio.encoder.bn0.", 1)] = v
+        elif k.startswith("audio_model.audio_encoder.patch_embed."):
+            out[k.replace("audio_model.audio_encoder.patch_embed.", "audio.encoder.patch_embed.", 1)] = v
+        elif k.startswith("audio_model.audio_encoder.norm."):
+            out[k.replace("audio_model.audio_encoder.norm.", "audio.encoder.norm.", 1)] = v
+        elif block_re.match(k):
+            li, bi, suffix = block_re.match(k).groups()
+            for old, new in _HF_BLOCK_SWAPS:
+                if suffix.startswith(old):
+                    out[f"audio.encoder.layers.{li}.blocks.{bi}.{suffix.replace(old, new, 1)}"] = v
+                    break
+        elif k.startswith("audio_model.audio_encoder.layers."):
+            out[k.replace("audio_model.audio_encoder.layers.", "audio.encoder.layers.", 1)] = v
+        elif k.startswith("audio_projection.linear1."):
+            out[k.replace("audio_projection.linear1.", "audio.proj.0.", 1)] = v
+        elif k.startswith("audio_projection.linear2."):
+            out[k.replace("audio_projection.linear2.", "audio.proj.2.", 1)] = v
+        elif k.startswith("text_model."):
+            out[k.replace("text_model.", "text.transformer.", 1)] = v
+        elif k.startswith("text_projection.linear1."):
+            out[k.replace("text_projection.linear1.", "text.proj.0.", 1)] = v
+        elif k.startswith("text_projection.linear2."):
+            out[k.replace("text_projection.linear2.", "text.proj.2.", 1)] = v
+    return out
+
+
+def hf_clap_to_params(sd: Dict[str, Any], cfg: CLIPModelCfg) -> Dict[str, Any]:
+    """Transformers ClapModel state dict -> JAX param tree.
+
+    The reference layers map via ``convert_hf_clap_state_dict``; the swin blocks then
+    go through ``torch_htsat_to_params``, and the roberta text branch converts to the
+    Flax params our HF text tower executes (transformers pt->flax utility, offline).
+    HF Swin encoders don't carry the token-semantic head (tscam_conv/head), so merge
+    converted trees over an init tree (reference loads non-strict the same way).
+    """
+    from ..convert import _np, _to_jnp
+    from . import htsat
+
+    ref_sd = convert_hf_clap_state_dict(sd)
+    tree: Dict[str, Any] = {}
+    tree["logit_scale"] = jnp.asarray(_np(ref_sd["logit_scale"]).reshape(()))
+
+    enc = htsat.torch_htsat_to_params(
+        {k: v for k, v in ref_sd.items() if k.startswith("audio.encoder.")},
+        prefix="audio.encoder.")
+    proj = {
+        "fc1": {"kernel": _np(ref_sd["audio.proj.0.weight"]).T,
+                "bias": _np(ref_sd.get("audio.proj.0.bias"))},
+        "fc2": {"kernel": _np(ref_sd["audio.proj.2.weight"]).T,
+                "bias": _np(ref_sd.get("audio.proj.2.bias"))},
+    }
+    for fc in proj.values():
+        if fc["bias"] is None:
+            del fc["bias"]
+    tree["audio"] = {"encoder": enc, "proj": _to_jnp(proj)}
+
+    # text: torch roberta -> flax params for the HF text tower
+    import torch as _torch
+
+    from transformers.modeling_flax_pytorch_utils import convert_pytorch_state_dict_to_flax
+
+    from .hf_text import _resolve_flax_model
+
+    assert cfg.text_cfg is not None and (cfg.text_cfg.hf_model_config or cfg.text_cfg.hf_model_name), \
+        "hf-clap conversion expects an HF text tower config"
+    config, model_cls = _resolve_flax_model(cfg.text_cfg)
+    flax_model = model_cls(config, seed=0)  # conversion util reads .params for shapes
+    pt_text = {k[len("text.transformer."):]: _torch.as_tensor(_np(v))
+               for k, v in ref_sd.items() if k.startswith("text.transformer.")}
+    text_params = convert_pytorch_state_dict_to_flax(pt_text, flax_model)
+    text_tree: Dict[str, Any] = {"hf": jax.tree.map(jnp.asarray, dict(text_params))}
+    tproj = {
+        "fc1": {"kernel": _np(ref_sd["text.proj.0.weight"]).T},
+        "fc2": {"kernel": _np(ref_sd["text.proj.2.weight"]).T},
+    }
+    if ref_sd.get("text.proj.0.bias") is not None:
+        tproj["fc1"]["bias"] = _np(ref_sd["text.proj.0.bias"])
+    if ref_sd.get("text.proj.2.bias") is not None:
+        tproj["fc2"]["bias"] = _np(ref_sd["text.proj.2.bias"])
+    text_tree["proj"] = _to_jnp(tproj)
+    tree["text"] = text_tree
+    return tree

@@ -61,6 +61,13 @@ def init_hf_text_tower(key, cfg: CLIPTextCfg, embed_dim: int) -> Dict[str, Any]:
             "fc1": B.torch_linear_init(ks[0], width, hidden, bias=False),
             "fc2": B.torch_linear_init(ks[1], hidden, embed_dim, bias=False),
         }
+    elif cfg.hf_proj_type == "clap_mlp":
+        # HF Transformers CLAP text-projection layout: biased linears + ReLU
+        # (reference hf_model.py:192-198)
+        p["proj"] = {
+            "fc1": B.torch_linear_init(ks[0], width, embed_dim, bias=True),
+            "fc2": B.torch_linear_init(ks[1], embed_dim, embed_dim, bias=True),
+        }
     return p
 
 
@@ -92,8 +99,18 @@ def apply_hf_text_tower(
     (reference hf_model.py:47-98)."""
     flax_model = _HFApply.get(cfg)
     attention_mask = (text != cfg.pad_id).astype(jnp.int32)
+    kw = {}
+    model_type = (cfg.hf_model_config or {}).get(
+        "model_type", getattr(flax_model.config, "model_type", ""))
+    if model_type in ("roberta", "xlm-roberta", "clap"):
+        # roberta-style position ids (pad stays pad, others count from pad_id+1).
+        # The flax *module* defaults to bert-style arange — the offset logic lives in
+        # the PreTrainedModel wrapper that module.apply bypasses, so compute it here
+        # (transformers create_position_ids_from_input_ids).
+        inc = jnp.cumsum(attention_mask, axis=1) * attention_mask
+        kw["position_ids"] = inc + cfg.pad_id
     out = flax_model.module.apply(
-        {"params": params["hf"]}, input_ids=text, attention_mask=attention_mask,
+        {"params": params["hf"]}, input_ids=text, attention_mask=attention_mask, **kw,
     )
     hidden = out.last_hidden_state  # (B, L, W)
 
@@ -104,6 +121,11 @@ def apply_hf_text_tower(
     elif pooler == "max_pooler":
         neg = jnp.finfo(jnp.float32).min
         pooled = jnp.where(mask > 0, hidden.astype(jnp.float32), neg).max(axis=1)
+    elif pooler == "cls_pooler" and getattr(out, "pooler_output", None) is not None:
+        # use the model's own pooling head (dense+tanh) like reference ClsPooler
+        # with use_pooler_output=True (hf_model.py:64-81); HF-CLAP checkpoints
+        # require this path
+        pooled = out.pooler_output.astype(jnp.float32)
     elif pooler in ("cls_pooler", "cls_last_hidden_state_pooler"):
         pooled = hidden[:, 0].astype(jnp.float32)
     else:
@@ -116,6 +138,11 @@ def apply_hf_text_tower(
             pooled = jnp.dot(pooled, proj["kernel"].astype(pooled.dtype))
         else:
             h = jnp.dot(pooled, proj["fc1"]["kernel"].astype(pooled.dtype))
-            h = jax.nn.gelu(h, approximate=False)
+            if proj["fc1"].get("bias") is not None:
+                h = h + proj["fc1"]["bias"].astype(h.dtype)
+            act_name = cfg.hf_proj_type
+            h = jax.nn.relu(h) if act_name == "clap_mlp" else jax.nn.gelu(h, approximate=False)
             pooled = jnp.dot(h, proj["fc2"]["kernel"].astype(pooled.dtype))
+            if proj["fc2"].get("bias") is not None:
+                pooled = pooled + proj["fc2"]["bias"].astype(pooled.dtype)
     return pooled, hidden

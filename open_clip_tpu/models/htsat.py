@@ -241,28 +241,49 @@ def _patch_merge(p, x, resolution):
     return jnp.dot(x, p["reduction"]["kernel"].astype(x.dtype))
 
 
-def _bicubic_resize(x, target_t, target_f):
-    """(B, C, T, F) -> (B, C, target_t, target_f), align_corners=True cubic
-    (torch F.interpolate parity via jax.image with translation mapping)."""
-    b, c = x.shape[0], x.shape[1]
-    # align_corners=True == resize with scale (n_out-1)/(n_in-1) and no half-pixel offset;
-    # jax.image.resize uses half-pixel (align_corners=False). Implement via scale_and_translate.
-    import jax.image as jimage
+@functools.lru_cache(maxsize=32)
+def _bicubic_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) align_corners=True bicubic interpolation matrix with the torch
+    convention (cubic convolution, a = -0.75; jax.image's Keys spline uses a = -0.5,
+    which deviates measurably). Border taps clamp-replicate like torch."""
+    a = -0.75
 
+    def w(x):
+        x = abs(x)
+        if x <= 1:
+            return (a + 2) * x ** 3 - (a + 3) * x ** 2 + 1
+        if x < 2:
+            return a * x ** 3 - 5 * a * x ** 2 + 8 * a * x - 4 * a
+        return 0.0
+
+    mat = np.zeros((n_out, n_in), np.float64)
+    scale = (n_in - 1) / (n_out - 1) if n_out > 1 else 0.0
+    for i in range(n_out):
+        src = i * scale
+        base = int(np.floor(src))
+        frac = src - base
+        for t in range(-1, 3):
+            mat[i, min(max(base + t, 0), n_in - 1)] += w(t - frac)
+    return mat.astype(np.float32)
+
+
+def _bicubic_resize(x, target_t, target_f):
+    """(B, C, T, F) -> (B, C, target_t, target_f), align_corners=True torch-bicubic.
+
+    Static shapes make the resize two dense interpolation-matrix matmuls — exact torch
+    F.interpolate parity (reference htsat.py:1003-1008) that runs on the MXU instead
+    of a gather kernel."""
     t_in, f_in = x.shape[2], x.shape[3]
     if (t_in, f_in) == (target_t, target_f):
         return x
-    scale_t = (target_t - 1) / max(t_in - 1, 1)
-    scale_f = (target_f - 1) / max(f_in - 1, 1)
-    return jimage.scale_and_translate(
-        x.astype(jnp.float32),
-        (b, c, target_t, target_f),
-        spatial_dims=(2, 3),
-        scale=jnp.array([scale_t, scale_f]),
-        translation=jnp.array([0.0, 0.0]),
-        method="cubic",
-        antialias=False,
-    )
+    y = x.astype(jnp.float32)
+    if t_in != target_t:
+        wt = jnp.asarray(_bicubic_matrix(t_in, target_t))
+        y = jnp.einsum("bctf,ut->bcuf", y, wt)
+    if f_in != target_f:
+        wf = jnp.asarray(_bicubic_matrix(f_in, target_f))
+        y = jnp.einsum("bctf,uf->bctu", y, wf)
+    return y
 
 
 def reshape_wav2img(x: jax.Array, spec_size: int, freq_ratio: int) -> jax.Array:
