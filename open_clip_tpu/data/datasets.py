@@ -217,7 +217,17 @@ def get_data(
             )
             n = get("train_num_samples") or 0
             nb = max(1, n * ncfg.seq_lens[0] // max(ncfg.max_tokens_per_batch, 1)) if n else 8
-            ds = NaFlexWdsPipeline(inner, ncfg, nb, tokenizer)
+            bucketer = None
+            if is_train and get("length_bucketing", False):
+                from .bucketing import CaptionLength, LengthBucketer
+
+                bucketer = LengthBucketer(
+                    [CaptionLength(key="caption", tokenizer=tokenizer)],
+                    pool=get("bucket_pool", 2048), chunk=get("bucket_chunk", 128),
+                    seed=get("seed", 0),
+                    prefetch_pools=get("bucket_prefetch_pools", 0),
+                )
+            ds = NaFlexWdsPipeline(inner, ncfg, nb, tokenizer, bucketer=bucketer)
             return DataInfo(ds, num_samples=n, num_batches=nb)
         if dstype == "synthetic":
             ds = SyntheticDataset(

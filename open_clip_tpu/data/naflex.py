@@ -169,23 +169,28 @@ class NaFlexWdsPipeline:
     one static (batch, seq_len) shape from the closed bucket set."""
 
     def __init__(self, wds_pipeline, data_cfg: NaFlexDataConfig, num_batches: int, tokenizer,
-                 mean=None, std=None):
+                 mean=None, std=None, bucketer=None):
         self.inner = wds_pipeline  # provides _samples(epoch) of {image_bytes, caption}
         self.cfg = data_cfg.resolve()
         self.scheduler = NaFlexBatchScheduler(self.cfg, num_batches)
         self.factory = naflex_transform_factory(self.cfg, mean=mean, std=std)
         self.tokenizer = tokenizer
+        self.bucketer = bucketer  # optional LengthBucketer (data/bucketing.py)
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
         self.inner.set_epoch(epoch)
+        if self.bucketer is not None:
+            self.bucketer.set_epoch(epoch)
 
     def __iter__(self):
         from .wds import decode_image_rgb
 
         schedule = self.scheduler.schedule(self.epoch)
         stream = self.inner._samples(self.epoch)
+        if self.bucketer is not None:
+            stream = iter(self.bucketer(stream))
         for patch_size, seq_len, batch_size in schedule:
             transform = self.factory(seq_len, patch_size)
             dicts, captions = [], []
