@@ -58,6 +58,46 @@ class TensorBoardWriter:
                 pass
 
 
+class WandbWriter:
+    """wandb run writer (reference train.py:28-40 / main.py:584-612). Dep-gated: the
+    reference hard-fails the same way when --report-to wandb without the package."""
+
+    def __init__(self, args, log_dir):
+        try:
+            import wandb
+        except ImportError as e:
+            raise ImportError("Please install wandb to use --report-to wandb") from e
+        self.wandb = wandb
+        self.run = wandb.init(
+            project=getattr(args, "wandb_project_name", "open-clip"),
+            name=args.name,
+            notes=getattr(args, "wandb_notes", ""),
+            tags=[],
+            resume="auto" if args.resume == "latest" else None,
+            config=vars(args),
+            dir=str(log_dir),
+        )
+
+    def log(self, metrics, step):
+        self.wandb.log(metrics, step=step)
+
+
+class TrackioWriter:
+    """trackio writer (reference train.py:34-40 gates it the same way)."""
+
+    def __init__(self, args, log_dir):
+        try:
+            import trackio
+        except ImportError as e:
+            raise ImportError("Please install trackio to use --report-to trackio") from e
+        self.trackio = trackio
+        trackio.init(project=getattr(args, "wandb_project_name", "open-clip"), name=args.name,
+                     config=vars(args))
+
+    def log(self, metrics, step):
+        self.trackio.log(metrics, step=step)
+
+
 class MultiWriter:
     def __init__(self, writers):
         self.writers = writers
@@ -94,6 +134,18 @@ def main(args=None):
         _blocks.MLP_LINEAR_IMPL = "switchback"
     logging.basicConfig(level=logging.INFO, format="%(asctime)s | %(levelname)s | %(message)s")
 
+    # --- multi-host (before any rank-gated side effects) ---------------------------
+    from ..parallel.distributed import init_distributed, is_primary
+
+    args.rank, args.world_size = 0, 1
+    rank, world = init_distributed(
+        args.dist_coordinator, args.dist_num_processes, args.dist_process_id,
+        auto=args.dist_auto,
+    )
+    args.rank, args.world_size = rank, world
+    if world > 1:
+        logger.info("multi-host: process %d/%d, %d global devices", rank, world, len(jax.devices()))
+
     if args.name is None:
         args.name = "-".join(
             [datetime.now().strftime("%Y_%m_%d-%H_%M_%S"), f"model_{args.model.replace('/', '-')}",
@@ -102,14 +154,15 @@ def main(args=None):
     log_dir = Path(args.logs) / args.name
     ckpt_dir = log_dir / "checkpoints"
     ckpt_dir.mkdir(parents=True, exist_ok=True)
-    with open(log_dir / "params.txt", "w") as fh:
-        for k in sorted(vars(args)):
-            fh.write(f"{k}: {getattr(args, k)}\n")
+    if is_primary():
+        with open(log_dir / "params.txt", "w") as fh:
+            for k in sorted(vars(args)):
+                fh.write(f"{k}: {getattr(args, k)}\n")
 
     random_seed(args.seed)
 
-    # remote sync background process (reference main.py:211-232)
-    if args.remote_sync:
+    # remote sync background process (reference main.py:211-232), primary host only
+    if args.remote_sync and is_primary():
         from .file_utils import remote_sync, start_sync_process
 
         if not remote_sync(str(log_dir), os.path.join(args.remote_sync, args.name), args.remote_sync_protocol):
@@ -149,9 +202,15 @@ def main(args=None):
     data = get_data(args, (pp_train, pp_val), epoch=0, tokenizer=tokenizer)
     assert "train" in data or "val" in data or "imagenet-val" in data, "no data specified"
 
-    writers = [JsonlWriter(log_dir / "results.jsonl")]
-    if "tensorboard" in (args.report_to or ""):
-        writers.append(TensorBoardWriter(log_dir / "tensorboard"))
+    writers = []
+    if is_primary():
+        writers.append(JsonlWriter(log_dir / "results.jsonl"))
+        if "tensorboard" in (args.report_to or ""):
+            writers.append(TensorBoardWriter(log_dir / "tensorboard"))
+        if "wandb" in (args.report_to or ""):
+            writers.append(WandbWriter(args, log_dir))
+        if "trackio" in (args.report_to or ""):
+            writers.append(TrackioWriter(args, log_dir))
     writer = MultiWriter(writers)
 
     start_epoch = 0
@@ -250,7 +309,9 @@ def main(args=None):
             state = train_one_epoch(
                 state, step_fn, data["train"].dataloader, epoch, args, schedule, writer
             )
-            model.params = state.ema_params if state.ema_params is not None else state.params
+            # raw weights stay on the facade; eval below uses EMA when present
+            # (reference get_trainable_module(use_ema=True), base_task.py:159-163)
+            model.params = state.params
             if args.profile_dir and epoch == start_epoch and _profiling:
                 jax.profiler.stop_trace()
                 logger.info("profiler trace written to %s", args.profile_dir)
@@ -259,7 +320,12 @@ def main(args=None):
             completed = epoch + 1
             if "val" in data or "imagenet-val" in data:
                 if completed % args.val_frequency == 0 or completed == args.epochs:
-                    metrics = evaluate(model, data, completed, args, tokenizer=tokenizer, writer=writer)
+                    if state.ema_params is not None:
+                        model.params = state.ema_params
+                    try:
+                        metrics = evaluate(model, data, completed, args, tokenizer=tokenizer, writer=writer)
+                    finally:
+                        model.params = state.params
                     logger.info("eval: %s", {k: round(_py(v), 4) for k, v in metrics.items()})
 
             if completed % args.save_frequency == 0 or completed == args.epochs:

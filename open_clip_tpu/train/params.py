@@ -51,6 +51,13 @@ def parse_args(args=None):
     parser.add_argument("--naflex-patch-sizes", type=int, nargs="+", default=[16])
     parser.add_argument("--naflex-max-tokens", type=int, default=16384)
     parser.add_argument("--naflex-batch-divisor", type=int, default=8)
+    parser.add_argument("--length-bucketing", action="store_true", default=False,
+                        help="pool+sort samples by token length so similar lengths batch "
+                             "together (reference LengthBucketer, naflex_data.py:371-443)")
+    parser.add_argument("--bucket-pool", type=int, default=2048)
+    parser.add_argument("--bucket-chunk", type=int, default=128)
+    parser.add_argument("--bucket-prefetch-pools", type=int, default=0,
+                        help=">0 fills+sorts pools on a background thread")
     parser.add_argument("--naflex-loss-scale", type=str, default="none",
                         choices=["none", "linear", "sqrt"],
                         help="scale the loss by (actual batch / --batch-size) for "
@@ -68,7 +75,10 @@ def parse_args(args=None):
     parser.add_argument("--logs", type=str, default="./logs/")
     parser.add_argument("--log-local", action="store_true", default=False)
     parser.add_argument("--name", type=str, default=None)
-    parser.add_argument("--report-to", type=str, default="", help="'tensorboard' and/or 'jsonl'")
+    parser.add_argument("--report-to", type=str, default="",
+                        help="comma-separated: tensorboard, wandb, trackio (jsonl always on)")
+    parser.add_argument("--wandb-notes", type=str, default="")
+    parser.add_argument("--wandb-project-name", type=str, default="open-clip")
     parser.add_argument("--log-every-n-steps", type=int, default=100)
 
     # core training
@@ -106,6 +116,13 @@ def parse_args(args=None):
     # mesh / parallelism (TPU equivalents of --ddp/--fsdp flags)
     parser.add_argument("--mesh-data", type=int, default=-1, help="data-parallel axis size (-1: all devices)")
     parser.add_argument("--mesh-fsdp", type=int, default=1, help="fsdp (param-shard) axis size")
+    # multi-host (reference distributed.py:102-167; here jax.distributed.initialize)
+    parser.add_argument("--dist-coordinator", type=str, default=None,
+                        help="host:port of process 0 for multi-host init (or MASTER_ADDR/OCT_COORDINATOR env)")
+    parser.add_argument("--dist-num-processes", type=int, default=None)
+    parser.add_argument("--dist-process-id", type=int, default=None)
+    parser.add_argument("--dist-auto", action="store_true", default=False,
+                        help="bare jax.distributed.initialize() (self-configures on TPU pod slices)")
     parser.add_argument("--local-loss", action="store_true", default=True)
     parser.add_argument("--no-local-loss", dest="local_loss", action="store_false")
     parser.add_argument("--gather-with-grad", action="store_true", default=True)
@@ -160,6 +177,6 @@ def parse_args(args=None):
         if getattr(ns, k, None) is None:
             setattr(ns, k, v)
 
-    ns.world_size = 1
+    ns.world_size = 1  # overwritten by main() after jax.distributed init
     ns.rank = 0
     return ns
