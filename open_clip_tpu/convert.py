@@ -267,6 +267,17 @@ def torch_clip_to_params(sd: Mapping[str, Any], cfg: Optional[CLIPModelCfg] = No
         rest["visual"] = tree
         return rest
     if any(k.startswith("visual.trunk.blocks.") for k in sd):
+        if cfg is not None and cfg.vision_cfg is not None:
+            from .models.eva import is_eva, timm_eva_to_params
+
+            if is_eva(cfg.vision_cfg):
+                trunk_sd = {k[len("visual.trunk."):]: v for k, v in sd.items()
+                            if k.startswith("visual.trunk.")}
+                tree = timm_eva_to_params(trunk_sd, cfg.vision_cfg)
+                rest_sd = {k: v for k, v in sd.items() if not k.startswith("visual.")}
+                rest = torch_clip_to_params(rest_sd, cfg) if rest_sd else {}
+                rest["visual"] = tree
+                return rest
         tree = _convert_timm_vit_trunk(sd)
         rest_sd = {k: v for k, v in sd.items() if not k.startswith("visual.")}
         rest = torch_clip_to_params(rest_sd, cfg) if rest_sd else {}

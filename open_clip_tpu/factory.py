@@ -199,8 +199,13 @@ def _check_supported(cfg: CLIPModelCfg) -> None:
         import re
 
         from .models.convnext import is_convnext
+        from .models.eva import EVA_CONFIGS, is_eva
 
-        if not re.match(r"vit_[a-z0-9]+_patch\d+_siglip", v.timm_model_name) and not is_convnext(v):
+        if is_eva(v):
+            if v.timm_model_name not in EVA_CONFIGS:
+                raise NotImplementedError(
+                    f"EVA variant {v.timm_model_name!r} has no native TPU config yet")
+        elif not re.match(r"vit_[a-z0-9]+_patch\d+_siglip", v.timm_model_name) and not is_convnext(v):
             raise NotImplementedError(
                 f"timm vision tower {v.timm_model_name!r} has no native TPU implementation yet"
             )

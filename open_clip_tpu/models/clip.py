@@ -52,6 +52,10 @@ def init_clip(key, cfg: CLIPModelCfg) -> Dict[str, Any]:
             from . import convnext
 
             params["visual"] = convnext.init_convnext(kv, cfg.vision_cfg, cfg.embed_dim)
+        elif _is_eva(cfg.vision_cfg):
+            from . import eva
+
+            params["visual"] = eva.init_eva(kv, cfg.vision_cfg, cfg.embed_dim)
         else:
             params["visual"] = vit.init_vision_tower(kv, cfg.vision_cfg, cfg.embed_dim)
     if cfg.text_cfg is not None:
@@ -93,6 +97,12 @@ def _is_convnext(vision_cfg) -> bool:
     return is_convnext(vision_cfg)
 
 
+def _is_eva(vision_cfg) -> bool:
+    from .eva import is_eva
+
+    return is_eva(vision_cfg)
+
+
 def encode_image(
     params: Dict[str, Any],
     cfg: CLIPModelCfg,
@@ -130,6 +140,13 @@ def encode_image(
         from . import convnext
 
         pooled = convnext.apply_convnext(
+            params["visual"], vcfg, image, train=train, rng=rng,
+            compute_dtype=compute_dtype, remat=remat,
+        )
+    elif _is_eva(vcfg):
+        from . import eva
+
+        pooled = eva.apply_eva(
             params["visual"], vcfg, image, train=train, rng=rng,
             compute_dtype=compute_dtype, remat=remat,
         )
