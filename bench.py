@@ -1,80 +1,259 @@
-"""Benchmark: ViT-B-32 CLIP contrastive train step, images/sec/chip on real TPU.
+"""Benchmarks on the real TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline compares against the derived A100 anchor: ~775 images/sec/GPU for ViT-B-32
-contrastive training incl. text tower (BASELINE.md, derived from reference
+Default (driver contract): ONE JSON line for the flagship ViT-B-32 contrastive train
+step — {"metric", "value", "unit", "vs_baseline"} (+ informational "mfu").
+
+``python bench.py --suite`` additionally measures the BASELINE.json config list
+(ViT-L-14 train step, SigLIP ViT-B-16 sigmoid loss, NaFlex token-budget step, CoCa,
+CLAP-HTSAT) — one JSON line each and a combined docs/bench_suite.json.
+
+vs_baseline compares the flagship against the derived A100 anchor: ~775 images/sec/GPU
+for ViT-B-32 contrastive training incl. text tower (BASELINE.md, derived from reference
 docs/PRETRAINED.md:32 — 32768 global batch / 128 GPUs / 36 h / 12.8B samples).
+MFU = train FLOPs (4x fwd under full remat) / step time / 197 TF/s bf16 peak (v5e).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 A100_ANCHOR_IMG_PER_SEC = 775.0
+V5E_PEAK_TFLOPS = 197.0
 
 
-def main():
+def _setup_jax():
     import os
 
     import jax
 
-    # compiles ride a slow remote-compile tunnel in this environment; persist them
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return jax
+
+
+def _train_step(cfg, loss_type="clip", remat=True):
     import jax.numpy as jnp
 
-    import open_clip_tpu as oct
-    from open_clip_tpu.config import parse_model_cfg
-    from open_clip_tpu.models.clip import init_clip
     from open_clip_tpu.train.optim import OptimizerCfg, create_optimizer
     from open_clip_tpu.train.scheduler import const_lr
     from open_clip_tpu.train.train_step import create_train_state, jit_train_step, make_train_step
+    from open_clip_tpu.models.clip import init_clip
+    import jax
 
-    from open_clip_tpu.models import blocks
-
-    blocks.SCAN_UNROLL = 2  # sweep result: unroll 2 edges out 1 (1150 vs 1141 img/s)
-
-    cfg = parse_model_cfg("ViT-B-32")
     params = init_clip(jax.random.PRNGKey(0), cfg)
     opt = create_optimizer(OptimizerCfg(lr=5e-4, wd=0.2, grad_clip_norm=1.0), params, const_lr(5e-4, 0))
     state = create_train_state(params, opt)
-    step = jit_train_step(make_train_step(cfg, opt, compute_dtype=jnp.bfloat16, remat=True))
+    step = jit_train_step(make_train_step(cfg, opt, loss_type=loss_type,
+                                          compute_dtype=jnp.bfloat16, remat=remat))
+    return state, step
 
-    batch_size = 1024
-    rng = np.random.default_rng(0)
-    batch = {
-        "image": jnp.asarray(rng.standard_normal((batch_size, 224, 224, 3)), dtype=jnp.bfloat16),
-        "text": jnp.asarray(rng.integers(0, 49407, size=(batch_size, 77)), dtype=jnp.int32),
-    }
 
-    # warmup / compile (note: on the axon tunnel backend block_until_ready does not
-    # actually synchronize; a host transfer of the scalar loss does)
-    keys = [jax.random.PRNGKey(i) for i in range(16)]
-    for i in range(2):
+def _run_steps(state, step, batch, iters=10, warmup=2):
+    import jax
+
+    keys = [jax.random.PRNGKey(i) for i in range(warmup + iters)]
+    for i in range(warmup):
         state, metrics = step(state, batch, keys[i])
         _ = np.asarray(metrics["loss"])
-
-    iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
-        state, metrics = step(state, batch, keys[2 + i])
+        state, metrics = step(state, batch, keys[warmup + i])
     loss = float(np.asarray(metrics["loss"]))  # device->host sync
-    dt = time.perf_counter() - t0
-    assert np.isfinite(loss)
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(loss), loss
+    return dt
 
-    img_per_sec = batch_size * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "vit_b32_clip_train_images_per_sec_per_chip",
-                "value": round(img_per_sec, 1),
-                "unit": "images/sec/chip (bf16, batch 1024, incl. text tower + optimizer)",
-                "vs_baseline": round(img_per_sec / A100_ANCHOR_IMG_PER_SEC, 3),
-            }
-        )
-    )
+
+def _image_text_batch(jnp, bs, image_size, ctx, vocab):
+    rng = np.random.default_rng(0)
+    return {
+        "image": jnp.asarray(rng.standard_normal((bs, image_size, image_size, 3)), jnp.bfloat16),
+        "text": jnp.asarray(rng.integers(0, vocab - 1, size=(bs, ctx)), jnp.int32),
+    }
+
+
+def _fwd_gflops(model_name, default):
+    """Per-sample forward GFLOPs from docs/model_profile.csv (XLA-counted)."""
+    try:
+        import csv
+
+        with open("/root/repo/docs/model_profile.csv") as fh:
+            for row in csv.DictReader(fh):
+                if row["model"] == model_name and row.get("GFLOPs"):
+                    return float(row["GFLOPs"])
+    except OSError:
+        pass
+    return default
+
+
+def bench_flagship():
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from open_clip_tpu.config import parse_model_cfg
+    from open_clip_tpu.models import blocks
+
+    blocks.SCAN_UNROLL = 2  # sweep result: unroll 2 edges out 1
+    cfg = parse_model_cfg("ViT-B-32")
+    state, step = _train_step(cfg)
+    bs = 1024
+    batch = _image_text_batch(jnp, bs, 224, 77, 49408)
+    dt = _run_steps(state, step, batch)
+    img_per_sec = bs / dt
+    gflops = _fwd_gflops("ViT-B-32", 15.06)
+    mfu = gflops * 4 * bs / dt / 1e3 / V5E_PEAK_TFLOPS  # 4x fwd: full remat
+    return {
+        "metric": "vit_b32_clip_train_images_per_sec_per_chip",
+        "value": round(img_per_sec, 1),
+        "unit": "images/sec/chip (bf16, batch 1024, incl. text tower + optimizer)",
+        "vs_baseline": round(img_per_sec / A100_ANCHOR_IMG_PER_SEC, 3),
+        "mfu": round(mfu, 3),
+    }
+
+
+def bench_vit_l14():
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from open_clip_tpu.config import parse_model_cfg
+
+    cfg = parse_model_cfg("ViT-L-14")
+    state, step = _train_step(cfg)
+    bs = 256
+    batch = _image_text_batch(jnp, bs, 224, 77, 49408)
+    dt = _run_steps(state, step, batch, iters=5)
+    gflops = _fwd_gflops("ViT-L-14", 177.51)
+    return {
+        "metric": "vit_l14_clip_train_images_per_sec_per_chip",
+        "value": round(bs / dt, 1),
+        "unit": "images/sec/chip (bf16, batch 256, all-gather InfoNCE train step)",
+        "mfu": round(gflops * 4 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
+    }
+
+
+def bench_siglip():
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from open_clip_tpu.config import parse_model_cfg
+
+    cfg = parse_model_cfg("ViT-B-16-SigLIP")
+    state, step = _train_step(cfg, loss_type="siglip")
+    bs = 512
+    batch = _image_text_batch(jnp, bs, 224, 64, 32000)
+    dt = _run_steps(state, step, batch, iters=5)
+    gflops = _fwd_gflops("ViT-B-16-SigLIP", 46.4)
+    return {
+        "metric": "siglip_b16_train_images_per_sec_per_chip",
+        "value": round(bs / dt, 1),
+        "unit": "images/sec/chip (bf16, batch 512, sigmoid loss train step)",
+        "mfu": round(gflops * 4 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
+    }
+
+
+def bench_coca():
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from open_clip_tpu.config import parse_model_cfg
+
+    cfg = parse_model_cfg("coca_ViT-B-32")
+    state, step = _train_step(cfg, loss_type="coca")
+    bs = 512
+    batch = _image_text_batch(jnp, bs, 224, 76, 49408)
+    dt = _run_steps(state, step, batch, iters=5)
+    gflops = _fwd_gflops("coca_ViT-B-32", 33.3)
+    return {
+        "metric": "coca_b32_train_samples_per_sec_per_chip",
+        "value": round(bs / dt, 1),
+        "unit": "samples/sec/chip (bf16, batch 512, contrastive+caption train step)",
+        "mfu": round(gflops * 4 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
+    }
+
+
+def bench_naflex():
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from open_clip_tpu.config import parse_model_cfg
+
+    cfg = parse_model_cfg("naflex_ViT-B-16")
+    state, step = _train_step(cfg)
+    # token-budget bucket: seq 1024 patches @ patch 16 -> 16384-token budget = 16/batch
+    bs, seq = 16, 1024
+    rng = np.random.default_rng(0)
+    patches = {
+        "patches": jnp.asarray(rng.standard_normal((bs, seq, 16 * 16 * 3)), jnp.bfloat16),
+        "patch_coord": jnp.asarray(
+            np.stack(np.meshgrid(np.arange(32), np.arange(32), indexing="ij"), -1)
+            .reshape(1, seq, 2).repeat(bs, 0), jnp.int32),
+        "patch_valid": jnp.ones((bs, seq), bool),
+    }
+    batch = {"image": patches,
+             "text": jnp.asarray(rng.integers(0, 49407, size=(bs, 77)), jnp.int32)}
+    dt = _run_steps(state, step, batch, iters=5)
+    toks_per_sec = bs * seq / dt
+    return {
+        "metric": "naflex_b16_train_image_tokens_per_sec_per_chip",
+        "value": round(toks_per_sec, 0),
+        "unit": "image tokens/sec/chip (bf16, 16384-token budget bucket, seq 1024)",
+    }
+
+
+def bench_clap():
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from open_clip_tpu.config import parse_model_cfg
+
+    cfg = parse_model_cfg("CLAP-HTSAT-tiny")
+    state, step = _train_step(cfg)
+    bs = 64
+    rng = np.random.default_rng(0)
+    batch = {
+        "audio": {"waveform": jnp.asarray(rng.standard_normal((bs, 480000)) * 0.1, jnp.float32)},
+        "text": jnp.asarray(rng.integers(0, 49407, size=(bs, 77)), jnp.int32),
+    }
+    dt = _run_steps(state, step, batch, iters=5)
+    return {
+        "metric": "clap_htsat_tiny_train_clips_per_sec_per_chip",
+        "value": round(bs / dt, 1),
+        "unit": "10s clips/sec/chip (bf16, batch 64, on-device log-mel + train step)",
+    }
+
+
+SUITE = {
+    "vit_b32": bench_flagship,
+    "vit_l14": bench_vit_l14,
+    "siglip_b16": bench_siglip,
+    "naflex_b16": bench_naflex,
+    "coca_b32": bench_coca,
+    "clap_htsat": bench_clap,
+}
+
+
+def main():
+    args = sys.argv[1:]
+    if not args:
+        print(json.dumps(bench_flagship()))
+        return
+    names = list(SUITE) if args[0] in ("--suite", "--all") else args
+    results = {}
+    for name in names:
+        try:
+            res = SUITE[name]()
+        except Exception as e:  # noqa: BLE001 — a broken config shouldn't kill the suite
+            res = {"metric": name, "error": repr(e)[:300]}
+        results[name] = res
+        print(json.dumps(res), flush=True)
+    try:
+        with open("/root/repo/docs/bench_suite.json", "w") as fh:
+            json.dump(results, fh, indent=1)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

@@ -236,10 +236,15 @@ def decode_audio_bytes(data: bytes, ext: str) -> Tuple[np.ndarray, int]:
         raise RuntimeError(f"cannot decode .{ext} audio without soundfile") from e
 
 
-def make_wds_audio_pipeline(cfg, preprocess, tokenizer):
+def make_wds_audio_pipeline(cfg, preprocess, tokenizer, audio_ext: str = None):
     """Audio wds pipeline: reuses the image WdsPipeline with an audio decode stage
-    (reference get_wds_audio_dataset, audio_data.py:155-418)."""
+    (reference get_wds_audio_dataset, audio_data.py:155-418). ``audio_ext`` pins the
+    preferred tar member suffix (reference --audio-ext); other known audio suffixes
+    still match as fallback."""
     from .wds import AUDIO_EXTS, WdsConfig, WdsPipeline, extract_caption, iterate_tar_samples
+
+    exts = ((audio_ext,) if audio_ext else ()) + tuple(
+        e for e in AUDIO_EXTS if e != audio_ext)
 
     class AudioWds(WdsPipeline):
         def _samples(self, epoch):
@@ -247,7 +252,7 @@ def make_wds_audio_pipeline(cfg, preprocess, tokenizer):
             for shard in self._my_shards(epoch):
                 for sample in iterate_tar_samples(shard):
                     caption = extract_caption(sample, self.cfg.caption_key)
-                    pair = next(((sample[e], e) for e in AUDIO_EXTS if e in sample), None)
+                    pair = next(((sample[e], e) for e in exts if e in sample), None)
                     if caption is None or pair is None:
                         continue
                     yield {"audio_bytes": pair[0], "audio_ext": pair[1], "caption": caption}

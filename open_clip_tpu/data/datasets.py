@@ -181,7 +181,8 @@ def get_data(
                 world_size=get("world_size", 1), rank=get("rank", 0),
                 shuffle_shards=2000 if is_train else 0, partial_batches=not is_train,
             )
-            ds = make_wds_audio_pipeline(cfg, pp, tokenizer)
+            ds = make_wds_audio_pipeline(cfg, pp, tokenizer,
+                                         audio_ext=get("audio_ext", None))
             n = get("train_num_samples") or 0
             return DataInfo(ds, num_samples=n, num_batches=n // batch_size if n else 0)
         if dstype == "synthetic-naflex":
@@ -210,9 +211,12 @@ def get_data(
             inner = WdsPipeline(wcfg, pp, tokenizer)
             ncfg = NaFlexDataConfig(
                 seq_lens=tuple(get("naflex_seq_lens", (128, 256, 576, 784, 1024))),
+                seq_len_probs=tuple(get("naflex_seq_len_probs")) if get("naflex_seq_len_probs") else None,
                 patch_sizes=tuple(get("naflex_patch_sizes", (16,))),
+                patch_size_probs=tuple(get("naflex_patch_size_probs")) if get("naflex_patch_size_probs") else None,
                 max_tokens_per_batch=get("naflex_max_tokens", 16384),
                 batch_divisor=get("naflex_batch_divisor", 8),
+                pad_multiple=get("naflex_pad_multiple", None),
                 seed=get("seed", 0),
             )
             n = get("train_num_samples") or 0

@@ -51,7 +51,7 @@ def dot_product_attention(
 
             if _short_ok(q.shape[1], q.shape[2], q.shape[-1], bias):
                 impl = "short"
-            elif bias is None and q.shape[1] >= _FLASH_MIN_SEQ and q.shape[-1] % 128 == 0:
+            elif bias is None and q.shape[1] >= _FLASH_MIN_SEQ and q.shape[-1] % 64 == 0:
                 impl = "flash"
             else:
                 impl = "xla"

@@ -85,7 +85,7 @@ def _fa_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, causal:
     acc, m, l = jax.lax.fori_loop(0, num_kb_eff, body, (acc0, m0, l0))
     l_safe = jnp.maximum(l, 1e-30)
     o_ref[0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(l_safe)
+    lse_ref[0, 0] = m + jnp.log(l_safe)
 
 
 def _flash_forward(
@@ -108,7 +108,7 @@ def _flash_forward(
                           seq_len=seq_len),
         out_shape=(
             jax.ShapeDtypeStruct((bh, lq_pad, hd), qb.dtype),
-            jax.ShapeDtypeStruct((bh, lq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 1, lq_pad), jnp.float32),
         ),
         grid=grid,
         in_specs=[
@@ -118,7 +118,7 @@ def _flash_forward(
         ],
         out_specs=(
             pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i)),
+            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i)),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
@@ -145,8 +145,8 @@ def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, *,
 
     q = q_ref[0].astype(jnp.float32) * scale
     do = do_ref[0].astype(jnp.float32)  # (bq, hd)
-    lse = lse_ref[0]  # (bq,)
-    di = di_ref[0]  # (bq,)
+    lse = lse_ref[0, 0]  # (bq,)
+    di = di_ref[0, 0]  # (bq,)
     rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
 
     num_kb = pl.cdiv(seq_len, block_k)
@@ -207,8 +207,8 @@ def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_
         dk, dv = carry
         q = q_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32) * scale
         do = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(qi * block_q, block_q)]
-        di = di_ref[0, pl.ds(qi * block_q, block_q)]
+        lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q)]
+        di = di_ref[0, 0, pl.ds(qi * block_q, block_q)]
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -255,8 +255,8 @@ def _bwd_dq(qb, kb, vb, dob, lse, di, *, causal, scale, seq_len, block_q, block_
             pl.BlockSpec((1, lk_pad, hd), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, lk_pad, hd), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i)),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i)),
+            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i)),
         ],
         out_specs=pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
         compiler_params=pltpu.CompilerParams(
@@ -289,8 +289,8 @@ def _bwd_dkv(qb, kb, vb, dob, lse, di, *, causal, scale, seq_len, block_q, block
             pl.BlockSpec((1, block_k, hd), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, block_k, hd), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, lq_pad, hd), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, lq_pad), lambda b, i: (b, 0)),
-            pl.BlockSpec((1, lq_pad), lambda b, i: (b, 0)),
+            pl.BlockSpec((1, 1, lq_pad), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, lq_pad), lambda b, i: (b, 0, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, block_k, hd), lambda b, i: (b, i, 0)),
@@ -378,7 +378,7 @@ def _flash_bwd(causal, scale, block_q, block_k, res_shape, g):
     bq, bk = _blocks_for(l, block_q, block_k)
     dob = _pad_seq(_to_bh(g), qb.shape[1])
     # di = rowsum(o * do) in fp32 — tiny fused elementwise reduce, O(L) memory
-    di = jnp.sum(ob.astype(jnp.float32) * dob.astype(jnp.float32), axis=-1)
+    di = jnp.sum(ob.astype(jnp.float32) * dob.astype(jnp.float32), axis=-1)[:, None, :]
     dq = _bwd_dq(qb, kb, vb, dob, lse, di, causal=causal, scale=scale, seq_len=l,
                  block_q=bq, block_k=bk, interpret=_INTERPRET)
     dk, dv = _bwd_dkv(qb, kb, vb, dob, lse, di, causal=causal, scale=scale, seq_len=l,

@@ -36,8 +36,14 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(jnp.finfo(jnp.float32).min) * 0.5
 
 # max sequence length this kernel targets; beyond it the flash kernel tiles better
-MAX_SEQ = 256
+MAX_SEQ = 288  # covers ViT-L/H-14 at 257 tokens; beyond this the flash kernel tiles better
 LANES = 128
+
+# heads stacked per matmul = STACK * (LANES // hd): 1 fills each 128-lane tile's worth
+# of heads (2 at hd=64); higher values stack multiple lane-tiles into one taller
+# matmul — fewer, larger MXU ops (waste grows with the off-diagonal mask area but the
+# per-op issue overhead shrinks). Tuned on-chip.
+STACK = 1
 
 
 def _round_up(x: int, m: int) -> int:
@@ -80,10 +86,22 @@ def _unstack_heads(stacked: jnp.ndarray, per: int, lp: int, hd: int) -> jnp.ndar
     return jnp.concatenate(parts, axis=1)
 
 
+def _stage_chunks(idx, n_stacked: int, bwd: bool = False):
+    """Split the (sample, tile) list into chunks whose staged fp32 (n, n) logits fit a
+    VMEM budget: independent ops still pipeline within a chunk, but peak live
+    intermediates stay bounded at big Lp (ViT-L: Lp=272 -> (544, 544) tiles)."""
+    # the bwd stages ~4 live (n, n) fp32 tensors per tile (s, p32, dp, ds) vs ~1.5
+    # for the fwd, so its per-chunk logit budget is much smaller
+    budget = 1 << 20 if bwd else 4 << 20  # bytes of live (n, n) fp32 logits per chunk
+    per_tile = max(n_stacked * n_stacked * 4, 1)
+    k = max(1, budget // per_tile)
+    return [idx[i:i + k] for i in range(0, len(idx), k)]
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool, seq_len: int,
                 hd: int):
     gb, lp, w = q_ref.shape
-    per = max(min(LANES // hd, w // hd), 1)
+    per = max(min(STACK * LANES // hd, w // hd), 1)
     tw = per * hd
     mask = _pair_mask(lp, per, seq_len, causal)
     # staged phases: all logit dots, then all softmaxes, then all AV dots — each
@@ -93,21 +111,22 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool, seq_l
     # fp32 operands would run the MXU at a fraction of peak), softmax math in f32,
     # probabilities cast back to the input dtype for the AV matmul
     idx = [(g, base) for g in range(gb) for base in range(0, w, tw)]
-    qs = [_stack_heads(q_ref[g, :, b:b + tw], per, hd) for g, b in idx]
-    ks = [_stack_heads(k_ref[g, :, b:b + tw], per, hd) for g, b in idx]
-    vs = [_stack_heads(v_ref[g, :, b:b + tw], per, hd) for g, b in idx]
-    ss = [jax.lax.dot_general(qp, kp, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32) for qp, kp in zip(qs, ks)]
-    ps = []
-    for s in ss:
-        s = jnp.where(mask, s * scale, NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        ps.append((p / jnp.sum(p, axis=-1, keepdims=True)).astype(q_ref.dtype))
-    os_ = [jax.lax.dot_general(p, vp, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32) for p, vp in zip(ps, vs)]
-    for (g, b), o in zip(idx, os_):
-        o_ref[g, :, b:b + tw] = _unstack_heads(o, per, lp, hd).astype(o_ref.dtype)
+    for chunk in _stage_chunks(idx, per * lp):
+        qs = [_stack_heads(q_ref[g, :, b:b + tw], per, hd) for g, b in chunk]
+        ks = [_stack_heads(k_ref[g, :, b:b + tw], per, hd) for g, b in chunk]
+        vs = [_stack_heads(v_ref[g, :, b:b + tw], per, hd) for g, b in chunk]
+        ss = [jax.lax.dot_general(qp, kp, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32) for qp, kp in zip(qs, ks)]
+        ps = []
+        for s in ss:
+            s = jnp.where(mask, s * scale, NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            ps.append((p / jnp.sum(p, axis=-1, keepdims=True)).astype(q_ref.dtype))
+        os_ = [jax.lax.dot_general(p, vp, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32) for p, vp in zip(ps, vs)]
+        for (g, b), o in zip(chunk, os_):
+            o_ref[g, :, b:b + tw] = _unstack_heads(o, per, lp, hd).astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
@@ -115,56 +134,59 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
     """Fused dq/dk/dv with in-kernel softmax recompute. The block-diagonal mask zeroes
     p off-diagonal, so cross-head terms vanish from every product below."""
     gb, lp, w = q_ref.shape
-    per = max(min(LANES // hd, w // hd), 1)
+    per = max(min(STACK * LANES // hd, w // hd), 1)
     tw = per * hd
     mask = _pair_mask(lp, per, seq_len, causal)
     # same staged-phase structure as the forward; one (g, tile) at a time would
     # serialize eight dependent ops per iteration
     idx = [(g, base) for g in range(gb) for base in range(0, w, tw)]
-    qs = [_stack_heads(q_ref[g, :, b:b + tw], per, hd) for g, b in idx]
-    ks = [_stack_heads(k_ref[g, :, b:b + tw], per, hd) for g, b in idx]
-    vs = [_stack_heads(v_ref[g, :, b:b + tw], per, hd) for g, b in idx]
-    dos = [_stack_heads(do_ref[g, :, b:b + tw], per, hd) for g, b in idx]
-    ss = [jax.lax.dot_general(qp, kp, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32) for qp, kp in zip(qs, ks)]
     in_dt = q_ref.dtype
-    ps32, ps = [], []
-    for s in ss:
-        s = jnp.where(mask, s * scale, NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        ps32.append(p)
-        ps.append(p.astype(in_dt))
-    dvs = [jax.lax.dot_general(p, dop, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32) for p, dop in zip(ps, dos)]
-    dps = [jax.lax.dot_general(dop, vp, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32) for dop, vp in zip(dos, vs)]
-    dss = [(p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))).astype(in_dt)
-           for p32, dp in zip(ps32, dps)]
-    dqs = [jax.lax.dot_general(ds, kp, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32) * scale
-           for ds, kp in zip(dss, ks)]
-    dks = [jax.lax.dot_general(ds, qp, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32) * scale
-           for ds, qp in zip(dss, qs)]
-    for (g, b), dq, dk, dv in zip(idx, dqs, dks, dvs):
-        dq_ref[g, :, b:b + tw] = _unstack_heads(dq, per, lp, hd).astype(dq_ref.dtype)
-        dk_ref[g, :, b:b + tw] = _unstack_heads(dk, per, lp, hd).astype(dk_ref.dtype)
-        dv_ref[g, :, b:b + tw] = _unstack_heads(dv, per, lp, hd).astype(dv_ref.dtype)
+    for chunk in _stage_chunks(idx, per * lp, bwd=True):
+        qs = [_stack_heads(q_ref[g, :, b:b + tw], per, hd) for g, b in chunk]
+        ks = [_stack_heads(k_ref[g, :, b:b + tw], per, hd) for g, b in chunk]
+        vs = [_stack_heads(v_ref[g, :, b:b + tw], per, hd) for g, b in chunk]
+        dos = [_stack_heads(do_ref[g, :, b:b + tw], per, hd) for g, b in chunk]
+        ss = [jax.lax.dot_general(qp, kp, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32) for qp, kp in zip(qs, ks)]
+        ps32, ps = [], []
+        for s in ss:
+            s = jnp.where(mask, s * scale, NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            ps32.append(p)
+            ps.append(p.astype(in_dt))
+        dvs = [jax.lax.dot_general(p, dop, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32) for p, dop in zip(ps, dos)]
+        dps = [jax.lax.dot_general(dop, vp, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32) for dop, vp in zip(dos, vs)]
+        dss = [(p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))).astype(in_dt)
+               for p32, dp in zip(ps32, dps)]
+        dqs = [jax.lax.dot_general(ds, kp, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32) * scale
+               for ds, kp in zip(dss, ks)]
+        dks = [jax.lax.dot_general(ds, qp, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32) * scale
+               for ds, qp in zip(dss, qs)]
+        for (g, b), dq, dk, dv in zip(chunk, dqs, dks, dvs):
+            dq_ref[g, :, b:b + tw] = _unstack_heads(dq, per, lp, hd).astype(dq_ref.dtype)
+            dk_ref[g, :, b:b + tw] = _unstack_heads(dk, per, lp, hd).astype(dk_ref.dtype)
+            dv_ref[g, :, b:b + tw] = _unstack_heads(dv, per, lp, hd).astype(dv_ref.dtype)
 
 
 _INTERPRET = False  # flipped by tests to run kernels off-TPU
 
-# samples per grid step; VMEM use ~= GROUP * Lp * width * (2B in/out + fp32 temps).
-# The backward holds 7 HBM-blocked tensors + staged fp32 intermediates, so it runs a
-# smaller group (GROUP=8 bwd measured 17.7M scoped vmem > the 16M limit).
-GROUP_FWD = 8
-GROUP_BWD = 4
+# samples per grid step, scaled so VMEM stays within budget: measured safe points are
+# GROUP=8 fwd / GROUP=4 bwd at (Lp=64, W=768) — (GROUP=8 bwd measured 17.7M scoped
+# vmem > the 16M limit). Larger Lp*W (ViT-L: 272x1024) shrinks the group
+# proportionally.
+_FWD_BUDGET = 8 * 64 * 768
+_BWD_BUDGET = 4 * 64 * 768
 
 
-def _pick_group(b: int, limit: int) -> int:
-    for gb in (limit, 8, 4, 2, 1):
+def _pick_group(b: int, lp: int, w: int, budget: int) -> int:
+    limit = max(1, budget // (lp * w))
+    for gb in (16, 8, 4, 2, 1):
         if gb <= limit and b % gb == 0:
             return gb
     return 1
@@ -180,7 +202,7 @@ def _fwd_call(q, k, v, causal, scale, hd):
     b, l, w = q.shape
     lp = _round_up(l, 16)
     qb, kb, vb = _pad(q, lp), _pad(k, lp), _pad(v, lp)
-    gb = _pick_group(b, GROUP_FWD)
+    gb = _pick_group(b, lp, w, _FWD_BUDGET)
     spec = pl.BlockSpec((gb, lp, w), lambda i: (i, 0, 0))
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, causal=causal, seq_len=l, hd=hd),
@@ -203,7 +225,7 @@ def _bwd_call(q, k, v, do, causal, scale, hd):
     b, l, w = q.shape
     lp = _round_up(l, 16)
     qb, kb, vb, dob = _pad(q, lp), _pad(k, lp), _pad(v, lp), _pad(do, lp)
-    gb = _pick_group(b, GROUP_BWD)
+    gb = _pick_group(b, lp, w, _BWD_BUDGET)
     spec = pl.BlockSpec((gb, lp, w), lambda i: (i, 0, 0))
     shape = jax.ShapeDtypeStruct((b, lp, w), q.dtype)
     dq, dk, dv = pl.pallas_call(
@@ -240,13 +262,20 @@ def _short_bwd(causal, scale, hd, res, g):
 _short_attn.defvjp(_short_fwd, _short_bwd)
 
 
+# largest Lp * (H*hd) block the fused bwd fits in VMEM (empirical: SigLIP-B-16's
+# 208x768 compiles; ViT-L-14's 272x1024 needs 17.4M scoped vmem > the 16M limit)
+MAX_BLOCK = 208 * 768
+
+
 def supports(l: int, h: int, hd: int, bias) -> bool:
     """Can this kernel serve the given attention shape?"""
     if bias is not None or l > MAX_SEQ:
         return False
     if hd not in (32, 64, 128):
         return False
-    per_tile = max(min(LANES // hd, h), 1)
+    if _round_up(l, 16) * h * hd > MAX_BLOCK:
+        return False
+    per_tile = max(min(STACK * LANES // hd, h), 1)
     return h % per_tile == 0
 
 

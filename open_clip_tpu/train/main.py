@@ -121,6 +121,37 @@ def random_seed(seed: int = 42):
     np.random.seed(seed % (2 ** 31))
 
 
+def _write_ckpt_meta(path, epoch: int, step: int, args) -> None:
+    """Sidecar meta.json so resume recovers the exact epoch even when steps/epoch
+    changed between runs (torch checkpoints embed 'epoch' the same way)."""
+    import json as _json
+
+    try:
+        with open(Path(path) / "meta.json", "w") as fh:
+            _json.dump({"epoch": epoch, "step": step,
+                        "samples_seen": step * args.batch_size * args.world_size}, fh)
+    except OSError as e:  # noqa: PERF203 — meta is best-effort
+        logger.warning("could not write checkpoint meta: %r", e)
+
+
+def _resume_epoch(resume_path: str, step: int, steps_per_epoch: int) -> int:
+    """Epoch to resume at: sidecar meta.json > epoch_N dir name > step-derived
+    (the last assumes constant steps/epoch)."""
+    import json as _json
+    import re as _re
+
+    meta = Path(resume_path) / "meta.json"
+    if meta.exists():
+        try:
+            return int(_json.loads(meta.read_text())["epoch"])
+        except (OSError, KeyError, ValueError):
+            pass
+    m = _re.match(r"epoch_(\d+)$", Path(resume_path).name)
+    if m:
+        return int(m.group(1))
+    return step // max(steps_per_epoch, 1)
+
+
 def get_latest_checkpoint(ckpt_dir: Path) -> Optional[str]:
     cands = sorted(ckpt_dir.glob("epoch_*"), key=lambda p: int(p.name.split("_")[1]))
     return str(cands[-1]) if cands else None
@@ -132,7 +163,12 @@ def main(args=None):
         from ..models import blocks as _blocks
 
         _blocks.MLP_LINEAR_IMPL = "switchback"
-    logging.basicConfig(level=logging.INFO, format="%(asctime)s | %(levelname)s | %(message)s")
+    logging.basicConfig(
+        level=logging.DEBUG if getattr(args, "debug", False) else logging.INFO,
+        format="%(asctime)s | %(levelname)s | %(message)s")
+    if getattr(args, "cache_dir", None):
+        os.environ.setdefault("HF_HOME", args.cache_dir)
+        os.environ.setdefault("HUGGINGFACE_HUB_CACHE", args.cache_dir)
 
     # --- multi-host (before any rank-gated side effects) ---------------------------
     from ..parallel.distributed import init_distributed, is_primary
@@ -160,6 +196,18 @@ def main(args=None):
                 fh.write(f"{k}: {getattr(args, k)}\n")
 
     random_seed(args.seed)
+
+    if getattr(args, "copy_codebase", False) and is_primary():
+        # snapshot the package source next to the logs (reference main.py copy_codebase)
+        import shutil
+
+        import open_clip_tpu as _pkg
+
+        src = Path(_pkg.__file__).parent
+        dst = log_dir / "code" / "open_clip_tpu"
+        if not dst.exists():
+            shutil.copytree(src, dst, ignore=shutil.ignore_patterns("__pycache__"))
+            logger.info("copied codebase to %s", dst)
 
     # remote sync background process (reference main.py:211-232), primary host only
     if args.remote_sync and is_primary():
@@ -195,6 +243,27 @@ def main(args=None):
     )
     cfg = model.cfg
     params = model.params
+
+    # tower-only pretrained loads (reference --pretrained-image / --pretrained-audio)
+    for flag, tower in (("pretrained_image", "visual"), ("pretrained_audio", "audio")):
+        path = getattr(args, flag, None)
+        if path:
+            from ..checkpoint import read_state_dict
+            from ..convert import torch_clip_to_params
+
+            sd = read_state_dict(path)
+            if tower == "audio" and cfg.audio_cfg is not None:
+                from ..models.clap import torch_clap_to_params
+
+                loaded = torch_clap_to_params(sd, cfg)
+            else:
+                loaded = torch_clip_to_params(sd, cfg)
+            if tower not in loaded:
+                raise ValueError(f"--{flag.replace('_', '-')}: checkpoint has no {tower} tower")
+            params = dict(params)
+            params[tower] = loaded[tower]
+            logger.info("loaded %s tower from %s", tower, path)
+
     if mesh is not None:
         params = shard_params(params, fsdp_shardings(params, mesh))
 
@@ -219,8 +288,9 @@ def main(args=None):
 
     if "train" in data:
         total_steps = steps_per_epoch * args.epochs
+        scheduler_kind = "const" if getattr(args, "skip_scheduler", False) else args.lr_scheduler
         schedule = create_scheduler(
-            args.lr_scheduler, args.lr, min(args.warmup, max(total_steps // 10, 1)), total_steps,
+            scheduler_kind, args.lr, min(args.warmup, max(total_steps // 10, 1)), total_steps,
             **({"cooldown_steps": steps_per_epoch * args.epochs_cooldown,
                 "cooldown_power": args.lr_cooldown_power,
                 "cooldown_end_lr": args.lr_cooldown_end}
@@ -230,6 +300,7 @@ def main(args=None):
             opt=args.opt, lr=args.lr, wd=args.wd, beta1=args.beta1, beta2=args.beta2,
             eps=args.eps, momentum=args.momentum, layer_decay=args.layer_decay,
             grad_clip_norm=args.grad_clip_norm,
+            wd_exclude_patterns=tuple(getattr(args, "wd_exclude_patterns", ()) or ()),
         )
         num_layers = cfg.vision_cfg.layers if cfg.vision_cfg and not cfg.vision_cfg.is_resnet else None
         optimizer = create_optimizer(opt_cfg, params, schedule, num_layers=num_layers)
@@ -264,7 +335,10 @@ def main(args=None):
                 state = load_native(resume_path, like=state)
                 if mesh is not None:
                     state = place_on_mesh(state, mesh)
-                start_epoch = int(state.step) // max(steps_per_epoch, 1)
+                start_epoch = _resume_epoch(resume_path, int(state.step), steps_per_epoch)
+                from ..parallel.distributed import broadcast_scalar_from_primary
+
+                start_epoch = int(broadcast_scalar_from_primary(start_epoch))
 
         if args.distill_model:
             loss_type = "distill"
@@ -331,6 +405,7 @@ def main(args=None):
             if completed % args.save_frequency == 0 or completed == args.epochs:
                 path = ckpt_dir / f"epoch_{completed}"
                 save_native(str(path), state)
+                _write_ckpt_meta(path, completed, int(state.step), args)
                 logger.info("saved checkpoint %s", path)
             if args.save_most_recent:
                 # atomic latest swap (reference main.py:678-741): write tmp, then rename
@@ -340,6 +415,7 @@ def main(args=None):
                 if tmp.exists():
                     shutil.rmtree(tmp)
                 save_native(str(tmp), state)
+                _write_ckpt_meta(tmp, completed, int(state.step), args)
                 latest = ckpt_dir / "epoch_latest"
                 if latest.exists():
                     shutil.rmtree(latest)

@@ -48,9 +48,21 @@ def parse_args(args=None):
                         default="auto")
     # NaFlex token-budget batching (reference --naflex-* flags)
     parser.add_argument("--naflex-seq-lens", type=int, nargs="+", default=[128, 256, 576, 784, 1024])
+    parser.add_argument("--naflex-seq-len-probs", type=float, nargs="+", default=None)
     parser.add_argument("--naflex-patch-sizes", type=int, nargs="+", default=[16])
-    parser.add_argument("--naflex-max-tokens", type=int, default=16384)
+    parser.add_argument("--naflex-patch-size-probs", type=float, nargs="+", default=None)
+    parser.add_argument("--naflex-max-tokens", "--naflex-max-tokens-per-batch",
+                        dest="naflex_max_tokens", type=int, default=16384)
     parser.add_argument("--naflex-batch-divisor", type=int, default=8)
+    parser.add_argument("--naflex-pad-multiple", type=int, default=None,
+                        help="round variable seq lens up to multiples of M")
+    parser.add_argument("--naflex-max-text-tokens", type=int, default=None)
+    parser.add_argument("--naflex-num-train-image-tokens", type=int, default=None,
+                        help="epoch size in image tokens instead of samples")
+    parser.add_argument("--use-naflex", action="store_true", default=False,
+                        help="force the NaFlex data path for a naflex-capable model")
+    parser.add_argument("--force-naflex-vision", action="store_true", default=False)
+    parser.add_argument("--text-pad-multiple", type=int, default=None)
     parser.add_argument("--length-bucketing", action="store_true", default=False,
                         help="pool+sort samples by token length so similar lengths batch "
                              "together (reference LengthBucketer, naflex_data.py:371-443)")
@@ -66,7 +78,33 @@ def parse_args(args=None):
     parser.add_argument("--csv-separator", type=str, default="\t")
     parser.add_argument("--csv-img-key", type=str, default="filepath")
     parser.add_argument("--csv-caption-key", type=str, default="title")
-    parser.add_argument("--wds-caption-key", type=str, default="txt")
+    parser.add_argument("--wds-caption-key", "--text-key", dest="wds_caption_key",
+                        type=str, default="txt",
+                        help="caption member suffix or json:field[=w::field2=w] form")
+    parser.add_argument("--image-key", type=str, default="jpg;png;jpeg;webp",
+                        help="image member suffixes in wds shards")
+    parser.add_argument("--json-text-key", type=str, default=None,
+                        help="read captions from this field of the .json member")
+    parser.add_argument("--json-text-key-probs", type=float, nargs="*", default=None)
+    parser.add_argument("--max-image-pixels", type=int, default=25_000_000,
+                        help="drop wds images whose w*h exceeds this")
+    parser.add_argument("--audio-ext", type=str, default="flac",
+                        help="audio member extension in wds shards (wav, flac, mp3, ogg)")
+    parser.add_argument("--audio-fill", type=str, default="repeatpad",
+                        choices=["repeatpad", "repeat", "pad"])
+    parser.add_argument("--audio-trunc", type=str, default="rand_trunc",
+                        choices=["rand_trunc", "fusion"])
+    parser.add_argument("--audio-fusion", action="store_true", default=False,
+                        help="HTSAT fusion preprocessing for long clips (mel_fusion stack)")
+    parser.add_argument("--audio-int16-normalize", action="store_true", default=False)
+    parser.add_argument("--audio-layer-decay", type=float, default=None)
+    parser.add_argument("--audio-zeroshot-dataset", type=str, default=None)
+    parser.add_argument("--audio-zeroshot-split", type=str, default="test")
+    parser.add_argument("--audio-zeroshot-audio-key", type=str, default="audio")
+    parser.add_argument("--audio-zeroshot-class-key", type=str, default="category")
+    parser.add_argument("--audio-zeroshot-target-key", type=str, default="target")
+    parser.add_argument("--audio-zeroshot-template", type=str, default=None)
+    parser.add_argument("--audio-zeroshot-workers", type=int, default=2)
     parser.add_argument("--imagenet-val", type=str, default=None)
     parser.add_argument("--imagenet-v2", type=str, default=None)
     parser.add_argument("--workers", type=int, default=4)
@@ -80,6 +118,22 @@ def parse_args(args=None):
     parser.add_argument("--wandb-notes", type=str, default="")
     parser.add_argument("--wandb-project-name", type=str, default="open-clip")
     parser.add_argument("--log-every-n-steps", type=int, default=100)
+    parser.add_argument("--log-metric-every-n-steps", type=int, default=10,
+                        help="writer cadence (denser than the console line)")
+    parser.add_argument("--train-loss-ema-samples", type=int, default=50000,
+                        help="smoothing horizon in samples for the console loss EMA")
+    parser.add_argument("--debug", action="store_true", default=False)
+    parser.add_argument("--copy-codebase", action="store_true", default=False,
+                        help="snapshot the package source into the log dir")
+    parser.add_argument("--cache-dir", type=str, default=None,
+                        help="override the HF hub cache dir for model/tokenizer files")
+    parser.add_argument("--val-retrieval-chunk-size", type=int, default=4096)
+    parser.add_argument("--val-retrieval-precision", type=str, default="fp32",
+                        choices=["fp32", "model"])
+    parser.add_argument("--pretrained-image", type=str, default=None,
+                        help="load only the vision tower from this checkpoint")
+    parser.add_argument("--pretrained-audio", type=str, default=None,
+                        help="load only the audio tower from this checkpoint")
 
     # core training
     parser.add_argument("--model", type=str, default="ViT-B-32")
@@ -107,6 +161,20 @@ def parse_args(args=None):
     parser.add_argument("--accum-freq", type=int, default=1)
     parser.add_argument("--grad-clip-norm", type=float, default=None)
     parser.add_argument("--layer-decay", type=float, default=None)
+    parser.add_argument("--image-layer-decay", type=float, default=None,
+                        help="per-tower LLRD override (falls back to --layer-decay)")
+    parser.add_argument("--text-layer-decay", type=float, default=None)
+    parser.add_argument("--opt-kwargs", nargs="*", action=ParseKwargs, default={})
+    parser.add_argument("--opt-fallback-list", type=str, nargs="*", default=None,
+                        help="param-name glob patterns routed to the AdamW fallback of "
+                             "hybrid optimizers (muon)")
+    parser.add_argument("--wd-exclude", type=str, nargs="*", default=[],
+                        dest="wd_exclude_patterns",
+                        help="extra param-name glob patterns that skip weight decay")
+    parser.add_argument("--skip-scheduler", action="store_true", default=False,
+                        help="constant lr, no decay")
+    parser.add_argument("--text-pooler-own-group", dest="text_pooler_in_head",
+                        action="store_false", default=True)
 
     # precision / memory
     parser.add_argument("--precision", type=str, default="amp_bf16",
@@ -137,6 +205,7 @@ def parse_args(args=None):
     parser.add_argument("--lock-image-unlocked-groups", type=int, default=0)
     parser.add_argument("--lock-text", action="store_true", default=False)
     parser.add_argument("--lock-text-unlocked-layers", type=int, default=0)
+    parser.add_argument("--lock-text-freeze-layer-norm", action="store_true", default=False)
     parser.add_argument("--aug-cfg", nargs="*", action=ParseKwargs, default={})
 
     # losses
@@ -170,7 +239,40 @@ def parse_args(args=None):
     parser.add_argument("--device-preprocess", action="store_true", default=False,
                         help="uint8 host batches; fused resize/normalize on device")
 
+    # torch-only knobs accepted for launch-script compatibility; each has a TPU-side
+    # replacement (jit replaces torchcompile; the mesh replaces DDP/FSDP wrappers;
+    # device placement is implicit; SyncBN is unneeded under SPMD batch sharding)
+    compat = parser.add_argument_group("torch launch-script compatibility (no-ops)")
+    for flag, kw in (
+        ("--torchcompile", dict(action="store_true")),
+        ("--torchcompile-backend", dict(type=str, default=None)),
+        ("--torchcompile-mode", dict(type=str, default=None)),
+        ("--torchcompile-strategy", dict(type=str, default=None)),
+        ("--fsdp", dict(action="store_true")),
+        ("--fsdp-checkpoint", dict(action="store_true")),
+        ("--fsdp-no-reshard-after-forward", dict(action="store_true")),
+        ("--fsdp-offload-cpu", dict(action="store_true")),
+        ("--ddp-static-graph", dict(action="store_true")),
+        ("--dist-backend", dict(type=str, default=None)),
+        ("--dist-url", dict(type=str, default=None)),
+        ("--device", dict(type=str, default=None)),
+        ("--no-set-device-rank", dict(action="store_true")),
+        ("--use-bn-sync", dict(action="store_true")),
+        ("--audio-multiprocessing-context", dict(type=str, default=None)),
+        ("--audio-zeroshot-multiprocessing-context", dict(type=str, default=None)),
+    ):
+        compat.add_argument(flag, **kw, help=argparse.SUPPRESS)
+    parser.add_argument("--use-bnb-linear", type=str, default=None,
+                        help="reference int8 flag; maps onto the SwitchBack Pallas path "
+                             "(same as --use-switchback)")
+
     ns = parser.parse_args(args)
+    if ns.use_bnb_linear:
+        ns.use_switchback = True
+    if ns.audio_fusion:
+        ns.audio_trunc = "fusion"
+    if ns.json_text_key:
+        ns.wds_caption_key = f"json:{ns.json_text_key}"
 
     defaults = get_default_params(ns.model)
     for k, v in defaults.items():

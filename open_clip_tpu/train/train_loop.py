@@ -52,6 +52,9 @@ def train_one_epoch(
     loss_m = AverageMeter()
 
     log_every = getattr(args, "log_every_n_steps", 100)
+    metric_every = getattr(args, "log_metric_every_n_steps", None) or log_every
+    ema_samples = max(1, getattr(args, "train_loss_ema_samples", 50000) or 50000)
+    loss_ema = None
     rng = jax.random.PRNGKey(getattr(args, "seed", 0) + epoch)
 
     # overlap host decode/tokenize with the device step (the role of the reference's
@@ -69,19 +72,25 @@ def train_one_epoch(
         state, metrics = step_fn(state, _to_device(batch), step_rng)
         pending_metrics = metrics
 
-        if (i % log_every) == 0:
+        if (i % metric_every) == 0 or (i % log_every) == 0:
             # host sync only at metric cadence (reference train.py:432-505)
+            bs = _batch_size(batch)
             loss = float(np.asarray(metrics["loss"]))
-            loss_m.update(loss, n=_batch_size(batch))
+            loss_m.update(loss, n=bs)
+            # sample-horizon EMA for the console (reference --train-loss-ema-samples)
+            alpha = min(1.0, bs * metric_every / ema_samples)
+            loss_ema = loss if loss_ema is None else loss_ema * (1 - alpha) + loss * alpha
             scale = float(np.asarray(metrics["logit_scale"]))
             lr = float(schedule(int(state.step))) if schedule is not None else float("nan")
-            logger.info(
-                "epoch %d step %d loss %.4f (avg %.4f) logit_scale %.2f lr %.2e data %.3fs batch %.3fs",
-                epoch, i, loss, loss_m.avg, scale, lr, data_time.avg, batch_time.avg,
-            )
+            if (i % log_every) == 0:
+                logger.info(
+                    "epoch %d step %d loss %.4f (ema %.4f) logit_scale %.2f lr %.2e data %.3fs batch %.3fs",
+                    epoch, i, loss, loss_ema, scale, lr, data_time.avg, batch_time.avg,
+                )
             if writer is not None:
                 writer.log(
-                    {"train/loss": loss, "train/logit_scale": scale, "train/lr": lr},
+                    {"train/loss": loss, "train/loss_ema": loss_ema,
+                     "train/logit_scale": scale, "train/lr": lr},
                     step=int(state.step),
                 )
         batch_time.update(time.perf_counter() - end)
@@ -176,7 +185,8 @@ def evaluate(
             loss_key = "clip_val_loss" if primary_key == "image" else f"{primary_key}_val_loss"
             metrics[loss_key] = loss_sum / n
             metrics.update(
-                get_clip_metrics(all_imf, all_txf, float(np.exp(np.asarray(model.params["logit_scale"]))))
+                get_clip_metrics(all_imf, all_txf, float(np.exp(np.asarray(model.params["logit_scale"]))),
+                                 chunk_size=getattr(args, "val_retrieval_chunk_size", None) or 4096)
             )
             metrics["num_samples"] = n
         if gen_n:
