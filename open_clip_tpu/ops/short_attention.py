@@ -198,19 +198,30 @@ def _pad(x, lp):
     return jnp.pad(x, ((0, 0), (0, lp - x.shape[1]), (0, 0)))
 
 
+def _grid_and_spec(b, lp, w, hd, budget):
+    """Full-width blocks when they fit VMEM (best in-program pipelining); otherwise
+    grid over head tiles too (ViT-L/H: 272x1024 blocks exceed the fused-bwd budget)."""
+    per = max(min(STACK * LANES // hd, w // hd), 1)
+    tw = per * hd
+    if lp * w > MAX_BLOCK and w > tw:
+        gb = _pick_group(b, lp, tw, budget)
+        return (b // gb, w // tw), pl.BlockSpec((gb, lp, tw), lambda i, j: (i, 0, j)), ("parallel", "parallel")
+    gb = _pick_group(b, lp, w, budget)
+    return (b // gb,), pl.BlockSpec((gb, lp, w), lambda i: (i, 0, 0)), ("parallel",)
+
+
 def _fwd_call(q, k, v, causal, scale, hd):
     b, l, w = q.shape
     lp = _round_up(l, 16)
     qb, kb, vb = _pad(q, lp), _pad(k, lp), _pad(v, lp)
-    gb = _pick_group(b, lp, w, _FWD_BUDGET)
-    spec = pl.BlockSpec((gb, lp, w), lambda i: (i, 0, 0))
+    grid, spec, sem = _grid_and_spec(b, lp, w, hd, _FWD_BUDGET)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, causal=causal, seq_len=l, hd=hd),
         out_shape=jax.ShapeDtypeStruct((b, lp, w), q.dtype),
-        grid=(b // gb,),
+        grid=grid,
         in_specs=[spec] * 3,
         out_specs=spec,
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=sem),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * lp * lp * w,
             bytes_accessed=4 * b * lp * w * q.dtype.itemsize,
@@ -225,16 +236,15 @@ def _bwd_call(q, k, v, do, causal, scale, hd):
     b, l, w = q.shape
     lp = _round_up(l, 16)
     qb, kb, vb, dob = _pad(q, lp), _pad(k, lp), _pad(v, lp), _pad(do, lp)
-    gb = _pick_group(b, lp, w, _BWD_BUDGET)
-    spec = pl.BlockSpec((gb, lp, w), lambda i: (i, 0, 0))
+    grid, spec, sem = _grid_and_spec(b, lp, w, hd, _BWD_BUDGET)
     shape = jax.ShapeDtypeStruct((b, lp, w), q.dtype)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, causal=causal, seq_len=l, hd=hd),
         out_shape=(shape, shape, shape),
-        grid=(b // gb,),
+        grid=grid,
         in_specs=[spec] * 4,
         out_specs=(spec, spec, spec),
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=sem),
         cost_estimate=pl.CostEstimate(
             flops=10 * b * lp * lp * w,
             bytes_accessed=7 * b * lp * w * q.dtype.itemsize,
@@ -272,8 +282,6 @@ def supports(l: int, h: int, hd: int, bias) -> bool:
     if bias is not None or l > MAX_SEQ:
         return False
     if hd not in (32, 64, 128):
-        return False
-    if _round_up(l, 16) * h * hd > MAX_BLOCK:
         return False
     per_tile = max(min(STACK * LANES // hd, h), 1)
     return h % per_tile == 0

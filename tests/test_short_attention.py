@@ -71,3 +71,23 @@ def test_bf16_close(rng):
     ref = dot_product_attention(q, k, v, impl="xla").astype(jnp.float32)
     out = sa.short_attention(q, k, v).astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
+def test_tile_grid_path_matches_dense(rng):
+    """Big Lp*W blocks grid over head tiles (ViT-L/H shapes); same numerics."""
+    old = sa.MAX_BLOCK
+    sa.MAX_BLOCK = 64 * 256  # force the tiled path at test sizes
+    try:
+        q, k, v = (jnp.asarray(rng.standard_normal((2, 257, 16, 64)), jnp.float32)
+                   for _ in range(3))
+        ref = dot_product_attention(q, k, v, impl="xla")
+        out = sa.short_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+        gs = jax.grad(lambda a, b, c: (sa.short_attention(a, b, c) ** 2).sum(),
+                      argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lambda a, b, c: (dot_product_attention(a, b, c, impl="xla") ** 2).sum(),
+                      argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gs, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
+    finally:
+        sa.MAX_BLOCK = old
