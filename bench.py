@@ -242,6 +242,11 @@ def main():
         return
     names = list(SUITE) if args[0] in ("--suite", "--all") else args
     results = {}
+    try:  # merge partial runs into the existing suite file instead of clobbering it
+        with open("/root/repo/docs/bench_suite.json") as fh:
+            results = json.load(fh)
+    except (OSError, ValueError):
+        pass
     for name in names:
         try:
             res = SUITE[name]()

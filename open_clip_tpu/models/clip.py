@@ -215,15 +215,17 @@ def clip_forward(
     remat: bool = False,
     attn_impl: str = "auto",
     stats_sink=None,
+    return_hidden: bool = False,
 ) -> Dict[str, jax.Array]:
     """Dict-output forward matching reference CLIP.forward(output_dict=True)
-    (model.py:528-548). CoCa configs (multimodal_cfg) also return decoder logits."""
+    (model.py:528-548). CoCa configs (multimodal_cfg) also return decoder logits
+    (or pre-projection hidden states under ``return_hidden`` for the fused-CE path)."""
     if cfg.multimodal_cfg is not None:
         from . import coca
 
         return coca.coca_forward(
             params, cfg, image, text, train=train, rng=rng,
-            compute_dtype=compute_dtype, remat=remat,
+            compute_dtype=compute_dtype, remat=remat, return_hidden=return_hidden,
         )
     if cfg.audio_cfg is not None:
         from . import clap

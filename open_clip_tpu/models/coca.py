@@ -72,8 +72,13 @@ def apply_multimodal_decoder(
     *,
     act: str = "gelu",
     remat: bool = False,
+    return_hidden: bool = False,
 ) -> jax.Array:
-    """(B, L, vocab) logits — reference MultimodalTransformer.forward (transformer.py:1963-1986)."""
+    """(B, L, vocab) logits — reference MultimodalTransformer.forward (transformer.py:1963-1986).
+
+    ``return_hidden=True`` returns the post-ln_final hidden states WITHOUT the vocab
+    projection so the training loss can run the projection fused with the CE
+    (``ops/fused_ce.py``) — the full (B, L, V) logit tensor never materializes."""
     from ..ops.attention import multi_head_attention
 
     eps = cfg.ln_eps
@@ -105,6 +110,8 @@ def apply_multimodal_decoder(
     x, _ = jax.lax.scan(body, text_embs, (params["blocks"], params["cross_blocks"]), unroll=B.scan_unroll())
 
     x = layer_norm(x, params["ln_final"]["scale"], params["ln_final"]["bias"], eps=eps)
+    if return_hidden:
+        return x
     return jnp.dot(x, params["text_projection"].astype(x.dtype))
 
 
@@ -122,8 +129,12 @@ def coca_forward(
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
     remat: bool = False,
+    return_hidden: bool = False,
 ) -> Dict[str, jax.Array]:
-    """reference CoCa.forward (coca_model.py:218-246)."""
+    """reference CoCa.forward (coca_model.py:218-246).
+
+    ``return_hidden=True`` emits ``out["hidden"]`` (pre-projection decoder states)
+    instead of ``out["logits"]`` for the fused-CE training path."""
     from .clip import _l2_normalize
 
     act = "quick_gelu" if cfg.quick_gelu else "gelu"
@@ -141,10 +152,11 @@ def coca_forward(
         )
         out["text_features"] = _l2_normalize(t_pooled)
         if image_embs is not None:
-            out["logits"] = apply_multimodal_decoder(
+            dec = apply_multimodal_decoder(
                 params["text_decoder"], cfg.multimodal_cfg, image_embs, token_embs,
-                act=act, remat=remat,
+                act=act, remat=remat, return_hidden=return_hidden,
             )
+            out["hidden" if return_hidden else "logits"] = dec
             out["labels"] = text  # AR shift handled by the loss/task (reference coca_task.py:45-53)
     out["logit_scale"] = jnp.exp(params["logit_scale"].astype(jnp.float32))
     if "logit_bias" in params:

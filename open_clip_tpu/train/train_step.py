@@ -164,13 +164,24 @@ def make_train_step(
             out = clip_forward(
                 params, cfg, batch.get("image"), batch.get("text"),
                 train=True, rng=rng, compute_dtype=compute_dtype, remat=remat,
+                return_hidden=True,
             )
             closs = loss_fn(out["image_features"], out["text_features"], scale, bias)
-            # AR shift: logits[:, :-1] predict text[:, 1:] (reference coca_task.py:45-53)
-            from ..loss import caption_cross_entropy
+            # AR shift: positions :-1 predict text[:, 1:] (reference coca_task.py:45-53).
+            # The vocab projection runs fused with the CE (ops/fused_ce.py) so the
+            # (B, L, V) logit tensor never materializes — at batch 512 x vocab 49408
+            # full logits alone are 3.5G bf16 + 7G fp32 softmax, an instant v5e OOM.
+            from ..ops.fused_ce import fused_linear_cross_entropy
 
             pad_id = cfg.text_cfg.pad_id if cfg.text_cfg else 0
-            cap = caption_cross_entropy(out["logits"][:, :-1], batch["text"][:, 1:], pad_id=pad_id)
+            hid = out["hidden"][:, :-1]
+            tgt = batch["text"][:, 1:]
+            labels = jnp.where(tgt == pad_id, -100, tgt).reshape(-1)
+            cap = fused_linear_cross_entropy(
+                hid.reshape(-1, hid.shape[-1]),
+                params["text_decoder"]["text_projection"].T,
+                labels,
+            )
             loss = clip_loss_weight * closs + caption_loss_weight * cap
             return loss, {"contrastive_loss": closs, "caption_loss": cap}
         sink = {} if (cfg.vision_cfg is not None and cfg.vision_cfg.is_resnet
