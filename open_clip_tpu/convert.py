@@ -254,9 +254,103 @@ def convert_params_dtype(params, dtype):
     return rec(params)
 
 
+def convert_mobile_clip_state_dict(sd: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Apple MobileCLIP release checkpoint -> reference-style state dict.
+
+    Mirrors reference ``convert_mobile_clip_state_dict`` (``convert.py:223-261``):
+    the text side follows the reference's key map verbatim; the image side maps
+    Apple's ml-mobileclip fastvit module names onto timm's ``fastvit.py`` layout
+    (the reference delegates this to ``timm.models.fastvit.checkpoint_filter_fn``),
+    which ``models/fastvit.py`` then collapses into the native tree."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        v = _np(v)
+        if k == "logit_scale":
+            out["logit_scale"] = v
+            continue
+        if k.startswith("text_encoder."):
+            k = k[len("text_encoder."):]
+            k = k.replace("projection_layer", "text_projection")
+            k = k.replace("embedding_layer", "token_embedding")
+            if k.startswith("positional_embedding.pos_embed.pos_embed"):
+                k = "positional_embedding"
+                v = v.squeeze()
+            k = k.replace("final_layer_norm", "ln_final")
+            k = k.replace("pre_norm_mha.0", "ln_1")
+            k = k.replace("pre_norm_mha.1", "attn")
+            k = k.replace("pre_norm_ffn.0", "ln_2")
+            k = k.replace("pre_norm_ffn.1", "mlp.c_fc")
+            k = k.replace("pre_norm_ffn.4", "mlp.c_proj")
+            k = k.replace("qkv_proj.weight", "in_proj_weight")
+            k = k.replace("qkv_proj.bias", "in_proj_bias")
+            k = k.replace("transformer.", "transformer.resblocks.")
+            out["text." + k] = v
+            continue
+        if k.startswith("image_encoder.model."):
+            k = k[len("image_encoder.model."):]
+            # Apple fastvit module names -> timm fastvit names
+            k = k.replace("patch_embed.", "stem.")
+            k = k.replace("rbr_conv", "conv_kxk")
+            k = k.replace("rbr_scale", "conv_scale")
+            k = k.replace("rbr_skip", "identity")
+            k = k.replace("lkb_origin", "large_conv")
+            k = k.replace("lkb_reparam", "reparam_conv")
+            k = k.replace("convffn", "mlp")
+            k = k.replace("conv_exp.", "final_conv.")
+            k = k.replace("se.reduce", "se.fc1")
+            k = k.replace("se.expand", "se.fc2")
+            if k.startswith("head."):
+                k = "head.fc." + k[len("head."):]
+            # network list: [stage0, down1, stage1, down2, stage2, down3, cpe, stage3]
+            net_map = {
+                "network.0.": "stages.0.blocks.",
+                "network.1.": "stages.1.downsample.",
+                "network.2.": "stages.1.blocks.",
+                "network.3.": "stages.2.downsample.",
+                "network.4.": "stages.2.blocks.",
+                "network.5.": "stages.3.downsample.",
+                "network.6.": "stages.3.pos_emb.",
+                "network.7.": "stages.3.blocks.",
+            }
+            for src, dst in net_map.items():
+                if k.startswith(src):
+                    k = dst + k[len(src):]
+                    break
+            if ".pos_emb." in k:
+                k = k.replace(".pe.", ".pos_enc.")
+            if k.endswith("layer_scale") or ".layer_scale." in k or \
+                    k.endswith(("layer_scale_1", "layer_scale_2")):
+                k = k.replace("layer_scale_1", "layer_scale_1.gamma") \
+                    if k.endswith("layer_scale_1") else k
+                k = k.replace("layer_scale_2", "layer_scale_2.gamma") \
+                    if k.endswith("layer_scale_2") else k
+                if k.endswith("layer_scale"):
+                    k = k + ".gamma"
+            out["visual.trunk." + k] = v
+            continue
+        out[k] = v
+    return out
+
+
 def torch_clip_to_params(sd: Mapping[str, Any], cfg: Optional[CLIPModelCfg] = None) -> Dict[str, Any]:
     """Convert a reference CLIP/CustomTextCLIP state dict into the JAX param tree."""
     sd = normalize_torch_state_dict(sd)
+    if any(k.startswith("image_encoder.") for k in sd):
+        # Apple MobileCLIP release format (reference convert.py:223-261)
+        sd = convert_mobile_clip_state_dict(sd)
+    if cfg is not None and cfg.vision_cfg is not None:
+        from .models.fastvit import is_fastvit, torch_fastvit_clip_to_params
+
+        # fastvit trunks share the "visual.trunk.stem." prefix with convnext —
+        # dispatch on the model cfg before the key-shape heuristics below
+        if is_fastvit(cfg.vision_cfg) and any(k.startswith("visual.trunk.") for k in sd):
+            trunk_sd = {k[len("visual.trunk."):]: v for k, v in sd.items()
+                        if k.startswith("visual.trunk.")}
+            tree = torch_fastvit_clip_to_params(trunk_sd, cfg.vision_cfg, cfg.embed_dim)
+            rest_sd = {k: v for k, v in sd.items() if not k.startswith("visual.")}
+            rest = torch_clip_to_params(rest_sd, cfg) if rest_sd else {}
+            rest["visual"] = tree
+            return rest
     if any(k.startswith("visual.trunk.stem.") for k in sd):
         from .models import convnext
 

@@ -56,6 +56,10 @@ def init_clip(key, cfg: CLIPModelCfg) -> Dict[str, Any]:
             from . import eva
 
             params["visual"] = eva.init_eva(kv, cfg.vision_cfg, cfg.embed_dim)
+        elif _is_fastvit(cfg.vision_cfg):
+            from . import fastvit
+
+            params["visual"] = fastvit.init_fastvit(kv, cfg.vision_cfg, cfg.embed_dim)
         else:
             params["visual"] = vit.init_vision_tower(kv, cfg.vision_cfg, cfg.embed_dim)
     if cfg.text_cfg is not None:
@@ -103,6 +107,12 @@ def _is_eva(vision_cfg) -> bool:
     return is_eva(vision_cfg)
 
 
+def _is_fastvit(vision_cfg) -> bool:
+    from .fastvit import is_fastvit
+
+    return is_fastvit(vision_cfg)
+
+
 def encode_image(
     params: Dict[str, Any],
     cfg: CLIPModelCfg,
@@ -147,6 +157,13 @@ def encode_image(
         from . import eva
 
         pooled = eva.apply_eva(
+            params["visual"], vcfg, image, train=train, rng=rng,
+            compute_dtype=compute_dtype, remat=remat,
+        )
+    elif _is_fastvit(vcfg):
+        from . import fastvit
+
+        pooled = fastvit.apply_fastvit(
             params["visual"], vcfg, image, train=train, rng=rng,
             compute_dtype=compute_dtype, remat=remat,
         )

@@ -63,6 +63,33 @@ def resolve_timm_vision_cfg(cfg: CLIPVisionCfg) -> CLIPVisionCfg:
     import re as _re
 
     name = cfg.timm_model_name or ""
+    mc = _re.match(r"vit_([a-z0-9]+)_patch(\d+)_clip(?:_quickgelu)?_?(\d+)?", name)
+    if mc:
+        # plain timm CLIP ViT trunk (e.g. MobileCLIP2-L-14's vit_large_patch14_clip_224,
+        # reference model_configs/MobileCLIP2-L-14.json): class token, pre-LN, token pool
+        sizes = {
+            "base": (768, 12, 12, 4.0),
+            "large": (1024, 24, 16, 4.0),
+            "huge": (1280, 32, 16, 4.0),
+        }
+        if mc.group(1) not in sizes:
+            raise NotImplementedError(f"unknown clip vit size {mc.group(1)!r}")
+        width, layers, heads, mlp_ratio = sizes[mc.group(1)]
+        res = int(mc.group(3)) if mc.group(3) else (
+            cfg.image_size if isinstance(cfg.image_size, int) else 224)
+        return _dc.replace(
+            cfg,
+            timm_model_name=None,
+            layers=layers,
+            width=width,
+            head_width=width // heads,
+            mlp_ratio=mlp_ratio,
+            patch_size=int(mc.group(2)),
+            image_size=cfg.image_size or res,
+            class_token=True,
+            pool_type="tok",
+            norm_kwargs={"eps": 1e-6},
+        )
     m = _re.match(r"vit_([a-z0-9]+)_patch(\d+)_siglip(?:_\w+)?_?(\d+)?", name)
     if not m:
         raise NotImplementedError(f"timm vision tower {name!r} has no native TPU implementation yet")
