@@ -340,13 +340,22 @@ def torch_clip_to_params(sd: Mapping[str, Any], cfg: Optional[CLIPModelCfg] = No
         sd = convert_mobile_clip_state_dict(sd)
     if cfg is not None and cfg.vision_cfg is not None:
         from .models.fastvit import is_fastvit, torch_fastvit_clip_to_params
+        from .models.vitamin import is_vitamin, torch_vitamin_clip_to_params
 
-        # fastvit trunks share the "visual.trunk.stem." prefix with convnext —
-        # dispatch on the model cfg before the key-shape heuristics below
+        # fastvit/vitamin trunks share the "visual.trunk." prefixes with convnext
+        # and timm ViTs — dispatch on the model cfg before the key heuristics below
         if is_fastvit(cfg.vision_cfg) and any(k.startswith("visual.trunk.") for k in sd):
             trunk_sd = {k[len("visual.trunk."):]: v for k, v in sd.items()
                         if k.startswith("visual.trunk.")}
             tree = torch_fastvit_clip_to_params(trunk_sd, cfg.vision_cfg, cfg.embed_dim)
+            rest_sd = {k: v for k, v in sd.items() if not k.startswith("visual.")}
+            rest = torch_clip_to_params(rest_sd, cfg) if rest_sd else {}
+            rest["visual"] = tree
+            return rest
+        if is_vitamin(cfg.vision_cfg) and any(k.startswith("visual.trunk.") for k in sd):
+            vis_sd = {k[len("visual."):]: v for k, v in sd.items()
+                      if k.startswith("visual.")}
+            tree = torch_vitamin_clip_to_params(vis_sd, cfg.vision_cfg, cfg.embed_dim)
             rest_sd = {k: v for k, v in sd.items() if not k.startswith("visual.")}
             rest = torch_clip_to_params(rest_sd, cfg) if rest_sd else {}
             rest["visual"] = tree

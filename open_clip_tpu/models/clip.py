@@ -60,6 +60,10 @@ def init_clip(key, cfg: CLIPModelCfg) -> Dict[str, Any]:
             from . import fastvit
 
             params["visual"] = fastvit.init_fastvit(kv, cfg.vision_cfg, cfg.embed_dim)
+        elif _is_vitamin(cfg.vision_cfg):
+            from . import vitamin
+
+            params["visual"] = vitamin.init_vitamin(kv, cfg.vision_cfg, cfg.embed_dim)
         else:
             params["visual"] = vit.init_vision_tower(kv, cfg.vision_cfg, cfg.embed_dim)
     if cfg.text_cfg is not None:
@@ -113,6 +117,12 @@ def _is_fastvit(vision_cfg) -> bool:
     return is_fastvit(vision_cfg)
 
 
+def _is_vitamin(vision_cfg) -> bool:
+    from .vitamin import is_vitamin
+
+    return is_vitamin(vision_cfg)
+
+
 def encode_image(
     params: Dict[str, Any],
     cfg: CLIPModelCfg,
@@ -164,6 +174,13 @@ def encode_image(
         from . import fastvit
 
         pooled = fastvit.apply_fastvit(
+            params["visual"], vcfg, image, train=train, rng=rng,
+            compute_dtype=compute_dtype, remat=remat,
+        )
+    elif _is_vitamin(vcfg):
+        from . import vitamin
+
+        pooled = vitamin.apply_vitamin(
             params["visual"], vcfg, image, train=train, rng=rng,
             compute_dtype=compute_dtype, remat=remat,
         )

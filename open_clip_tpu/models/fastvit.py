@@ -192,8 +192,12 @@ def init_fastvit(key, vcfg: CLIPVisionCfg, embed_dim: int) -> Dict[str, Any]:
 
 def _conv(x, p, stride: int = 1, groups: int = 1):
     w = p["kernel"].astype(x.dtype)
+    kh, kw = w.shape[0], w.shape[1]
+    # torch-style symmetric padding (k//2): differs from XLA "SAME" at stride 2,
+    # where SAME shifts the sampling grid right by one — checkpoints would drift
+    pad = ((kh // 2, kh // 2), (kw // 2, kw // 2))
     out = jax.lax.conv_general_dilated(
-        x, w, (stride, stride), "SAME",
+        x, w, (stride, stride), pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
     )

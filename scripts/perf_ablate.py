@@ -4,6 +4,8 @@ Variants: full | noattn (attention core = identity on v) | noln (layer_norm = ca
 | relu (act=relu) | noattn_noln. Usage: python scripts/perf_ablate.py [variant ...]
 """
 import sys
+
+sys.path.insert(0, "/root/repo")
 import time
 
 import numpy as np

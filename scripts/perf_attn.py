@@ -5,6 +5,8 @@ gates bypassed) | fwd+bwd for both.
 """
 import functools
 import sys
+
+sys.path.insert(0, "/root/repo")
 import time
 
 import numpy as np

@@ -5,6 +5,8 @@ Usage: python scripts/perf_sweep.py <remat_mode> <batch> [unroll]
 Prints one line: img/s and step ms.
 """
 import sys
+
+sys.path.insert(0, "/root/repo")
 import time
 
 import numpy as np
