@@ -56,7 +56,7 @@ def _pair_mask(lp: int, per: int, seq_len: int, causal: bool) -> jnp.ndarray:
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     mask = (rows // lp) == (cols // lp)
-    mask = mask & ((cols % lp) < seq_len)
+    mask = mask & ((cols % lp) < seq_len) & ((rows % lp) < seq_len)
     if causal:
         mask = mask & ((rows % lp) >= (cols % lp))
     return mask
@@ -84,6 +84,15 @@ def _unstack_heads(stacked: jnp.ndarray, per: int, lp: int, hd: int) -> jnp.ndar
     for i in range(1, per):
         parts.append(jnp.roll(stacked, -i * lp, axis=0)[:lp])
     return jnp.concatenate(parts, axis=1)
+
+
+def _row_clean(tile: jnp.ndarray, lp: int, seq_len: int) -> jnp.ndarray:
+    """Zero rows past seq_len in a (per*lp, hd) stacked tile: rows past the true
+    sequence come from out-of-bounds block reads and hold undefined values."""
+    if seq_len % lp == 0:
+        return tile
+    rows = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 0)
+    return jnp.where((rows % lp) < seq_len, tile, 0)
 
 
 def _stage_chunks(idx, n_stacked: int, bwd: bool = False):
@@ -114,7 +123,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool, seq_l
     for chunk in _stage_chunks(idx, per * lp):
         qs = [_stack_heads(q_ref[g, :, b:b + tw], per, hd) for g, b in chunk]
         ks = [_stack_heads(k_ref[g, :, b:b + tw], per, hd) for g, b in chunk]
-        vs = [_stack_heads(v_ref[g, :, b:b + tw], per, hd) for g, b in chunk]
+        vs = [_row_clean(_stack_heads(v_ref[g, :, b:b + tw], per, hd), lp, seq_len)
+              for g, b in chunk]
         ss = [jax.lax.dot_general(qp, kp, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32) for qp, kp in zip(qs, ks)]
         ps = []
@@ -142,10 +152,14 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
     idx = [(g, base) for g in range(gb) for base in range(0, w, tw)]
     in_dt = q_ref.dtype
     for chunk in _stage_chunks(idx, per * lp, bwd=True):
-        qs = [_stack_heads(q_ref[g, :, b:b + tw], per, hd) for g, b in chunk]
-        ks = [_stack_heads(k_ref[g, :, b:b + tw], per, hd) for g, b in chunk]
-        vs = [_stack_heads(v_ref[g, :, b:b + tw], per, hd) for g, b in chunk]
-        dos = [_stack_heads(do_ref[g, :, b:b + tw], per, hd) for g, b in chunk]
+        qs = [_row_clean(_stack_heads(q_ref[g, :, b:b + tw], per, hd), lp, seq_len)
+              for g, b in chunk]
+        ks = [_row_clean(_stack_heads(k_ref[g, :, b:b + tw], per, hd), lp, seq_len)
+              for g, b in chunk]
+        vs = [_row_clean(_stack_heads(v_ref[g, :, b:b + tw], per, hd), lp, seq_len)
+              for g, b in chunk]
+        dos = [_row_clean(_stack_heads(do_ref[g, :, b:b + tw], per, hd), lp, seq_len)
+              for g, b in chunk]
         ss = [jax.lax.dot_general(qp, kp, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32) for qp, kp in zip(qs, ks)]
         ps32, ps = [], []
@@ -181,7 +195,7 @@ _INTERPRET = False  # flipped by tests to run kernels off-TPU
 # vmem > the 16M limit). Larger Lp*W (ViT-L: 272x1024) shrinks the group
 # proportionally.
 _FWD_BUDGET = 8 * 64 * 768
-_BWD_BUDGET = 4 * 64 * 768
+_BWD_BUDGET = 8 * 64 * 768  # GROUP=8 bwd fits since the host-side pads were dropped
 
 
 def _pick_group(b: int, lp: int, w: int, budget: int) -> int:
@@ -213,11 +227,15 @@ def _grid_and_spec(b, lp, w, hd, budget):
 def _fwd_call(q, k, v, causal, scale, hd):
     b, l, w = q.shape
     lp = _round_up(l, 16)
-    qb, kb, vb = _pad(q, lp), _pad(k, lp), _pad(v, lp)
+    # no host-side pad/slice: the (gb, lp, w) block spec over the l-row arrays makes
+    # Pallas mask the out-of-bounds rows itself — saves two full q/k/v-sized HBM
+    # copies per call (the pad and the out[:, :l] slice). Rows past l are garbage in
+    # VMEM but every use is masked: logit cols are masked by seq_len, softmax rows
+    # are independent, and garbage output rows are never stored (OOB store mask).
     grid, spec, sem = _grid_and_spec(b, lp, w, hd, _FWD_BUDGET)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, causal=causal, seq_len=l, hd=hd),
-        out_shape=jax.ShapeDtypeStruct((b, lp, w), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, l, w), q.dtype),
         grid=grid,
         in_specs=[spec] * 3,
         out_specs=spec,
@@ -228,16 +246,15 @@ def _fwd_call(q, k, v, causal, scale, hd):
             transcendentals=b * (w // hd) * lp * lp,
         ),
         interpret=_INTERPRET,
-    )(qb, kb, vb)
-    return out[:, :l]
+    )(q, k, v)
+    return out
 
 
 def _bwd_call(q, k, v, do, causal, scale, hd):
     b, l, w = q.shape
     lp = _round_up(l, 16)
-    qb, kb, vb, dob = _pad(q, lp), _pad(k, lp), _pad(v, lp), _pad(do, lp)
     grid, spec, sem = _grid_and_spec(b, lp, w, hd, _BWD_BUDGET)
-    shape = jax.ShapeDtypeStruct((b, lp, w), q.dtype)
+    shape = jax.ShapeDtypeStruct((b, l, w), q.dtype)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, causal=causal, seq_len=l, hd=hd),
         out_shape=(shape, shape, shape),
@@ -251,8 +268,8 @@ def _bwd_call(q, k, v, do, causal, scale, hd):
             transcendentals=b * (w // hd) * lp * lp,
         ),
         interpret=_INTERPRET,
-    )(qb, kb, vb, dob)
-    return dq[:, :l], dk[:, :l], dv[:, :l]
+    )(q, k, v, do)
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
