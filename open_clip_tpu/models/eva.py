@@ -50,6 +50,7 @@ class EvaCfg(NamedTuple):
     image_size: int
     ref_feat_shape: Optional[Tuple[int, int]] = None
     norm_eps: float = 1e-6
+    pool: str = "tok"  # "tok" (cls token) | "map" (AttentionPoolLatent — PE-Core)
 
 
 def _eva02_hidden(dim: int) -> int:
@@ -69,12 +70,25 @@ EVA_CONFIGS = {
         1024, 24, 16, 14, _eva02_hidden(1024), True, False, True, True, 336, (16, 16)),
     "eva02_enormous_patch14_clip_224": EvaCfg(
         1792, 64, 16, 14, 15360, False, True, False, False, 224),
+    # Meta Perception Encoder core towers (reference PE-Core-*.json; timm implements
+    # these on its Eva class: fused qkv, 2D rope, GELU MLP, attention-pool head).
+    # Widths/depths follow the PE paper's T/S/B/L/G table (G ~1.9B params).
+    "vit_pe_core_tiny_patch16_384": EvaCfg(
+        192, 12, 3, 16, 768, False, True, True, False, 384, pool="map"),
+    "vit_pe_core_small_patch16_384": EvaCfg(
+        384, 12, 6, 16, 1536, False, True, True, False, 384, pool="map"),
+    "vit_pe_core_base_patch16_224": EvaCfg(
+        768, 12, 12, 16, 3072, False, True, True, False, 224, pool="map"),
+    "vit_pe_core_large_patch14_336": EvaCfg(
+        1024, 24, 16, 14, 4096, False, True, True, False, 336, pool="map"),
+    "vit_pe_core_gigantic_patch14_448": EvaCfg(
+        1536, 50, 16, 14, 8960, False, True, True, False, 448, pool="map"),
 }
 
 
 def is_eva(vision_cfg) -> bool:
     name = vision_cfg.timm_model_name or ""
-    return name.startswith(("eva_", "eva02_"))
+    return name.startswith(("eva_", "eva02_", "vit_pe_core_"))
 
 
 def resolve_eva_cfg(vision_cfg: CLIPVisionCfg) -> EvaCfg:
@@ -174,6 +188,21 @@ def init_eva(key, vision_cfg: CLIPVisionCfg, embed_dim: int) -> Dict[str, Any]:
         "norm": B._ln_params(ecfg.dim),
         "head": B.torch_linear_init(ks[3], ecfg.dim, embed_dim),
     }
+    if ecfg.pool == "map":
+        kp = jax.random.split(ks[5], 5)
+        dim = ecfg.dim
+        hidden = int(dim * 4.0)
+        p["attn_pool"] = {
+            "latent": B.normal_init(kp[0], (dim,), 0.02),
+            "q": B.torch_linear_init(kp[1], dim, dim),
+            "kv": B.torch_linear_init(kp[2], dim, 2 * dim),
+            "proj": B.torch_linear_init(kp[3], dim, dim),
+            "norm": B._ln_params(dim),
+            "mlp": {
+                "c_fc": B.torch_linear_init(jax.random.fold_in(kp[4], 0), dim, hidden),
+                "c_proj": B.torch_linear_init(jax.random.fold_in(kp[4], 1), hidden, dim),
+            },
+        }
     bkeys = jax.random.split(ks[4], ecfg.depth)
     p["blocks"] = jax.vmap(lambda k: _init_block(k, ecfg))(bkeys)
     return p
@@ -262,7 +291,14 @@ def apply_eva(
     x, _ = jax.lax.scan(body, x, params["blocks"], unroll=B.scan_unroll())
 
     x = layer_norm(x, params["norm"]["scale"], params["norm"]["bias"], eps=eps)
-    pooled = x[:, 0]
+    if ecfg.pool == "map":
+        from .naflex_vit import _apply_map_pool
+
+        valid = jnp.ones(x.shape[:2], dtype=bool)
+        pooled = _apply_map_pool(params["attn_pool"], x, valid,
+                                 heads=ecfg.heads, eps=eps, act="gelu")
+    else:
+        pooled = x[:, 0]
     return linear(pooled, params["head"]["kernel"], params["head"].get("bias"))
 
 
@@ -288,6 +324,24 @@ def timm_eva_to_params(sd: Dict[str, Any], vision_cfg: CLIPVisionCfg) -> Dict[st
         "norm": {"scale": _np(sd["norm.weight"]), "bias": _np(sd["norm.bias"])},
         "head": {"kernel": _np(sd["head.weight"]).T, "bias": _np(sd["head.bias"])},
     }
+    if "attn_pool.latent" in sd:
+        tree["attn_pool"] = {
+            "latent": _np(sd["attn_pool.latent"]).reshape(-1),
+            "q": {"kernel": _np(sd["attn_pool.q.weight"]).T,
+                  "bias": _np(sd["attn_pool.q.bias"])},
+            "kv": {"kernel": _np(sd["attn_pool.kv.weight"]).T,
+                   "bias": _np(sd["attn_pool.kv.bias"])},
+            "proj": {"kernel": _np(sd["attn_pool.proj.weight"]).T,
+                     "bias": _np(sd["attn_pool.proj.bias"])},
+            "norm": {"scale": _np(sd["attn_pool.norm.weight"]),
+                     "bias": _np(sd["attn_pool.norm.bias"])},
+            "mlp": {
+                "c_fc": {"kernel": _np(sd["attn_pool.mlp.fc1.weight"]).T,
+                         "bias": _np(sd["attn_pool.mlp.fc1.bias"])},
+                "c_proj": {"kernel": _np(sd["attn_pool.mlp.fc2.weight"]).T,
+                           "bias": _np(sd["attn_pool.mlp.fc2.bias"])},
+            },
+        }
 
     blocks = []
     for i in range(ecfg.depth):

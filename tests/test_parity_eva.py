@@ -31,8 +31,13 @@ TINY_EVA02 = eva_mod.EvaCfg(dim=64, depth=2, heads=2, patch=16, mlp_hidden=96,
                             swiglu=True, fused_qkv=False, rope=True, scale_mlp=True,
                             image_size=64, ref_feat_shape=(4, 4))
 
+TINY_PE = eva_mod.EvaCfg(dim=64, depth=2, heads=2, patch=16, mlp_hidden=128,
+                         swiglu=False, fused_qkv=True, rope=True, scale_mlp=False,
+                         image_size=64, pool="map")
+
 eva_mod.EVA_CONFIGS.setdefault("eva_test_tiny", TINY_EVA01)
 eva_mod.EVA_CONFIGS.setdefault("eva02_test_tiny", TINY_EVA02)
+eva_mod.EVA_CONFIGS.setdefault("vit_pe_core_test_tiny", TINY_PE)
 
 
 # --- torch oracle ------------------------------------------------------------------
@@ -121,6 +126,35 @@ class OracleBlock(nn.Module):
         return x + self.mlp(self.norm2(x))
 
 
+class OracleAttnPoolLatent(nn.Module):
+    """timm AttentionPoolLatent (latent_len=1) — the PE-Core 'map' head."""
+
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.heads = heads
+        self.latent = nn.Parameter(torch.zeros(1, 1, dim))
+        self.q = nn.Linear(dim, dim)
+        self.kv = nn.Linear(dim, 2 * dim)
+        self.proj = nn.Linear(dim, dim)
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        mlp = nn.Module()
+        mlp.fc1 = nn.Linear(dim, dim * 4)
+        mlp.fc2 = nn.Linear(dim * 4, dim)
+        self.mlp = mlp
+
+    def forward(self, x):
+        b, n, c = x.shape
+        hd = c // self.heads
+        q = self.q(self.latent.expand(b, -1, -1)).reshape(b, 1, self.heads, hd).transpose(1, 2)
+        kv = self.kv(x).reshape(b, n, 2, self.heads, hd).permute(2, 0, 3, 1, 4)
+        k, v = kv.unbind(0)
+        o = torch.nn.functional.scaled_dot_product_attention(q, k, v)
+        o = o.transpose(1, 2).reshape(b, 1, c)
+        o = self.proj(o)
+        o = o + self.mlp.fc2(torch.nn.functional.gelu(self.mlp.fc1(self.norm(o))))
+        return o[:, 0]
+
+
 class OracleEva(nn.Module):
     def __init__(self, cfg, embed_dim):
         super().__init__()
@@ -133,6 +167,8 @@ class OracleEva(nn.Module):
         self.blocks = nn.ModuleList(OracleBlock(cfg) for _ in range(cfg.depth))
         self.norm = nn.LayerNorm(cfg.dim, eps=cfg.norm_eps)
         self.head = nn.Linear(cfg.dim, embed_dim)
+        if cfg.pool == "map":
+            self.attn_pool = OracleAttnPoolLatent(cfg.dim, cfg.heads)
         self.rope = (eva_mod.rope_table(grid, grid, cfg.dim // cfg.heads, cfg.ref_feat_shape)
                      if cfg.rope else None)
 
@@ -143,10 +179,11 @@ class OracleEva(nn.Module):
         for blk in self.blocks:
             x = blk(x, rope=self.rope)
         x = self.norm(x)
-        return self.head(x[:, 0])
+        pooled = self.attn_pool(x) if self.cfg.pool == "map" else x[:, 0]
+        return self.head(pooled)
 
 
-@pytest.mark.parametrize("name", ["eva_test_tiny", "eva02_test_tiny"])
+@pytest.mark.parametrize("name", ["eva_test_tiny", "eva02_test_tiny", "vit_pe_core_test_tiny"])
 def test_eva_parity(rng, name):
     cfg = eva_mod.EVA_CONFIGS[name]
     torch.manual_seed(3)
@@ -191,7 +228,9 @@ def test_eva_registry_configs_resolve():
     """Every published EVA family in the registry resolves to a native config."""
     for name in ("eva_giant_patch14_224", "eva02_base_patch16_clip_224",
                  "eva02_large_patch14_clip_224", "eva02_large_patch14_clip_336",
-                 "eva02_enormous_patch14_clip_224"):
+                 "eva02_enormous_patch14_clip_224", "vit_pe_core_base_patch16_224",
+                 "vit_pe_core_large_patch14_336", "vit_pe_core_gigantic_patch14_448",
+                 "vit_pe_core_small_patch16_384", "vit_pe_core_tiny_patch16_384"):
         vcfg = CLIPVisionCfg(timm_model_name=name, image_size=None)
         ecfg = eva_mod.resolve_eva_cfg(vcfg)
         assert ecfg.dim % ecfg.heads == 0
