@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import CLIPVisionCfg
-from ..ops.layers import layer_norm, linear
+from ..ops.layers import gelu, layer_norm, linear
 
 # name -> (depths, dims); matches timm's convnext model registry
 CONVNEXT_CFGS: Dict[str, Tuple[Tuple[int, ...], Tuple[int, ...]]] = {
@@ -155,7 +155,7 @@ def _block(p, x, *, keep_prob: float | jax.Array = 1.0, rng=None):
     h = _conv(x, p["dwconv"], stride=1, groups=dim)
     h = layer_norm(h, p["norm"]["scale"], p["norm"]["bias"])
     h = linear(h, p["fc1"]["kernel"], p["fc1"]["bias"])
-    h = jax.nn.gelu(h, approximate=False)
+    h = gelu(h)
     h = linear(h, p["fc2"]["kernel"], p["fc2"]["bias"])
     h = h * p["gamma"].astype(h.dtype)
     if rng is not None:
@@ -217,7 +217,7 @@ def apply_convnext(
         x = linear(x, params["proj"]["kernel"], params["proj"].get("bias"))
     elif "proj_mlp" in params:
         x = linear(x, params["proj_mlp"]["fc1"]["kernel"], params["proj_mlp"]["fc1"]["bias"])
-        x = jax.nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = linear(x, params["proj_mlp"]["fc2"]["kernel"], params["proj_mlp"]["fc2"].get("bias"))
     return x
 

@@ -214,7 +214,9 @@ def _se(x, p):
 
 
 def _gelu(x):
-    return jax.nn.gelu(x, approximate=False)
+    from ..ops.layers import gelu
+
+    return gelu(x)
 
 
 def _bn_affine(x, p, eps=1e-5):

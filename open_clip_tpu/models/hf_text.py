@@ -18,6 +18,8 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.layers import gelu as _gelu_dtype
+
 from ..config import CLIPTextCfg
 from . import blocks as B
 
@@ -141,7 +143,7 @@ def apply_hf_text_tower(
             if proj["fc1"].get("bias") is not None:
                 h = h + proj["fc1"]["bias"].astype(h.dtype)
             act_name = cfg.hf_proj_type
-            h = jax.nn.relu(h) if act_name == "clap_mlp" else jax.nn.gelu(h, approximate=False)
+            h = jax.nn.relu(h) if act_name == "clap_mlp" else _gelu_dtype(h)
             pooled = jnp.dot(h, proj["fc2"]["kernel"].astype(pooled.dtype))
             if proj["fc2"].get("bias") is not None:
                 pooled = pooled + proj["fc2"]["bias"].astype(pooled.dtype)

@@ -183,7 +183,9 @@ def _conv(x, p, stride: int = 1, groups: int = 1):
 
 
 def _gelu(x):
-    return jax.nn.gelu(x, approximate=False)
+    from ..ops.layers import gelu
+
+    return gelu(x)
 
 
 def _ln(x, p, eps):
