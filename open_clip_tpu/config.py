@@ -73,6 +73,11 @@ class CLIPVisionCfg:
     # reference outsources to timm, e.g. SigLIP ViTs: no class token + MAP pooling)
     class_token: bool = True
 
+    # hybrid convolutional stem (native extension for timm vit_base_mci_224, the
+    # MobileCLIP-B trunk): conv 3x3/s2 + BN + GELU per channel entry, then a 1x1
+    # projection to ``width`` — replaces the patchify matmul
+    conv_stem_channels: Optional[Tuple[int, ...]] = None
+
     # accepted for schema compat; timm towers are re-implemented natively (see models/)
     timm_model_name: Optional[str] = None
     timm_model_pretrained: bool = False

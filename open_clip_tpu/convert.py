@@ -201,7 +201,7 @@ def _convert_timm_vit_trunk(sd: Mapping[str, Any]) -> Dict[str, Any]:
             "mlp": {"c_fc": lin(f"{b}.mlp.fc1"), "c_proj": lin(f"{b}.mlp.fc2")},
         }
 
-    emb = t("visual.trunk.patch_embed.proj.weight")  # (W, 3, P, P)
+    emb = t("visual.trunk.patch_embed.proj.weight")  # (W, 3, P, P) or 1x1 (W, C, 1, 1)
     pos = t("visual.trunk.pos_embed")
     vis: Dict[str, Any] = {
         "patch_embed": {
@@ -214,6 +214,27 @@ def _convert_timm_vit_trunk(sd: Mapping[str, Any]) -> Dict[str, Any]:
     }
     if "visual.trunk.cls_token" in sd:
         vis["class_embedding"] = t("visual.trunk.cls_token").reshape(-1)
+    if "visual.trunk.norm_pre.weight" in sd:  # timm pre_norm (clip-style trunks)
+        vis["ln_pre"] = ln("visual.trunk.norm_pre")
+    if "visual.trunk.patch_embed.backbone.0.conv.weight" in sd:
+        # MCi hybrid conv stem (timm vit_base_mci_224, MobileCLIP-B trunk)
+        stem = []
+        i = 0
+        while f"visual.trunk.patch_embed.backbone.{i}.conv.weight" in sd:
+            b = f"visual.trunk.patch_embed.backbone.{i}"
+            stem.append({
+                "conv": {"kernel": t(f"{b}.conv.weight").transpose(2, 3, 1, 0)},
+                "bn": {"scale": t(f"{b}.bn.weight"), "bias": t(f"{b}.bn.bias"),
+                       "mean": t(f"{b}.bn.running_mean"), "var": t(f"{b}.bn.running_var")},
+            })
+            i += 1
+        vis["conv_stem"] = stem
+    if "visual.trunk.head.weight" in sd:
+        # trunk-head projection (reference TimmModel with timm_proj=None: the timm
+        # trunk's classifier head maps width -> embed_dim)
+        vis["proj"] = t("visual.trunk.head.weight").T
+        if "visual.trunk.head.bias" in sd:
+            vis["proj_bias"] = t("visual.trunk.head.bias")
     if "visual.trunk.attn_pool.latent" in sd:
         ap = "visual.trunk.attn_pool"
         vis["map_pool"] = {

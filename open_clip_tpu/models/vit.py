@@ -63,6 +63,18 @@ def resolve_timm_vision_cfg(cfg: CLIPVisionCfg) -> CLIPVisionCfg:
     import re as _re
 
     name = cfg.timm_model_name or ""
+    if name.startswith("vit_base_mci"):
+        # MobileCLIP-B trunk (reference MobileCLIP-B.json / MobileCLIP2-B.json):
+        # ViT-B/16 with a 4-conv MCi stem replacing the patchify
+        return _dc.replace(
+            cfg,
+            timm_model_name=None,
+            layers=12, width=768, head_width=64, mlp_ratio=4.0, patch_size=16,
+            image_size=cfg.image_size or 224,
+            class_token=True, pool_type="tok", no_ln_pre=True,
+            conv_stem_channels=(64, 128, 256, 512),
+            norm_kwargs={"eps": 1e-6},
+        )
     mc = _re.match(r"vit_([a-z0-9]+)_patch(\d+)_clip(?:_quickgelu)?_?(\d+)?", name)
     if mc:
         # plain timm CLIP ViT trunk (e.g. MobileCLIP2-L-14's vit_large_patch14_clip_224,
@@ -124,6 +136,7 @@ def resolve_timm_vision_cfg(cfg: CLIPVisionCfg) -> CLIPVisionCfg:
 def init_vision_tower(key, cfg: CLIPVisionCfg, embed_dim: int) -> Dict[str, Any]:
     assert not cfg.is_resnet, "use models/resnet.py for ModifiedResNet configs"
     no_head_proj = False
+    from_timm = bool(cfg.timm_model_name)
     if cfg.timm_model_name:
         no_head_proj = cfg.timm_proj == "none"
         cfg = resolve_timm_vision_cfg(cfg)
@@ -136,11 +149,31 @@ def init_vision_tower(key, cfg: CLIPVisionCfg, embed_dim: int) -> Dict[str, Any]
 
     ks = jax.random.split(key, 8)
     p: Dict[str, Any] = {}
-    # patch embedding: kernel (ph*pw*3, width) = flattened HWIO conv kernel
-    p["patch_embed"] = {"kernel": B.normal_init(ks[0], (ph * pw * 3, width), scale)}
-    if not cfg.class_token:
-        # siglip-style towers use a biased patch embed
-        p["patch_embed"]["bias"] = jnp.zeros((width,))
+    if cfg.conv_stem_channels:
+        # MCi hybrid stem (timm vit_base_mci_224): conv 3x3/s2 + BN + GELU per entry,
+        # then a 1x1 projection to width (stored as the patch_embed matmul kernel)
+        chans = cfg.conv_stem_channels
+        stem = []
+        cin = 3
+        for i, c in enumerate(chans):
+            sk = jax.random.fold_in(ks[0], i)
+            stem.append({
+                "conv": {"kernel": B.normal_init(sk, (3, 3, cin, c), (9 * cin) ** -0.5)},
+                "bn": {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,)),
+                       "mean": jnp.zeros((c,)), "var": jnp.ones((c,))},
+            })
+            cin = c
+        p["conv_stem"] = stem
+        p["patch_embed"] = {"kernel": B.normal_init(jax.random.fold_in(ks[0], 99),
+                                                    (cin, width), cin ** -0.5),
+                            "bias": jnp.zeros((width,))}
+    else:
+        # patch embedding: kernel (ph*pw*3, width) = flattened HWIO conv kernel
+        p["patch_embed"] = {"kernel": B.normal_init(ks[0], (ph * pw * 3, width), scale)}
+        if not cfg.class_token or from_timm:
+            # timm trunks (and siglip-style towers) use a biased patch embed;
+            # the native OpenAI-style ViT conv has no bias
+            p["patch_embed"]["bias"] = jnp.zeros((width,))
     if cfg.class_token:
         p["class_embedding"] = B.normal_init(ks[1], (width,), scale)
     if cfg.pos_embed_type == "learnable":
@@ -245,7 +278,24 @@ def apply_vision_tower(
     eps = cfg.norm_eps
 
     x = x.astype(compute_dtype)
-    x = patchify(x, cfg.patch_size)
+    if "conv_stem" in params:
+        # MCi hybrid stem: conv 3x3/s2 + BN (eval affine) + GELU per stage, then the
+        # 1x1 width projection via the patch_embed matmul
+        from ..ops.layers import gelu as _gelu
+
+        for st in params["conv_stem"]:
+            x = jax.lax.conv_general_dilated(
+                x, st["conv"]["kernel"].astype(x.dtype), (2, 2), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            inv = jax.lax.rsqrt(st["bn"]["var"].astype(jnp.float32) + 1e-5)
+            sc = (st["bn"]["scale"].astype(jnp.float32) * inv).astype(x.dtype)
+            bi = (st["bn"]["bias"].astype(jnp.float32)
+                  - st["bn"]["mean"].astype(jnp.float32)
+                  * st["bn"]["scale"].astype(jnp.float32) * inv).astype(x.dtype)
+            x = _gelu(x * sc + bi)
+        x = x.reshape(x.shape[0], -1, x.shape[-1])
+    else:
+        x = patchify(x, cfg.patch_size)
     x = jnp.dot(x, params["patch_embed"]["kernel"].astype(compute_dtype))
     if params["patch_embed"].get("bias") is not None:
         x = x + params["patch_embed"]["bias"].astype(x.dtype)
@@ -274,6 +324,8 @@ def apply_vision_tower(
     pooled, tokens = _pool(params, cfg, x, eps=eps)
     if params.get("proj") is not None:
         pooled = jnp.dot(pooled, params["proj"].astype(pooled.dtype))
+        if params.get("proj_bias") is not None:
+            pooled = pooled + params["proj_bias"].astype(pooled.dtype)
     return pooled, tokens
 
 

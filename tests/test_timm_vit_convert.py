@@ -104,3 +104,82 @@ def test_siglip_torch_trunk_parity():
     cos = (ref * got).sum(-1) / (np.linalg.norm(ref, axis=-1) * np.linalg.norm(got, axis=-1))
     assert cos.min() > 1 - 1e-5, cos
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+
+
+class TimmMciViT(nn.Module):
+    """timm vit_base_mci-style hybrid: 4-conv MCi stem + 1x1 proj + cls-token ViT
+    (MobileCLIP-B trunk; reference MobileCLIP-B.json + convert.py:223-261)."""
+
+    def __init__(self, w=64, layers=2, heads=2, size=64, chans=(8, 16, 32, 32), embed=32):
+        super().__init__()
+        backbone = nn.ModuleList()
+        cin = 3
+        for c in chans:
+            m = nn.Module()
+            m.conv = nn.Conv2d(cin, c, 3, 2, 1, bias=False)
+            m.bn = nn.BatchNorm2d(c)
+            backbone.append(m)
+            cin = c
+        pe = nn.Module()
+        pe.backbone = backbone
+        pe.proj = nn.Conv2d(cin, w, 1)
+        self.patch_embed = pe
+        n = (size // 16) ** 2
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, w))
+        self.pos_embed = nn.Parameter(torch.randn(1, n + 1, w) * 0.02)
+        self.blocks = nn.ModuleList(TimmBlock(w, heads) for _ in range(layers))
+        self.norm = nn.LayerNorm(w, eps=1e-6)
+        self.head = nn.Linear(w, embed)
+
+    def forward(self, x):  # NCHW
+        for m in self.patch_embed.backbone:
+            x = torch.nn.functional.gelu(m.bn(m.conv(x)))
+        x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        x = torch.cat([self.cls_token.expand(x.shape[0], -1, -1), x], 1)
+        x = x + self.pos_embed
+        for blk in self.blocks:
+            x = blk(x)
+        x = self.norm(x)
+        return self.head(x[:, 0])
+
+
+def test_mci_hybrid_trunk_parity():
+    import dataclasses
+
+    from open_clip_tpu.config import CLIPVisionCfg
+    from open_clip_tpu.models.vit import apply_vision_tower
+
+    torch.manual_seed(0)
+    trunk = TimmMciViT().eval()
+    gen = torch.Generator().manual_seed(1)
+    with torch.no_grad():
+        for p in trunk.parameters():
+            if p.ndim > 1:
+                p.copy_(torch.randn(p.shape, generator=gen) * 0.05)
+        for m in trunk.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn(m.num_features, generator=gen) * 0.2)
+                m.running_var.copy_(torch.rand(m.num_features, generator=gen) + 0.5)
+    sd = {f"visual.trunk.{k}": v for k, v in trunk.state_dict().items()}
+
+    from open_clip_tpu.convert import _convert_timm_vit_trunk
+
+    params = _convert_timm_vit_trunk(sd)
+    vcfg = CLIPVisionCfg(layers=2, width=64, head_width=32, patch_size=16, image_size=64,
+                         class_token=True, pool_type="tok",
+                         conv_stem_channels=(8, 16, 32, 32), norm_kwargs={"eps": 1e-6})
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = trunk(torch.from_numpy(img).permute(0, 3, 1, 2)).numpy()
+    got, _ = apply_vision_tower(params, vcfg, jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-4)
+
+
+def test_mobileclip_b_factory():
+    import open_clip_tpu as oc
+
+    model, _, _ = oc.create_model_and_transforms("MobileCLIP-B")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 224, 224, 3)), jnp.float32)
+    out = model.encode_image(x, normalize=True)
+    assert out.shape == (1, 512)
