@@ -209,7 +209,8 @@ def _convert_timm_vit_trunk(sd: Mapping[str, Any]) -> Dict[str, Any]:
             "bias": t("visual.trunk.patch_embed.proj.bias"),
         },
         "positional_embedding": pos.reshape(-1, pos.shape[-1]),
-        "ln_post": ln("visual.trunk.norm"),
+        "ln_post": ln("visual.trunk.norm") if "visual.trunk.norm.weight" in sd
+        else ln("visual.trunk.fc_norm"),  # gap trunks norm after pooling (fc_norm)
         "blocks": _stack_blocks(blocks),
     }
     if "visual.trunk.cls_token" in sd:

@@ -207,7 +207,7 @@ def _check_supported(cfg: CLIPModelCfg) -> None:
             if v.timm_model_name not in EVA_CONFIGS:
                 raise NotImplementedError(
                     f"EVA variant {v.timm_model_name!r} has no native TPU config yet")
-        elif not re.match(r"vit_[a-z0-9]+_patch\d+_(siglip|clip)|vit_base_mci", v.timm_model_name) \
+        elif not re.match(r"vit_[a-z0-9]+_patch\d+_(siglip|clip|gap)|vit_base_mci", v.timm_model_name) \
                 and not is_convnext(v) and not _is_fastvit_cfg(v) and not _is_vitamin_cfg(v):
             raise NotImplementedError(
                 f"timm vision tower {v.timm_model_name!r} has no native TPU implementation yet"

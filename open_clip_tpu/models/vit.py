@@ -102,6 +102,24 @@ def resolve_timm_vision_cfg(cfg: CLIPVisionCfg) -> CLIPVisionCfg:
             pool_type="tok",
             norm_kwargs={"eps": 1e-6},
         )
+    mg = _re.match(r"vit_([a-z0-9]+)_patch(\d+)_gap_?(\d+)?", name)
+    if mg:
+        # timm gap ViT (vit_medium_patch16_gap_256.json): no class token, avg pool,
+        # fc_norm after pooling
+        sizes = {"medium": (512, 12, 8, 4.0), "base": (768, 12, 12, 4.0)}
+        if mg.group(1) not in sizes:
+            raise NotImplementedError(f"unknown gap vit size {mg.group(1)!r}")
+        width, layers, heads, mlp_ratio = sizes[mg.group(1)]
+        res = int(mg.group(3)) if mg.group(3) else (
+            cfg.image_size if isinstance(cfg.image_size, int) else 224)
+        return _dc.replace(
+            cfg,
+            timm_model_name=None,
+            layers=layers, width=width, head_width=width // heads, mlp_ratio=mlp_ratio,
+            patch_size=int(mg.group(2)), image_size=cfg.image_size or res,
+            class_token=False, no_ln_pre=True, pool_type="avg",
+            final_ln_after_pool=True, norm_kwargs={"eps": 1e-6},
+        )
     m = _re.match(r"vit_([a-z0-9]+)_patch(\d+)_siglip(?:_\w+)?_?(\d+)?", name)
     if not m:
         raise NotImplementedError(f"timm vision tower {name!r} has no native TPU implementation yet")
