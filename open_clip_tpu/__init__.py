@@ -47,7 +47,13 @@ from .pretrained import (
     list_pretrained_tags_by_model,
 )
 from .models.clip import forward_intermediates
-from .push_to_hf_hub import push_to_hf_hub, save_for_hf
+from .data.audio import (
+    AUDIO_AVAILABLE,
+    AudioAugmentationCfg,
+    audio_transform_v2,
+    require_audio,
+)
+from .push_to_hf_hub import push_pretrained_to_hf_hub, push_to_hf_hub, save_for_hf
 from .tokenizer import (
     DEFAULT_CONTEXT_LENGTH,
     HFTokenizer,

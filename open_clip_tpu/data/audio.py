@@ -278,3 +278,14 @@ def make_wds_audio_pipeline(cfg, preprocess, tokenizer, audio_ext: str = None):
             return {"audio": batch, "text": np.asarray(self.tokenizer(caps), dtype=np.int32)}
 
     return AudioWds(cfg, preprocess, tokenizer)
+
+
+# The reference gates audio on torchaudio/torchlibrosa availability
+# (reference __init__.py AUDIO_AVAILABLE / require_audio). The TPU build's audio
+# front-ends are self-contained (numpy/scipy mel + native encoders), so audio is
+# always available; require_audio mirrors the API for drop-in compatibility.
+AUDIO_AVAILABLE = True
+
+
+def require_audio() -> None:
+    """No-op guard kept for reference-API compatibility."""

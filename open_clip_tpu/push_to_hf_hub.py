@@ -72,3 +72,30 @@ def push_to_hf_hub(
     with tempfile.TemporaryDirectory() as tmp:
         save_for_hf(model, tmp, **save_kwargs)
         return api.upload_folder(repo_id=repo_id, folder_path=tmp, commit_message=commit_message)
+
+
+def push_pretrained_to_hf_hub(
+    model_name: str,
+    pretrained: str,
+    repo_id: str,
+    *,
+    precision: str = "fp32",
+    image_mean=None,
+    image_std=None,
+    image_interpolation: Optional[str] = None,
+    image_resize_mode: Optional[str] = None,
+    **push_kwargs,
+):
+    """Build a model from a pretrained tag and push it (reference
+    push_to_hf_hub.py:156-213): resolves the checkpoint through the registry,
+    applies preprocess overrides, then uploads config + weights."""
+    from .factory import create_model
+
+    model = create_model(model_name, pretrained=pretrained, precision=precision,
+                         require_pretrained=True)
+    pc = dict(model._preprocess_cfg.__dict__) if model._preprocess_cfg else {}
+    for k, v in (("mean", image_mean), ("std", image_std),
+                 ("interpolation", image_interpolation), ("resize_mode", image_resize_mode)):
+        if v is not None:
+            pc[k] = v
+    return push_to_hf_hub(model, repo_id, **push_kwargs)
