@@ -17,6 +17,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: most suite time is CPU jit compiles that are identical
+# across runs; cache them like the TPU bench does (.jax_cache is gitignored)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
