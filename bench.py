@@ -134,6 +134,29 @@ def bench_vit_l14():
     }
 
 
+def bench_vit_h14():
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from open_clip_tpu.config import parse_model_cfg
+
+    cfg = parse_model_cfg("ViT-H-14")
+    state, step = _train_step(cfg)
+    # 986M params: fp32 AdamW states (param+m+v ~12G) leave ~3G for activations on a
+    # 16G chip — batch 64 with full remat fits; multi-chip FSDP is the real training
+    # configuration (see parallel/mesh.py), this measures the single-chip kernel path
+    bs = 64
+    batch = _image_text_batch(jnp, bs, 224, 77, 49408)
+    dt = _run_steps(state, step, batch, iters=5)
+    gflops = _fwd_gflops("ViT-H-14", 381.9)
+    return {
+        "metric": "vit_h14_clip_train_images_per_sec_per_chip",
+        "value": round(bs / dt, 1),
+        "unit": "images/sec/chip (bf16, batch 64, all-gather InfoNCE train step)",
+        "mfu": round(gflops * 4 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
+    }
+
+
 def bench_siglip():
     jax = _setup_jax()
     import jax.numpy as jnp
@@ -228,6 +251,7 @@ def bench_clap():
 SUITE = {
     "vit_b32": bench_flagship,
     "vit_l14": bench_vit_l14,
+    "vit_h14": bench_vit_h14,
     "siglip_b16": bench_siglip,
     "naflex_b16": bench_naflex,
     "coca_b32": bench_coca,

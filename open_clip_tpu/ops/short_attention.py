@@ -195,7 +195,7 @@ _INTERPRET = False  # flipped by tests to run kernels off-TPU
 # vmem > the 16M limit). Larger Lp*W (ViT-L: 272x1024) shrinks the group
 # proportionally.
 _FWD_BUDGET = 8 * 64 * 768
-_BWD_BUDGET = 8 * 64 * 768  # GROUP=8 bwd fits since the host-side pads were dropped
+_BWD_BUDGET = 4 * 64 * 768  # GROUP=8 bwd OOMs the compile at ViT-L/SigLIP shapes
 
 
 def _pick_group(b: int, lp: int, w: int, budget: int) -> int:

@@ -88,6 +88,58 @@ def fsdp_shardings(params: Any, mesh: Mesh, min_size: int = 2 ** 16) -> Any:
     return jax.tree_util.tree_map_with_path(leaf_spec, params)
 
 
+def tp_shardings(params: Any, mesh: Mesh, min_size: int = 2 ** 16) -> Any:
+    """Megatron-style tensor parallelism over the ``tensor`` axis, composable with
+    FSDP on the ``fsdp`` axis (a 2-D weight shard per leaf).
+
+    This is a SUPERSET of the reference (which has no TP; see SURVEY §2.4) for
+    towers whose per-layer weights exceed one chip (PE-Core-bigG ~1.9B params):
+    column-parallel qkv / MLP-in, row-parallel attention-out / MLP-out. Under
+    GSPMD, setting these specs is all that's needed — XLA propagates the
+    shardings through the scan-stacked blocks and inserts the per-block
+    all-reduce on the row-parallel matmul outputs, riding the innermost (ICI-
+    fastest) mesh axis per the scaling-book layout in ``create_mesh``.
+    """
+    tp = mesh.shape.get(TENSOR_AXIS, 1)
+    fsdp_size = mesh.shape.get(FSDP_AXIS, 1)
+
+    # leaf-name -> (tensor axis from the END of the shape, counting layer-stacked
+    # leading axes as untouched). qkv/c_fc: column-parallel (shard outputs);
+    # out/c_proj: row-parallel (shard inputs = dim -2).
+    COL = {"qkv", "c_fc", "fc1", "fc1_g", "fc1_x", "w0", "w1", "kv"}
+    ROW = {"out", "c_proj", "fc2", "w2", "proj"}
+
+    def leaf_spec(path, leaf):
+        shape = leaf.shape
+        names = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
+        name = names[-1] if names else ""
+        parent = names[-2] if len(names) >= 2 else ""
+        if tp > 1 and name == "kernel" and len(shape) >= 2:
+            owner = parent
+            tp_axis = None
+            if owner in COL and shape[-1] % tp == 0:
+                tp_axis = len(shape) - 1
+            elif owner in ROW and shape[-2] % tp == 0:
+                tp_axis = len(shape) - 2
+            if tp_axis is not None:
+                spec = [None] * len(shape)
+                spec[tp_axis] = TENSOR_AXIS
+                # compose with fsdp on a different, divisible axis
+                if fsdp_size > 1 and int(np.prod(shape)) >= min_size:
+                    for ax in range(1 if len(shape) >= 3 else 0, len(shape)):
+                        if ax != tp_axis and shape[ax] % fsdp_size == 0:
+                            spec[ax] = FSDP_AXIS
+                            break
+                return NamedSharding(mesh, P(*spec))
+        if tp > 1 and name == "bias" and parent in COL and shape and shape[-1] % tp == 0:
+            spec = [None] * len(shape)
+            spec[-1] = TENSOR_AXIS
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, _choose_fsdp_spec(name, shape, fsdp_size, min_size))
+
+    return jax.tree_util.tree_map_with_path(leaf_spec, params)
+
+
 def replicate(tree: Any, mesh: Mesh) -> Any:
     """Fully-replicated shardings for a pytree."""
     s = NamedSharding(mesh, P())

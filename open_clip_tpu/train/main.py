@@ -224,8 +224,9 @@ def main(args=None):
     # --- mesh --------------------------------------------------------------------
     n_dev = len(jax.devices())
     fsdp = args.mesh_fsdp
-    data_ax = args.mesh_data if args.mesh_data > 0 else n_dev // fsdp
-    mesh = create_mesh(data=data_ax, fsdp=fsdp) if n_dev > 1 else None
+    tensor = getattr(args, "mesh_tensor", 1)
+    data_ax = args.mesh_data if args.mesh_data > 0 else n_dev // (fsdp * tensor)
+    mesh = create_mesh(data=data_ax, fsdp=fsdp, tensor=tensor) if n_dev > 1 else None
     logger.info("devices=%d mesh=%s", n_dev, dict(mesh.shape) if mesh else None)
 
     # --- model -------------------------------------------------------------------
@@ -265,7 +266,12 @@ def main(args=None):
             logger.info("loaded %s tower from %s", tower, path)
 
     if mesh is not None:
-        params = shard_params(params, fsdp_shardings(params, mesh))
+        if tensor > 1:
+            from ..parallel.mesh import tp_shardings
+
+            params = shard_params(params, tp_shardings(params, mesh))
+        else:
+            params = shard_params(params, fsdp_shardings(params, mesh))
 
     tokenizer = get_tokenizer(args.model)
     data = get_data(args, (pp_train, pp_val), epoch=0, tokenizer=tokenizer)

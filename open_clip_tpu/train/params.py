@@ -184,6 +184,9 @@ def parse_args(args=None):
     # mesh / parallelism (TPU equivalents of --ddp/--fsdp flags)
     parser.add_argument("--mesh-data", type=int, default=-1, help="data-parallel axis size (-1: all devices)")
     parser.add_argument("--mesh-fsdp", type=int, default=1, help="fsdp (param-shard) axis size")
+    parser.add_argument("--mesh-tensor", type=int, default=1,
+                        help="tensor-parallel axis size (Megatron-style column/row "
+                             "sharding via GSPMD; superset over the reference)")
     # multi-host (reference distributed.py:102-167; here jax.distributed.initialize)
     parser.add_argument("--dist-coordinator", type=str, default=None,
                         help="host:port of process 0 for multi-host init (or MASTER_ADDR/OCT_COORDINATOR env)")
