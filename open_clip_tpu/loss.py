@@ -135,6 +135,7 @@ def siglip_loss(
     - 'bidir'  : bidirectional ppermute ring (both ICI directions in flight)
     - 'shift'  : unidirectional ppermute ring
     - 'gather' : all_gather text features, one big (B, B*W) block
+    - 'reduce' : per-source psum broadcast (reference loss.py:463-475)
     """
     b = image_features.shape[0]
     imf = image_features.astype(jnp.float32)
@@ -176,6 +177,15 @@ def siglip_loss(
                     left = lax.ppermute(left, axis_name, perm=bwd)
                 if (n - 1) % 2:
                     loss = loss + _sigmoid_pair_loss(imf, right, scale, bias, positive_diag=False)
+        elif dist_impl == "reduce":
+            # reference 'reduce' impl (loss.py:463-475): broadcast each shard's text
+            # block via a masked all-reduce, accumulate negative-only loss elsewhere
+            rank = lax.axis_index(axis_name)
+            for i in range(n):
+                text_from_i = lax.psum(jnp.where(rank == i, txf, jnp.zeros_like(txf)), axis_name)
+                mask = (rank != i).astype(jnp.float32)
+                loss = loss + mask * _sigmoid_pair_loss(
+                    imf, text_from_i, scale, bias, positive_diag=False)
         else:
             raise ValueError(f"unknown siglip dist_impl {dist_impl!r}")
 

@@ -105,7 +105,7 @@ def test_siglip_dense_matches_numpy(rng):
     np.testing.assert_allclose(ours, expected, rtol=1e-5)
 
 
-@pytest.mark.parametrize("dist_impl", ["bidir", "shift", "gather"])
+@pytest.mark.parametrize("dist_impl", ["bidir", "shift", "gather", "reduce"])
 def test_siglip_distributed_matches_global(rng, mesh, dist_impl):
     """Each rank's loss covers its image rows against ALL texts; pmean*world == global."""
     n, d = 32, 16
