@@ -383,11 +383,18 @@ def main(args=None):
             except Exception as e:  # noqa: BLE001 — backend may not support tracing
                 logger.warning("profiler trace unavailable: %r", e)
                 _profiling = False
+        resume_skip = 0
+        if start_epoch and steps_per_epoch:
+            # in-epoch offset of the restored step (constant steps/epoch assumption
+            # only affects the skip estimate, never correctness of weights)
+            resume_skip = max(0, int(state.step) - start_epoch * steps_per_epoch)
+
         for epoch in range(start_epoch, args.epochs):
             logger.info("=> epoch %d", epoch)
             data["train"].set_epoch(epoch)
             state = train_one_epoch(
-                state, step_fn, data["train"].dataloader, epoch, args, schedule, writer
+                state, step_fn, data["train"].dataloader, epoch, args, schedule, writer,
+                skip_steps=resume_skip if epoch == start_epoch else 0,
             )
             # raw weights stay on the facade; eval below uses EMA when present
             # (reference get_trainable_module(use_ema=True), base_task.py:159-163)

@@ -46,6 +46,7 @@ def train_one_epoch(
     args: Any,
     schedule: Optional[Callable] = None,
     writer=None,
+    skip_steps: int = 0,
 ) -> TrainState:
     batch_time = AverageMeter()
     data_time = AverageMeter()
@@ -67,6 +68,13 @@ def train_one_epoch(
     end = time.perf_counter()
     pending_metrics = None
     for i, batch in enumerate(loader):
+        if i < skip_steps:
+            # mid-epoch resume: fast-forward the deterministic (seed, epoch)-keyed
+            # sample stream past already-trained batches instead of replaying them
+            # (the reference replays from the epoch start; data.py has no position
+            # restore). Decode cost only, no device steps.
+            end = time.perf_counter()
+            continue
         data_time.update(time.perf_counter() - end)
         rng, step_rng = jax.random.split(rng)
         state, metrics = step_fn(state, _to_device(batch), step_rng)

@@ -124,3 +124,27 @@ def test_eval_step_is_jitted_once(rng):
     r1 = step(params, {k: jnp.asarray(v) for k, v in b.items()})
     assert r1["primary_features"].shape == (8, 32)
     assert np.isfinite(float(r1["loss"]))
+
+
+def test_train_one_epoch_skip_steps():
+    """Mid-epoch resume fast-forwards the sample stream without device steps."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from open_clip_tpu.train.train_loop import train_one_epoch
+    from open_clip_tpu.train.train_step import TrainState
+
+    seen = []
+
+    def step_fn(state, batch, rng):
+        seen.append(int(batch["idx"][0]))
+        return state._replace(step=state.step + 1), {"loss": jnp.asarray(0.5)}
+
+    loader = [{"idx": jnp.asarray([i])} for i in range(6)]
+    args = types.SimpleNamespace(log_every_n_steps=100, seed=0, workers=1,
+                                 batch_size=1, world_size=1)
+    state = TrainState(params={}, opt_state=(), step=jnp.asarray(3))
+    state = train_one_epoch(state, step_fn, loader, epoch=0, args=args, skip_steps=3)
+    assert seen == [3, 4, 5], seen
