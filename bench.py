@@ -139,12 +139,25 @@ def bench_vit_h14():
     import jax.numpy as jnp
 
     from open_clip_tpu.config import parse_model_cfg
+    from open_clip_tpu.convert import convert_params_dtype
+    from open_clip_tpu.models.clip import init_clip
+    from open_clip_tpu.train.optim import OptimizerCfg, create_optimizer
+    from open_clip_tpu.train.scheduler import const_lr
+    from open_clip_tpu.train.train_step import create_train_state, jit_train_step, make_train_step
 
     cfg = parse_model_cfg("ViT-H-14")
-    state, step = _train_step(cfg)
-    # 986M params: fp32 AdamW states (param+m+v ~12G) leave ~3G for activations on a
-    # 16G chip — batch 64 with full remat fits; multi-chip FSDP is the real training
-    # configuration (see parallel/mesh.py), this measures the single-chip kernel path
+    # 986M params cannot carry fp32 params + fp32 AdamW m/v + fp32 grads on a 16G
+    # chip (measured: the fp32-AdamW step OOMs at compile while an SGD step runs).
+    # Bench the realistic single-chip configuration instead: pure_bf16 params
+    # (reference --precision pure_bf16) + bf16 Adam mu; multi-chip FSDP sharding is
+    # the real training configuration (parallel/mesh.py).
+    params = init_clip(jax.random.PRNGKey(0), cfg)
+    params = convert_params_dtype(params, jnp.bfloat16)
+    opt = create_optimizer(OptimizerCfg(lr=5e-4, wd=0.2, grad_clip_norm=1.0, mu_dtype="bfloat16"),
+                           params, const_lr(5e-4, 0))
+    state = create_train_state(params, opt)
+    step = jit_train_step(make_train_step(cfg, opt, loss_type="clip",
+                                          compute_dtype=jnp.bfloat16, remat=True))
     bs = 64
     batch = _image_text_batch(jnp, bs, 224, 77, 49408)
     dt = _run_steps(state, step, batch, iters=5)
@@ -152,7 +165,7 @@ def bench_vit_h14():
     return {
         "metric": "vit_h14_clip_train_images_per_sec_per_chip",
         "value": round(bs / dt, 1),
-        "unit": "images/sec/chip (bf16, batch 64, all-gather InfoNCE train step)",
+        "unit": "images/sec/chip (pure_bf16 params + bf16 adam mu, batch 64, InfoNCE train step)",
         "mfu": round(gflops * 4 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
     }
 

@@ -258,6 +258,10 @@ def patchify(x: jax.Array, patch_size) -> jax.Array:
     ph, pw = to_2tuple(patch_size)
     b, h, w, c = x.shape
     gh, gw = h // ph, w // pw
+    if gh * ph != h or gw * pw != w:
+        # non-divisible input (e.g. SO400M-14 at 384: 384/14 -> grid 27): a strided
+        # Conv2d floors the grid and drops the trailing pixels — crop to match
+        x = x[:, : gh * ph, : gw * pw]
     x = x.reshape(b, gh, ph, gw, pw, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, gh, gw, ph, pw, c)
     return x.reshape(b, gh * gw, ph * pw * c)

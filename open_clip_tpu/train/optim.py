@@ -42,6 +42,10 @@ class OptimizerCfg:
     wd_exclude_patterns: Tuple[str, ...] = ()
     layer_decay: Optional[float] = None
     grad_clip_norm: Optional[float] = None
+    # dtype of Adam's first moment (optax mu_dtype). bf16 halves the m-state HBM
+    # footprint — the difference it makes to updates is below bf16 weight rounding;
+    # lets ViT-H-scale AdamW fit a single 16G chip together with pure_bf16 params
+    mu_dtype: Optional[str] = None
 
 
 def get_default_params(model_name: str) -> Dict[str, float]:
@@ -118,7 +122,9 @@ def create_optimizer(
 
     opt_name = cfg.opt.lower().replace("timm/", "")
     if opt_name in ("adamw", "nadamw"):
-        chain.append(optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps, nesterov=opt_name == "nadamw"))
+        chain.append(optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps,
+                                         mu_dtype=cfg.mu_dtype,
+                                         nesterov=opt_name == "nadamw"))
     elif opt_name == "lion":
         chain.append(optax.scale_by_lion(b1=cfg.beta1, b2=cfg.beta2))
     elif opt_name in ("sgd", "momentum"):
