@@ -74,9 +74,10 @@ class CLIPVisionCfg:
     class_token: bool = True
 
     # hybrid convolutional stem (native extension for timm vit_base_mci_224, the
-    # MobileCLIP-B trunk): conv 3x3/s2 + BN + GELU per channel entry, then a 1x1
-    # projection to ``width`` — replaces the patchify matmul
+    # MobileCLIP-B trunk): patchify-style conv (kernel == stride) + BN + GELU per
+    # entry, then a 1x1 projection to ``width`` — replaces the patchify matmul
     conv_stem_channels: Optional[Tuple[int, ...]] = None
+    conv_stem_strides: Optional[Tuple[int, ...]] = None
 
     # accepted for schema compat; timm towers are re-implemented natively (see models/)
     timm_model_name: Optional[str] = None

@@ -72,7 +72,10 @@ def resolve_timm_vision_cfg(cfg: CLIPVisionCfg) -> CLIPVisionCfg:
             layers=12, width=768, head_width=64, mlp_ratio=4.0, patch_size=16,
             image_size=cfg.image_size or 224,
             class_token=True, pool_type="tok", no_ln_pre=True,
-            conv_stem_channels=(64, 128, 256, 512),
+            # timm hybrid ConvStem: patchify-style stages (kernel == stride),
+            # widths width/4 -> width/2 -> width, total stride 16
+            conv_stem_channels=(192, 384, 768),
+            conv_stem_strides=(4, 2, 2),
             norm_kwargs={"eps": 1e-6},
         )
     mc = _re.match(r"vit_([a-z0-9]+)_patch(\d+)_clip(?:_quickgelu)?_?(\d+)?", name)
@@ -168,15 +171,18 @@ def init_vision_tower(key, cfg: CLIPVisionCfg, embed_dim: int) -> Dict[str, Any]
     ks = jax.random.split(key, 8)
     p: Dict[str, Any] = {}
     if cfg.conv_stem_channels:
-        # MCi hybrid stem (timm vit_base_mci_224): conv 3x3/s2 + BN + GELU per entry,
-        # then a 1x1 projection to width (stored as the patch_embed matmul kernel)
+        # MCi hybrid stem (timm vit_base_mci_224): patchify-style conv (kernel ==
+        # stride) + BN + GELU per entry, then a 1x1 width projection (stored as the
+        # patch_embed matmul kernel)
         chans = cfg.conv_stem_channels
+        strides = cfg.conv_stem_strides or (2,) * len(chans)
         stem = []
         cin = 3
-        for i, c in enumerate(chans):
+        for i, (c, st) in enumerate(zip(chans, strides)):
             sk = jax.random.fold_in(ks[0], i)
             stem.append({
-                "conv": {"kernel": B.normal_init(sk, (3, 3, cin, c), (9 * cin) ** -0.5)},
+                "conv": {"kernel": B.normal_init(sk, (st, st, cin, c),
+                                                 (st * st * cin) ** -0.5)},
                 "bn": {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,)),
                        "mean": jnp.zeros((c,)), "var": jnp.ones((c,))},
             })
@@ -301,13 +307,15 @@ def apply_vision_tower(
 
     x = x.astype(compute_dtype)
     if "conv_stem" in params:
-        # MCi hybrid stem: conv 3x3/s2 + BN (eval affine) + GELU per stage, then the
-        # 1x1 width projection via the patch_embed matmul
+        # MCi hybrid stem: patchify-style conv (kernel == stride, VALID) + BN (eval
+        # affine) + GELU per stage, then the 1x1 width projection via the
+        # patch_embed matmul
         from ..ops.layers import gelu as _gelu
 
         for st in params["conv_stem"]:
+            kk = st["conv"]["kernel"].shape[0]
             x = jax.lax.conv_general_dilated(
-                x, st["conv"]["kernel"].astype(x.dtype), (2, 2), ((1, 1), (1, 1)),
+                x, st["conv"]["kernel"].astype(x.dtype), (kk, kk), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             inv = jax.lax.rsqrt(st["bn"]["var"].astype(jnp.float32) + 1e-5)
             sc = (st["bn"]["scale"].astype(jnp.float32) * inv).astype(x.dtype)

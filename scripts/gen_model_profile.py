@@ -24,6 +24,10 @@ DEFAULT = [
     "moderntext-ViT-B-32-256",
     "naflexgenlip_b16",
     "CLAP-HTSAT-tiny",
+    "MobileCLIP2-S0", "MobileCLIP-S2", "MobileCLIP-B",
+    "ViTamin-S", "ViTamin-B", "ViTamin-L", "ViTamin-XL-256",
+    "PE-Core-B-16", "PE-Core-L-14-336", "PE-Core-bigG-14-448",
+    "EVA02-L-14", "convnext_base",
 ]
 
 if __name__ == "__main__":

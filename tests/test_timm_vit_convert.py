@@ -110,13 +110,14 @@ class TimmMciViT(nn.Module):
     """timm vit_base_mci-style hybrid: 4-conv MCi stem + 1x1 proj + cls-token ViT
     (MobileCLIP-B trunk; reference MobileCLIP-B.json + convert.py:223-261)."""
 
-    def __init__(self, w=64, layers=2, heads=2, size=64, chans=(8, 16, 32, 32), embed=32):
+    def __init__(self, w=64, layers=2, heads=2, size=64, chans=(16, 32, 64),
+                 strides=(4, 2, 2), embed=32):
         super().__init__()
         backbone = nn.ModuleList()
         cin = 3
-        for c in chans:
+        for c, st in zip(chans, strides):
             m = nn.Module()
-            m.conv = nn.Conv2d(cin, c, 3, 2, 1, bias=False)
+            m.conv = nn.Conv2d(cin, c, st, st, 0, bias=False)
             m.bn = nn.BatchNorm2d(c)
             backbone.append(m)
             cin = c
@@ -167,7 +168,8 @@ def test_mci_hybrid_trunk_parity():
     params = _convert_timm_vit_trunk(sd)
     vcfg = CLIPVisionCfg(layers=2, width=64, head_width=32, patch_size=16, image_size=64,
                          class_token=True, pool_type="tok",
-                         conv_stem_channels=(8, 16, 32, 32), norm_kwargs={"eps": 1e-6})
+                         conv_stem_channels=(16, 32, 64), conv_stem_strides=(4, 2, 2),
+                         norm_kwargs={"eps": 1e-6})
     rng = np.random.default_rng(0)
     img = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
     with torch.no_grad():
