@@ -169,6 +169,7 @@ def apply_block(
     causal: bool = False,
     norm_eps: float = 1e-5,
     attn_impl: str = "auto",
+    key_valid: Optional[jax.Array] = None,
 ) -> jax.Array:
     from jax.ad_checkpoint import checkpoint_name
 
@@ -180,7 +181,7 @@ def apply_block(
     h = multi_head_attention(
         p["attn"], h, num_heads=heads, bias=bias, causal=causal,
         qk_norm_eps=qk_norm_eps if "ln_q" in p["attn"] else (norm_eps if "ln_inner" in p["attn"] else None),
-        impl=attn_impl,
+        impl=attn_impl, key_valid=key_valid,
     )
     if "ln_attn" in p:
         h = layer_norm(h, p["ln_attn"]["scale"], p["ln_attn"]["bias"], eps=norm_eps)
@@ -262,13 +263,14 @@ def apply_transformer(
     norm_eps: float = 1e-5,
     remat: bool = False,
     attn_impl: str = "auto",
+    key_valid: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Run the stacked block parameters over ``x`` with a single ``lax.scan``."""
 
     def body(carry, p):
         y = apply_block(
             p, carry, heads=heads, act=act, bias=bias, causal=causal,
-            norm_eps=norm_eps, attn_impl=attn_impl,
+            norm_eps=norm_eps, attn_impl=attn_impl, key_valid=key_valid,
         )
         return y, None
 

@@ -220,11 +220,11 @@ def sample_pos_embed(grid: jax.Array, coords: jax.Array, valid: jax.Array) -> ja
     return top * (1 - wy) + bot * wy  # (B, N, W)
 
 
-def _apply_swiglu_block(p, x, *, heads, bias, eps):
+def _apply_swiglu_block(p, x, *, heads, key_valid, eps):
     from ..ops.attention import multi_head_attention
 
     h = layer_norm(x, p["ln_1"]["scale"], p["ln_1"]["bias"], eps=eps)
-    h = multi_head_attention(p["attn"], h, num_heads=heads, bias=bias)
+    h = multi_head_attention(p["attn"], h, num_heads=heads, key_valid=key_valid)
     x = x + h
     h = layer_norm(x, p["ln_2"]["scale"], p["ln_2"]["bias"], eps=eps)
     h12 = linear(h, p["mlp"]["w12"]["kernel"], p["mlp"]["w12"].get("bias"))
@@ -269,18 +269,20 @@ def apply_naflex_vit(
 
     x = layer_norm(x, params["norm_pre"]["scale"], params["norm_pre"]["bias"], eps=eps)
 
-    key_bias = jnp.where(key_valid, 0.0, NEG_INF).astype(jnp.float32)[:, None, None, :]
-
+    # key padding rides as a (B, L) validity vector so the flash kernel can mask
+    # in-kernel at long bucket lengths; the xla path folds it into a bias itself
     if cfg.swiglu_mlp:
         def body(carry, p):
-            return _apply_swiglu_block(p, carry, heads=cfg.heads, bias=key_bias, eps=eps), None
+            return _apply_swiglu_block(p, carry, heads=cfg.heads, key_valid=key_valid,
+                                       eps=eps), None
 
         if remat:
             body = jax.checkpoint(body, prevent_cse=False)
         x, _ = jax.lax.scan(body, x, params["blocks"], unroll=B.scan_unroll())
     else:
         x = B.apply_transformer(
-            params["blocks"], x, heads=cfg.heads, act=act, bias=key_bias, norm_eps=eps, remat=remat,
+            params["blocks"], x, heads=cfg.heads, act=act, key_valid=key_valid,
+            norm_eps=eps, remat=remat,
         )
 
     x = layer_norm(x, params["norm"]["scale"], params["norm"]["bias"], eps=eps)

@@ -40,6 +40,7 @@ def dot_product_attention(
     causal: bool = False,
     scale: Optional[float] = None,
     impl: str = "auto",
+    key_valid: Optional[jax.Array] = None,  # (B, Lk) key-padding mask (NaFlex)
 ) -> jax.Array:
     """Scaled dot-product attention with fp32 softmax. Returns (B, Lq, H, hd)."""
     if scale is None:
@@ -49,9 +50,11 @@ def dot_product_attention(
         if _on_tpu() and q.shape[1] == k.shape[1]:
             from .short_attention import supports as _short_ok
 
-            if _short_ok(q.shape[1], q.shape[2], q.shape[-1], bias):
+            if bias is None and key_valid is not None                     and q.shape[1] >= _FLASH_MIN_SEQ and q.shape[-1] % 64 == 0:
+                impl = "flash"  # key-padding handled in-kernel
+            elif key_valid is None and _short_ok(q.shape[1], q.shape[2], q.shape[-1], bias):
                 impl = "short"
-            elif bias is None and q.shape[1] >= _FLASH_MIN_SEQ and q.shape[-1] % 64 == 0:
+            elif bias is None and key_valid is None                     and q.shape[1] >= _FLASH_MIN_SEQ and q.shape[-1] % 64 == 0:
                 impl = "flash"
             else:
                 impl = "xla"
@@ -66,7 +69,12 @@ def dot_product_attention(
     if impl == "flash":
         from .flash_attention import flash_attention
 
-        return flash_attention(q, k, v, causal=causal, scale=scale)
+        return flash_attention(q, k, v, causal=causal, scale=scale, key_valid=key_valid)
+
+    if key_valid is not None:
+        kv_bias = jnp.where(key_valid.astype(bool), 0.0, jnp.finfo(jnp.float32).min * 0.5)
+        kv_bias = kv_bias.astype(jnp.float32)[:, None, None, :]
+        bias = kv_bias if bias is None else bias + kv_bias
 
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale
@@ -94,6 +102,7 @@ def multi_head_attention(
     causal: bool = False,
     qk_norm_eps: Optional[float] = None,
     impl: str = "auto",
+    key_valid: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Standard MHA matching reference ``Attention`` (transformer.py:61-249) semantics.
 
@@ -151,7 +160,8 @@ def multi_head_attention(
         q = q32.astype(q.dtype)
         k = k32.astype(k.dtype)
 
-    out = dot_product_attention(q, k, v, bias=bias, causal=causal, impl=impl)
+    out = dot_product_attention(q, k, v, bias=bias, causal=causal, impl=impl,
+                                key_valid=key_valid)
 
     if "head_scale" in params:  # NormFormer per-head scale, (H,)
         out = out * params["head_scale"].astype(out.dtype)[None, None, :, None]

@@ -36,8 +36,8 @@ def _round_up(x, m):
 # forward
 # ---------------------------------------------------------------------------
 
-def _fa_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, causal: bool,
-                   block_k: int, seq_len: int):
+def _fa_fwd_kernel(q_ref, k_ref, v_ref, kv_ref, o_ref, lse_ref, *, scale: float,
+                   causal: bool, block_k: int, seq_len: int):
     """One program: one q block (block_q, hd) vs all k/v blocks of this batch-head."""
     block_q = q_ref.shape[1]
     hd = q_ref.shape[2]
@@ -68,8 +68,9 @@ def _fa_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, causal:
         if causal:
             rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             s = jnp.where(rows >= cols, s, NEG_INF)
-        # mask k-padding beyond seq_len
-        s = jnp.where(cols < seq_len, s, NEG_INF)
+        # mask k-padding beyond seq_len and invalid keys (NaFlex patch_valid)
+        kvb = kv_ref[0, 0, pl.ds(ki * block_k, block_k)]  # (bk,) f32 1/0
+        s = jnp.where((cols < seq_len) & (kvb[None, :] > 0), s, NEG_INF)
 
         m_cur = jnp.max(s, axis=-1)  # (bq,)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -95,6 +96,7 @@ def _flash_forward(
     qb: jax.Array,  # (BH, Lp, hd), already padded to block multiples
     kb: jax.Array,
     vb: jax.Array,
+    kvb: jax.Array,  # (BH, 1, Lp) f32 key-validity
     *,
     causal: bool,
     scale: float,
@@ -118,6 +120,7 @@ def _flash_forward(
             pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, lk_pad, hd), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, lk_pad, hd), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, lk_pad), lambda b, i: (b, 0, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
@@ -132,7 +135,7 @@ def _flash_forward(
             transcendentals=bh * lq_pad * lk_pad,
         ),
         interpret=interpret,
-    )(qb, kb, vb)
+    )(qb, kb, vb, kvb)
     return out, lse
 
 
@@ -140,7 +143,7 @@ def _flash_forward(
 # backward: dq kernel (per q block, loop over k blocks)
 # ---------------------------------------------------------------------------
 
-def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, *,
+def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, kv_ref, dq_ref, *,
                       scale: float, causal: bool, block_k: int, seq_len: int):
     block_q = q_ref.shape[1]
     hd = q_ref.shape[2]
@@ -166,7 +169,8 @@ def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, *,
             preferred_element_type=jnp.float32,
         ) * scale
         cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        mask = cols < seq_len
+        kvb = kv_ref[0, 0, pl.ds(ki * block_k, block_k)]
+        mask = (cols < seq_len) & (kvb[None, :] > 0)
         if causal:
             mask = mask & (rows >= cols)
         p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)  # (bq, bk) f32
@@ -188,7 +192,8 @@ def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, *,
 # backward: dk/dv kernel (per k block, loop over q blocks)
 # ---------------------------------------------------------------------------
 
-def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref, *,
+def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, kv_ref,
+                       dk_ref, dv_ref, *,
                        scale: float, causal: bool, block_q: int, seq_len: int):
     block_k = k_ref.shape[1]
     hd = k_ref.shape[2]
@@ -217,7 +222,8 @@ def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_
             preferred_element_type=jnp.float32,
         ) * scale  # (bq, bk) f32
         rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        mask = (cols < seq_len) & (rows < seq_len)
+        kvb = kv_ref[0, 0]  # (bk,) validity of this k block
+        mask = (cols < seq_len) & (rows < seq_len) & (kvb[None, :] > 0)
         if causal:
             mask = mask & (rows >= cols)
         p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)
@@ -244,7 +250,7 @@ def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _bwd_dq(qb, kb, vb, dob, lse, di, *, causal, scale, seq_len, block_q, block_k,
+def _bwd_dq(qb, kb, vb, dob, lse, di, kvb, *, causal, scale, seq_len, block_q, block_k,
             interpret=False):
     bh, lq_pad, hd = qb.shape
     lk_pad = kb.shape[1]
@@ -261,6 +267,7 @@ def _bwd_dq(qb, kb, vb, dob, lse, di, *, causal, scale, seq_len, block_q, block_
             pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i)),
             pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, 1, lk_pad), lambda b, i: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
         compiler_params=pltpu.CompilerParams(
@@ -272,10 +279,10 @@ def _bwd_dq(qb, kb, vb, dob, lse, di, *, causal, scale, seq_len, block_q, block_
             transcendentals=bh * lq_pad * lk_pad,
         ),
         interpret=interpret,
-    )(qb, kb, vb, dob, lse, di)
+    )(qb, kb, vb, dob, lse, di, kvb)
 
 
-def _bwd_dkv(qb, kb, vb, dob, lse, di, *, causal, scale, seq_len, block_q, block_k,
+def _bwd_dkv(qb, kb, vb, dob, lse, di, kvb, *, causal, scale, seq_len, block_q, block_k,
              interpret=False):
     bh, lq_pad, hd = qb.shape
     lk_pad = kb.shape[1]
@@ -295,6 +302,7 @@ def _bwd_dkv(qb, kb, vb, dob, lse, di, *, causal, scale, seq_len, block_q, block
             pl.BlockSpec((1, lq_pad, hd), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, 1, lq_pad), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, 1, lq_pad), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, i: (b, 0, i)),
         ],
         out_specs=(
             pl.BlockSpec((1, block_k, hd), lambda b, i: (b, i, 0)),
@@ -309,7 +317,7 @@ def _bwd_dkv(qb, kb, vb, dob, lse, di, *, causal, scale, seq_len, block_q, block
             transcendentals=bh * lq_pad * lk_pad,
         ),
         interpret=interpret,
-    )(qb, kb, vb, dob, lse, di)
+    )(qb, kb, vb, dob, lse, di, kvb)
 
 
 def _reference_attention(q, k, v, *, causal, scale):
@@ -331,8 +339,11 @@ _INTERPRET = False  # flipped by tests to run kernels off-TPU
 
 
 def _blocks_for(seq_len: int, block_q: int, block_k: int):
-    bq = min(block_q, _round_up(seq_len, 128))
-    bk = min(block_k, _round_up(seq_len, 128))
+    """Clamp blocks so they DIVIDE the 128-padded sequence — the grid covers
+    lq_pad/block_q programs, so a non-dividing block would silently drop rows."""
+    lp = _round_up(seq_len, 128)
+    bq = next(c for c in (block_q, 512, 384, 256, 128) if c <= lp and lp % c == 0)
+    bk = next(c for c in (block_k, 1024, 512, 384, 256, 128) if c <= lp and lp % c == 0)
     return bq, bk
 
 
@@ -352,42 +363,53 @@ def _pad_seq(x, lp):
     return jnp.pad(x, ((0, 0), (0, lp - x.shape[1]), (0, 0)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash(q, k, v, causal, scale, block_q, block_k):
-    out, _ = _flash_fwd_impl(q, k, v, causal, scale, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash(q, k, v, kvalid, causal, scale, block_q, block_k):
+    out, _ = _flash_fwd_impl(q, k, v, kvalid, causal, scale, block_q, block_k)
     return out
 
 
-def _flash_fwd_impl(q, k, v, causal, scale, block_q, block_k):
+def _kv_to_bh(kvalid, h, lp):
+    """(B, Lk) f32 validity -> (B*H, 1, Lp), padding rows invalid."""
+    b, l = kvalid.shape
+    kvb = jnp.repeat(kvalid[:, None, None, :], h, axis=1).reshape(b * h, 1, l)
+    if l != lp:
+        kvb = jnp.pad(kvb, ((0, 0), (0, 0), (0, lp - l)))
+    return kvb
+
+
+def _flash_fwd_impl(q, k, v, kvalid, causal, scale, block_q, block_k):
     b, l, h, hd = q.shape
     assert k.shape[1] == l, "flash kernel assumes self-attention lengths"
     bq, bk = _blocks_for(l, block_q, block_k)
-    lp = _round_up(l, max(bq, bk))
+    lp = _round_up(l, 128)
     qb = _pad_seq(_to_bh(q), lp)
     kb = _pad_seq(_to_bh(k), lp)
     vb = _pad_seq(_to_bh(v), lp)
-    ob, lse = _flash_forward(qb, kb, vb, causal=causal, scale=scale, seq_len=l,
+    kvb = _kv_to_bh(kvalid, h, lp)
+    ob, lse = _flash_forward(qb, kb, vb, kvb, causal=causal, scale=scale, seq_len=l,
                              block_q=bq, block_k=bk, interpret=_INTERPRET)
     out = _from_bh(ob[:, :l], b, h)
-    return out, (qb, kb, vb, ob, lse)
+    return out, (qb, kb, vb, kvb, ob, lse)
 
 
-def _flash_fwd(q, k, v, causal, scale, block_q, block_k):
-    out, res = _flash_fwd_impl(q, k, v, causal, scale, block_q, block_k)
+def _flash_fwd(q, k, v, kvalid, causal, scale, block_q, block_k):
+    out, res = _flash_fwd_impl(q, k, v, kvalid, causal, scale, block_q, block_k)
     return out, (res, q.shape)
 
 
 def _flash_bwd(causal, scale, block_q, block_k, res_shape, g):
-    (qb, kb, vb, ob, lse), (b, l, h, hd) = res_shape
+    (qb, kb, vb, kvb, ob, lse), (b, l, h, hd) = res_shape
     bq, bk = _blocks_for(l, block_q, block_k)
     dob = _pad_seq(_to_bh(g), qb.shape[1])
     # di = rowsum(o * do) in fp32 — tiny fused elementwise reduce, O(L) memory
     di = jnp.sum(ob.astype(jnp.float32) * dob.astype(jnp.float32), axis=-1)[:, None, :]
-    dq = _bwd_dq(qb, kb, vb, dob, lse, di, causal=causal, scale=scale, seq_len=l,
+    dq = _bwd_dq(qb, kb, vb, dob, lse, di, kvb, causal=causal, scale=scale, seq_len=l,
                  block_q=bq, block_k=bk, interpret=_INTERPRET)
-    dk, dv = _bwd_dkv(qb, kb, vb, dob, lse, di, causal=causal, scale=scale, seq_len=l,
+    dk, dv = _bwd_dkv(qb, kb, vb, dob, lse, di, kvb, causal=causal, scale=scale, seq_len=l,
                       block_q=bq, block_k=bk, interpret=_INTERPRET)
-    return (_from_bh(dq[:, :l], b, h), _from_bh(dk[:, :l], b, h), _from_bh(dv[:, :l], b, h))
+    return (_from_bh(dq[:, :l], b, h), _from_bh(dk[:, :l], b, h),
+            _from_bh(dv[:, :l], b, h), jnp.zeros((b, l), jnp.float32))
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -402,9 +424,12 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
+    key_valid: Optional[jax.Array] = None,  # (B, Lk) bool/float key-padding mask
 ) -> jax.Array:
     """(B, L, H, hd) x3 -> (B, L, H, hd). Differentiable; fwd and bwd are Pallas
     kernels with O(L) memory (no (L, L) intermediate ever hits HBM).
+    ``key_valid`` masks padded keys in-kernel (the NaFlex ``patch_valid`` contract)
+    without ever forming a (B, 1, 1, L) bias.
 
     Default blocks are large (512 x 1024, clamped to the padded sequence): the
     per-k-block loop overhead dominates at small blocks — measured at
@@ -418,4 +443,8 @@ def flash_attention(
         block_q = min(512, lq)
     if block_k is None:
         block_k = min(1024, lk)
-    return _flash(q, k, v, causal, scale, block_q, block_k)
+    if key_valid is None:
+        kvalid = jnp.ones((q.shape[0], k.shape[1]), jnp.float32)
+    else:
+        kvalid = key_valid.astype(jnp.float32)
+    return _flash(q, k, v, kvalid, causal, scale, block_q, block_k)

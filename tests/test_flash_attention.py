@@ -79,3 +79,38 @@ def test_flash_bf16_close(rng):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref), atol=2e-2, rtol=2e-2
     )
+
+
+def test_flash_key_valid_matches_masked_dense(rng):
+    """key_valid in-kernel masking == dense attention with a key-padding bias,
+    values and grads (the NaFlex patch_valid contract)."""
+    from open_clip_tpu.ops.attention import dot_product_attention
+    from open_clip_tpu.ops import flash_attention as fa
+
+    B, L, H, hd = 2, 640, 4, 64
+    q = jnp.asarray(rng.standard_normal((B, L, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, H, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, H, hd)), jnp.float32)
+    lengths = jnp.asarray([500, 640])
+    valid = jnp.arange(L)[None, :] < lengths[:, None]
+
+    bias = jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min * 0.5)
+    bias = bias.astype(jnp.float32)[:, None, None, :]
+
+    ref = dot_product_attention(q, k, v, bias=bias, impl="xla")
+    out = fa.flash_attention(q, k, v, key_valid=valid)
+    # compare only valid query rows: dense rows attend everywhere regardless,
+    # invalid rows are dropped by downstream masked pooling either way
+    m = np.asarray(valid)[:, :, None, None]
+    np.testing.assert_allclose(np.asarray(out) * m, np.asarray(ref) * m, atol=2e-5)
+
+    def loss(f):
+        def fn(q, k, v):
+            o = f(q, k, v)
+            return (o * valid[:, :, None, None]).astype(jnp.float32).sum()
+        return jax.grad(fn, argnums=(0, 1, 2))
+
+    gr = loss(lambda a, b, c: dot_product_attention(a, b, c, bias=bias, impl="xla"))(q, k, v)
+    gf = loss(lambda a, b, c: fa.flash_attention(a, b, c, key_valid=valid))(q, k, v)
+    for a, b_ in zip(gr, gf):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=3e-4)
