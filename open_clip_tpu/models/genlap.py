@@ -27,6 +27,7 @@ from .genlip import (
     apply_trunk,
     build_image_bias,
     build_prefix_lm_bias,
+    trunk_mask,
     embed_text,
     mrope_cos_sin,
 )
@@ -160,7 +161,7 @@ def encode_audio(params, cfg: GenLapModelCfg, audio: Dict[str, jax.Array], *,
     t = cfg.trunk_cfg
     pv = audio["patch_valid"].astype(bool)
     x = embed_audio_patches(params, cfg, audio["patches"], compute_dtype)
-    bias = build_image_bias(pv)
+    bias = trunk_mask(0, pv, x.shape[1], t.width // t.num_heads)
     pos = build_audio_position_ids(audio["patch_coord"], pv, rope_1d=cfg.use_rope_1d)
     cos, sin = mrope_cos_sin(pos, t.width // t.num_heads, t.mrope_section, t.rope_theta, t.mrope_interleaved)
     x = apply_trunk(params["trunk"], t, x, bias, cos, sin, remat=remat)
@@ -210,7 +211,8 @@ def genlap_forward(
     h = jnp.concatenate([aud_emb, txt_emb], axis=1)
     ni = aud_emb.shape[1]
 
-    bias = build_prefix_lm_bias(pv, text_valid)
+    bias = trunk_mask(ni, jnp.concatenate([pv, text_valid.astype(bool)], axis=1),
+                      h.shape[1], t.width // t.num_heads)
     pos = build_audio_position_ids(audio["patch_coord"], pv, text_valid, rope_1d=cfg.use_rope_1d)
     cos, sin = mrope_cos_sin(pos, t.width // t.num_heads, t.mrope_section, t.rope_theta, t.mrope_interleaved)
 

@@ -310,6 +310,12 @@ def init_genlip(key, cfg: GenLipModelCfg) -> Dict[str, Any]:
 _ACT = {"silu": jax.nn.silu, "gelu": jax.nn.gelu, "relu": jax.nn.relu}
 
 
+def _flash_ok(seq: int, hd: int) -> bool:
+    from ..ops.attention import _FLASH_MIN_SEQ, _on_tpu
+
+    return _on_tpu() and seq >= _FLASH_MIN_SEQ and hd % 64 == 0
+
+
 def _apply_trunk_block(p, x, *, t: GenLipTrunkCfg, bias, cos, sin, drop_path_rng=None, train=False):
     from ..ops.attention import dot_product_attention
 
@@ -334,7 +340,17 @@ def _apply_trunk_block(p, x, *, t: GenLipTrunkCfg, bias, cos, sin, drop_path_rng
         q = _norm(q, p["attn"]["q_norm"], norm_type=nt, eps=eps)
         k = _norm(k, p["attn"]["k_norm"], norm_type=nt, eps=eps)
     q, k = apply_mrope(q, k, cos, sin)
-    out = dot_product_attention(q, k, v, bias=bias, impl="xla")
+    if isinstance(bias, tuple):
+        # structured prefix-LM mask -> Pallas flash kernels (O(L) memory, no
+        # (S, S) bias tensor): prefix keys bidirectional, rest causal, padding
+        # masked in-kernel (ops/flash_attention.py)
+        _, prefix_len, key_valid = bias
+        from ..ops.flash_attention import flash_attention
+
+        out = flash_attention(q, k, v, causal=prefix_len > 0,
+                              prefix_len=prefix_len, key_valid=key_valid)
+    else:
+        out = dot_product_attention(q, k, v, bias=bias, impl="xla")
     if t.gated_attention:
         out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
     out = out.reshape(b, s, width)
@@ -367,6 +383,17 @@ def _drop_path(x, rate, rng, train, salt):
     keep = 1.0 - rate
     mask = jax.random.bernoulli(jax.random.fold_in(rng, salt), keep, (x.shape[0], 1, 1))
     return x * mask.astype(x.dtype) / keep
+
+
+def trunk_mask(prefix_len: int, key_valid: jax.Array, seq: int, hd: int):
+    """Mask argument for apply_trunk: the structured form (flash kernels) when the
+    shape qualifies, else the dense additive bias (reference build_prefix_lm_mask
+    semantics). ``prefix_len == 0`` means fully bidirectional (image-only trunk)."""
+    if _flash_ok(seq, hd):
+        return ("prefix", int(prefix_len), key_valid)
+    if prefix_len:
+        return build_prefix_lm_bias(key_valid[:, :prefix_len], key_valid[:, prefix_len:])
+    return build_image_bias(key_valid)
 
 
 def apply_trunk(params, t: GenLipTrunkCfg, x, bias, cos, sin, *, remat=False, train=False, rng=None):
@@ -408,7 +435,7 @@ def encode_image(params, cfg: GenLipModelCfg, image: Dict[str, jax.Array], *,
     (reference NaFlexGenLipVisualAdapter, :633-680)."""
     pv = image["patch_valid"].astype(bool)
     x = embed_patches(params, cfg, image["patches"], compute_dtype)
-    bias = build_image_bias(pv)
+    bias = trunk_mask(0, pv, x.shape[1], cfg.trunk_cfg.width // cfg.trunk_cfg.num_heads)
     pos = build_image_position_ids(image["patch_coord"])
     cos, sin = mrope_cos_sin(pos, cfg.trunk_cfg.width // cfg.trunk_cfg.num_heads,
                              cfg.trunk_cfg.mrope_section, cfg.trunk_cfg.rope_theta,
@@ -458,7 +485,8 @@ def genlip_forward(
     h = jnp.concatenate([img_emb, txt_emb], axis=1)
     ni = img_emb.shape[1]
 
-    bias = build_prefix_lm_bias(pv, text_valid)
+    bias = trunk_mask(ni, jnp.concatenate([pv, text_valid.astype(bool)], axis=1),
+                      h.shape[1], t.width // t.num_heads)
     pos = build_mrope_position_ids(image["patch_coord"], pv, text_valid)
     cos, sin = mrope_cos_sin(pos, t.width // t.num_heads, t.mrope_section, t.rope_theta, t.mrope_interleaved)
 

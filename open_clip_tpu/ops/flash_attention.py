@@ -37,7 +37,7 @@ def _round_up(x, m):
 # ---------------------------------------------------------------------------
 
 def _fa_fwd_kernel(q_ref, k_ref, v_ref, kv_ref, o_ref, lse_ref, *, scale: float,
-                   causal: bool, block_k: int, seq_len: int):
+                   causal: bool, block_k: int, seq_len: int, prefix_len: int = 0):
     """One program: one q block (block_q, hd) vs all k/v blocks of this batch-head."""
     block_q = q_ref.shape[1]
     hd = q_ref.shape[2]
@@ -49,10 +49,15 @@ def _fa_fwd_kernel(q_ref, k_ref, v_ref, kv_ref, o_ref, lse_ref, *, scale: float,
     q = q_ref[0]  # (bq, hd), native dtype
 
     num_kb = pl.cdiv(seq_len, block_k)
-    if causal:
+    if causal and not prefix_len:
         # only blocks up to (and including) the diagonal contribute
         num_kb_eff = pl.cdiv((qi + 1) * block_q, block_k)
         num_kb_eff = jnp.minimum(num_kb_eff, num_kb)
+    elif causal:
+        # prefix-LM: blocks covering the bidirectional prefix also contribute
+        num_kb_eff = jnp.maximum(
+            jnp.minimum(pl.cdiv((qi + 1) * block_q, block_k), num_kb),
+            pl.cdiv(prefix_len, block_k))
     else:
         num_kb_eff = num_kb
 
@@ -67,7 +72,10 @@ def _fa_fwd_kernel(q_ref, k_ref, v_ref, kv_ref, o_ref, lse_ref, *, scale: float,
         cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         if causal:
             rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-            s = jnp.where(rows >= cols, s, NEG_INF)
+            allowed = rows >= cols
+            if prefix_len:
+                allowed = allowed | (cols < prefix_len)
+            s = jnp.where(allowed, s, NEG_INF)
         # mask k-padding beyond seq_len and invalid keys (NaFlex patch_valid)
         kvb = kv_ref[0, 0, pl.ds(ki * block_k, block_k)]  # (bk,) f32 1/0
         s = jnp.where((cols < seq_len) & (kvb[None, :] > 0), s, NEG_INF)
@@ -103,6 +111,7 @@ def _flash_forward(
     seq_len: int,
     block_q: int,
     block_k: int,
+    prefix_len: int = 0,
     interpret: bool = False,
 ):
     bh, lq_pad, hd = qb.shape
@@ -110,7 +119,7 @@ def _flash_forward(
     grid = (bh, lq_pad // block_q)
     out, lse = pl.pallas_call(
         functools.partial(_fa_fwd_kernel, scale=scale, causal=causal, block_k=block_k,
-                          seq_len=seq_len),
+                          seq_len=seq_len, prefix_len=prefix_len),
         out_shape=(
             jax.ShapeDtypeStruct((bh, lq_pad, hd), qb.dtype),
             jax.ShapeDtypeStruct((bh, 1, lq_pad), jnp.float32),
@@ -144,7 +153,8 @@ def _flash_forward(
 # ---------------------------------------------------------------------------
 
 def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, kv_ref, dq_ref, *,
-                      scale: float, causal: bool, block_k: int, seq_len: int):
+                      scale: float, causal: bool, block_k: int, seq_len: int,
+                      prefix_len: int = 0):
     block_q = q_ref.shape[1]
     hd = q_ref.shape[2]
     qi = pl.program_id(1)
@@ -156,8 +166,12 @@ def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, kv_ref, dq_r
     rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
 
     num_kb = pl.cdiv(seq_len, block_k)
-    if causal:
+    if causal and not prefix_len:
         num_kb_eff = jnp.minimum(pl.cdiv((qi + 1) * block_q, block_k), num_kb)
+    elif causal:
+        num_kb_eff = jnp.maximum(
+            jnp.minimum(pl.cdiv((qi + 1) * block_q, block_k), num_kb),
+            pl.cdiv(prefix_len, block_k))
     else:
         num_kb_eff = num_kb
 
@@ -172,7 +186,10 @@ def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, kv_ref, dq_r
         kvb = kv_ref[0, 0, pl.ds(ki * block_k, block_k)]
         mask = (cols < seq_len) & (kvb[None, :] > 0)
         if causal:
-            mask = mask & (rows >= cols)
+            allowed = rows >= cols
+            if prefix_len:
+                allowed = allowed | (cols < prefix_len)
+            mask = mask & allowed
         p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)  # (bq, bk) f32
         dp = jax.lax.dot_general(
             do, v, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -194,7 +211,8 @@ def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, kv_ref, dq_r
 
 def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, kv_ref,
                        dk_ref, dv_ref, *,
-                       scale: float, causal: bool, block_q: int, seq_len: int):
+                       scale: float, causal: bool, block_q: int, seq_len: int,
+                       prefix_len: int = 0):
     block_k = k_ref.shape[1]
     hd = k_ref.shape[2]
     ki = pl.program_id(1)
@@ -205,9 +223,13 @@ def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, kv_ref,
 
     lq_pad = q_ref.shape[1]
     num_qb = lq_pad // block_q
-    if causal:
+    if causal and not prefix_len:
         # only q blocks at/after this k block's diagonal contribute
         first_qb = (ki * block_k) // block_q
+    elif causal:
+        # prefix keys are visible to every q row; traced with a concrete ki is fine
+        # (python int arithmetic on grid ids is static per program)
+        first_qb = jnp.where(ki * block_k < prefix_len, 0, (ki * block_k) // block_q)
     else:
         first_qb = 0
 
@@ -225,7 +247,10 @@ def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, kv_ref,
         kvb = kv_ref[0, 0]  # (bk,) validity of this k block
         mask = (cols < seq_len) & (rows < seq_len) & (kvb[None, :] > 0)
         if causal:
-            mask = mask & (rows >= cols)
+            allowed = rows >= cols
+            if prefix_len:
+                allowed = allowed | (cols < prefix_len)
+            mask = mask & allowed
         p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)
         pb = p.astype(do.dtype)
         dv = dv + jax.lax.dot_general(
@@ -251,13 +276,13 @@ def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, kv_ref,
 
 
 def _bwd_dq(qb, kb, vb, dob, lse, di, kvb, *, causal, scale, seq_len, block_q, block_k,
-            interpret=False):
+            prefix_len=0, interpret=False):
     bh, lq_pad, hd = qb.shape
     lk_pad = kb.shape[1]
     grid = (bh, lq_pad // block_q)
     return pl.pallas_call(
         functools.partial(_fa_bwd_dq_kernel, scale=scale, causal=causal,
-                          block_k=block_k, seq_len=seq_len),
+                          block_k=block_k, seq_len=seq_len, prefix_len=prefix_len),
         out_shape=jax.ShapeDtypeStruct((bh, lq_pad, hd), qb.dtype),
         grid=grid,
         in_specs=[
@@ -283,13 +308,13 @@ def _bwd_dq(qb, kb, vb, dob, lse, di, kvb, *, causal, scale, seq_len, block_q, b
 
 
 def _bwd_dkv(qb, kb, vb, dob, lse, di, kvb, *, causal, scale, seq_len, block_q, block_k,
-             interpret=False):
+             prefix_len=0, interpret=False):
     bh, lq_pad, hd = qb.shape
     lk_pad = kb.shape[1]
     grid = (bh, lk_pad // block_k)
     return pl.pallas_call(
         functools.partial(_fa_bwd_dkv_kernel, scale=scale, causal=causal,
-                          block_q=block_q, seq_len=seq_len),
+                          block_q=block_q, seq_len=seq_len, prefix_len=prefix_len),
         out_shape=(
             jax.ShapeDtypeStruct((bh, lk_pad, hd), kb.dtype),
             jax.ShapeDtypeStruct((bh, lk_pad, hd), vb.dtype),
@@ -363,9 +388,9 @@ def _pad_seq(x, lp):
     return jnp.pad(x, ((0, 0), (0, lp - x.shape[1]), (0, 0)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash(q, k, v, kvalid, causal, scale, block_q, block_k):
-    out, _ = _flash_fwd_impl(q, k, v, kvalid, causal, scale, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash(q, k, v, kvalid, causal, scale, block_q, block_k, prefix_len):
+    out, _ = _flash_fwd_impl(q, k, v, kvalid, causal, scale, block_q, block_k, prefix_len)
     return out
 
 
@@ -378,7 +403,7 @@ def _kv_to_bh(kvalid, h, lp):
     return kvb
 
 
-def _flash_fwd_impl(q, k, v, kvalid, causal, scale, block_q, block_k):
+def _flash_fwd_impl(q, k, v, kvalid, causal, scale, block_q, block_k, prefix_len=0):
     b, l, h, hd = q.shape
     assert k.shape[1] == l, "flash kernel assumes self-attention lengths"
     bq, bk = _blocks_for(l, block_q, block_k)
@@ -388,26 +413,27 @@ def _flash_fwd_impl(q, k, v, kvalid, causal, scale, block_q, block_k):
     vb = _pad_seq(_to_bh(v), lp)
     kvb = _kv_to_bh(kvalid, h, lp)
     ob, lse = _flash_forward(qb, kb, vb, kvb, causal=causal, scale=scale, seq_len=l,
-                             block_q=bq, block_k=bk, interpret=_INTERPRET)
+                             block_q=bq, block_k=bk, prefix_len=prefix_len,
+                             interpret=_INTERPRET)
     out = _from_bh(ob[:, :l], b, h)
     return out, (qb, kb, vb, kvb, ob, lse)
 
 
-def _flash_fwd(q, k, v, kvalid, causal, scale, block_q, block_k):
-    out, res = _flash_fwd_impl(q, k, v, kvalid, causal, scale, block_q, block_k)
+def _flash_fwd(q, k, v, kvalid, causal, scale, block_q, block_k, prefix_len):
+    out, res = _flash_fwd_impl(q, k, v, kvalid, causal, scale, block_q, block_k, prefix_len)
     return out, (res, q.shape)
 
 
-def _flash_bwd(causal, scale, block_q, block_k, res_shape, g):
+def _flash_bwd(causal, scale, block_q, block_k, prefix_len, res_shape, g):
     (qb, kb, vb, kvb, ob, lse), (b, l, h, hd) = res_shape
     bq, bk = _blocks_for(l, block_q, block_k)
     dob = _pad_seq(_to_bh(g), qb.shape[1])
     # di = rowsum(o * do) in fp32 — tiny fused elementwise reduce, O(L) memory
     di = jnp.sum(ob.astype(jnp.float32) * dob.astype(jnp.float32), axis=-1)[:, None, :]
     dq = _bwd_dq(qb, kb, vb, dob, lse, di, kvb, causal=causal, scale=scale, seq_len=l,
-                 block_q=bq, block_k=bk, interpret=_INTERPRET)
+                 block_q=bq, block_k=bk, prefix_len=prefix_len, interpret=_INTERPRET)
     dk, dv = _bwd_dkv(qb, kb, vb, dob, lse, di, kvb, causal=causal, scale=scale, seq_len=l,
-                      block_q=bq, block_k=bk, interpret=_INTERPRET)
+                      block_q=bq, block_k=bk, prefix_len=prefix_len, interpret=_INTERPRET)
     return (_from_bh(dq[:, :l], b, h), _from_bh(dk[:, :l], b, h),
             _from_bh(dv[:, :l], b, h), jnp.zeros((b, l), jnp.float32))
 
@@ -425,6 +451,7 @@ def flash_attention(
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     key_valid: Optional[jax.Array] = None,  # (B, Lk) bool/float key-padding mask
+    prefix_len: int = 0,  # static: first `prefix_len` keys bidirectional (prefix-LM)
 ) -> jax.Array:
     """(B, L, H, hd) x3 -> (B, L, H, hd). Differentiable; fwd and bwd are Pallas
     kernels with O(L) memory (no (L, L) intermediate ever hits HBM).
@@ -447,4 +474,6 @@ def flash_attention(
         kvalid = jnp.ones((q.shape[0], k.shape[1]), jnp.float32)
     else:
         kvalid = key_valid.astype(jnp.float32)
-    return _flash(q, k, v, kvalid, causal, scale, block_q, block_k)
+    if prefix_len:
+        assert causal, "prefix_len implies the causal (prefix-LM) mask"
+    return _flash(q, k, v, kvalid, causal, scale, block_q, block_k, int(prefix_len))

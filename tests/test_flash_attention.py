@@ -114,3 +114,38 @@ def test_flash_key_valid_matches_masked_dense(rng):
     gf = loss(lambda a, b, c: fa.flash_attention(a, b, c, key_valid=valid))(q, k, v)
     for a, b_ in zip(gr, gf):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=3e-4)
+
+
+def test_flash_prefix_lm_matches_genlip_bias(rng):
+    """flash(causal, prefix_len, key_valid) == dense attention under GenLIP's
+    prefix-LM bias (image prefix bidirectional, text causal, padding masked),
+    on valid positions — values and grads."""
+    from open_clip_tpu.models.genlip import build_prefix_lm_bias
+    from open_clip_tpu.ops.attention import dot_product_attention
+    from open_clip_tpu.ops import flash_attention as fa
+
+    B, NI, LT, H, hd = 2, 256, 320, 4, 64
+    S = NI + LT
+    q = jnp.asarray(rng.standard_normal((B, S, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, H, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, H, hd)), jnp.float32)
+    pv = jnp.arange(NI)[None, :] < jnp.asarray([200, 256])[:, None]
+    tv = jnp.arange(LT)[None, :] < jnp.asarray([320, 200])[:, None]
+    valid = jnp.concatenate([pv, tv], axis=1)
+
+    bias = build_prefix_lm_bias(pv, tv)
+    ref = dot_product_attention(q, k, v, bias=bias, impl="xla")
+    out = fa.flash_attention(q, k, v, causal=True, prefix_len=NI, key_valid=valid)
+    m = np.asarray(valid)[:, :, None, None]
+    np.testing.assert_allclose(np.asarray(out) * m, np.asarray(ref) * m, atol=3e-5)
+
+    def g(f):
+        def fn(q, k, v):
+            return (f(q, k, v) * valid[:, :, None, None]).astype(jnp.float32).sum()
+        return jax.grad(fn, argnums=(0, 1, 2))
+
+    gr = g(lambda a, b, c: dot_product_attention(a, b, c, bias=bias, impl="xla"))(q, k, v)
+    gf = g(lambda a, b, c: fa.flash_attention(a, b, c, causal=True, prefix_len=NI,
+                                              key_valid=valid))(q, k, v)
+    for a, b_ in zip(gr, gf):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=5e-4)
