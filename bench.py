@@ -239,6 +239,44 @@ def bench_naflex():
     }
 
 
+def bench_genlip():
+    """GenLIP prefix-LM train step at 1k image tokens — exercises the flash
+    prefix-LM kernels (ops/flash_attention.py) and the fused linear-CE."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from open_clip_tpu.factory import create_model
+    from open_clip_tpu.train.optim import OptimizerCfg, create_optimizer
+    from open_clip_tpu.train.scheduler import const_lr
+    from open_clip_tpu.train.train_step import create_train_state, jit_train_step, make_train_step
+
+    m = create_model("naflexgenlip_b16", load_weights=False)
+    cfg, params = m.cfg, m.params
+    opt = create_optimizer(OptimizerCfg(lr=1e-4, wd=0.1, grad_clip_norm=1.0),
+                           params, const_lr(1e-4, 0))
+    state = create_train_state(params, opt)
+    step = jit_train_step(make_train_step(cfg, opt, loss_type="genlip",
+                                          compute_dtype=jnp.bfloat16, remat=True))
+    bs, ni, lt = 8, 1024, 128
+    rng = np.random.default_rng(0)
+    grid32 = np.stack(np.meshgrid(np.arange(32), np.arange(32), indexing="ij"), -1)
+    batch = {
+        "image": {
+            "patches": jnp.asarray(rng.standard_normal((bs, ni, 768)), jnp.bfloat16),
+            "patch_coord": jnp.asarray(grid32.reshape(1, ni, 2).repeat(bs, 0), jnp.int32),
+            "patch_valid": jnp.ones((bs, ni), bool),
+        },
+        "text": jnp.asarray(rng.integers(1, 1000, size=(bs, lt)), jnp.int32),
+    }
+    dt = _run_steps(state, step, batch, iters=5)
+    toks = bs * (ni + lt)
+    return {
+        "metric": "genlip_b16_train_tokens_per_sec_per_chip",
+        "value": round(toks / dt, 0),
+        "unit": "tokens/sec/chip (bf16, 1024 image + 128 text tokens, prefix-LM + fused CE)",
+    }
+
+
 def bench_clap():
     jax = _setup_jax()
     import jax.numpy as jnp
@@ -268,6 +306,7 @@ SUITE = {
     "siglip_b16": bench_siglip,
     "naflex_b16": bench_naflex,
     "coca_b32": bench_coca,
+    "genlip_b16": bench_genlip,
     "clap_htsat": bench_clap,
 }
 
