@@ -508,6 +508,74 @@ def genlip_forward(
     return {"logits": logits, "image_seq_len": ni}
 
 
+def generate(
+    params: Dict[str, Any],
+    cfg: GenLipModelCfg,
+    image: Dict[str, jax.Array],
+    rng: Optional[jax.Array] = None,
+    *,
+    seq_len: int = 32,
+    min_seq_len: int = 1,
+    generation_type: str = "greedy",  # greedy | top_k | top_p
+    temperature: float = 1.0,
+    top_k: int = 1,
+    top_p: float = 0.1,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Caption images with the prefix-LM trunk (superset: the reference exposes
+    generation only for CoCa, generation.py:27). Same fixed-shape single-jit
+    scheme as models/coca.generate: a static (B, seq_len) ids buffer seeded with
+    bos, each step re-runs the trunk on [image ; ids] and reads the logits at the
+    current position; eos-terminated then padded with pad_id."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    tc = cfg.text_cfg
+    b = image["patches"].shape[0]
+    ids0 = jnp.full((b, seq_len), tc.pad_id, dtype=jnp.int32).at[:, 0].set(tc.bos_id)
+    done0 = jnp.zeros((b,), dtype=bool)
+
+    def step(t, carry):
+        ids, done, key = carry
+        text_valid = (jnp.arange(seq_len) < t)[None, :].repeat(b, 0)
+        out = genlip_forward(params, cfg, image, ids, text_valid=text_valid,
+                             compute_dtype=compute_dtype)
+        ni = out["image_seq_len"]
+        step_logits = jnp.take_along_axis(
+            out["logits"], jnp.full((b, 1, 1), ni + t - 1).astype(jnp.int32), axis=1
+        )[:, 0].astype(jnp.float32)  # (B, V)
+        step_logits = jnp.where(
+            (t < min_seq_len),
+            step_logits.at[:, tc.eos_id].set(jnp.finfo(jnp.float32).min), step_logits)
+
+        key, sub = jax.random.split(key)
+        if generation_type == "greedy":
+            nxt = jnp.argmax(step_logits, axis=-1)
+        elif generation_type == "top_k":
+            lg = step_logits / max(temperature, 1e-6)
+            kth = jnp.sort(lg, axis=-1)[:, -top_k][:, None]
+            lg = jnp.where(lg < kth, jnp.finfo(jnp.float32).min, lg)
+            nxt = jax.random.categorical(sub, lg, axis=-1)
+        elif generation_type == "top_p":
+            lg = step_logits / max(temperature, 1e-6)
+            srt = jnp.sort(lg, axis=-1)[:, ::-1]
+            probs = jax.nn.softmax(srt, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            cut = jnp.sum(cum < top_p, axis=-1)
+            thresh = jnp.take_along_axis(srt, cut[:, None], axis=-1)
+            lg = jnp.where(lg < thresh, jnp.finfo(jnp.float32).min, lg)
+            nxt = jax.random.categorical(sub, lg, axis=-1)
+        else:
+            raise ValueError(f"unknown generation_type {generation_type!r}")
+
+        nxt = jnp.where(done, tc.pad_id, nxt).astype(jnp.int32)
+        ids = ids.at[:, t].set(nxt)
+        done = done | (nxt == tc.eos_id)
+        return ids, done, key
+
+    ids, _, _ = jax.lax.fori_loop(1, seq_len, step, (ids0, done0, rng))
+    return ids
+
+
 # ---------------------------------------------------------------------------
 # converter + facade
 # ---------------------------------------------------------------------------

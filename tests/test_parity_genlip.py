@@ -118,3 +118,42 @@ def test_genlip_pack_prefix_loss_parity(ref, rng_seed=7):
         jnp.asarray(text.astype(np.int32)), compute_loss=True,
     )
     np.testing.assert_allclose(float(j_out["loss"]), float(t_out["loss"]), rtol=1e-5)
+
+
+def test_genlip_generate_greedy_matches_stepwise_argmax():
+    """First generated token == argmax of the forward logits at the bos position;
+    eos terminates and pads (superset: reference exposes generation only for CoCa)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from open_clip_tpu.factory import create_model
+    from open_clip_tpu.models import genlip as G
+
+    m = create_model("naflexgenlip_b16", load_weights=False)
+    cfg = m.cfg
+    rng = np.random.default_rng(0)
+    NI = 16
+    image = {"patches": jnp.asarray(rng.standard_normal((2, NI, 768)), jnp.float32),
+             "patch_coord": jnp.asarray(rng.integers(0, 4, (2, NI, 2)), jnp.int32),
+             "patch_valid": jnp.ones((2, NI), bool)}
+    ids = np.asarray(G.generate(m.params, cfg, image, seq_len=5))
+    assert (ids[:, 0] == cfg.text_cfg.bos_id).all()
+
+    # manual step-1: forward with only bos valid, argmax at position ni + 0
+    seq = 5
+    tc = cfg.text_cfg
+    text = jnp.full((2, seq), tc.pad_id, jnp.int32).at[:, 0].set(tc.bos_id)
+    tv = (jnp.arange(seq) < 1)[None, :].repeat(2, 0)
+    out = G.genlip_forward(m.params, cfg, image, text, text_valid=tv)
+    ni = out["image_seq_len"]
+    expect = np.asarray(jnp.argmax(out["logits"][:, ni, :], axis=-1))
+    np.testing.assert_array_equal(ids[:, 1], expect)
+
+    # after an (unlikely-with-random-weights) eos, everything pads; at minimum the
+    # buffer only contains ids < vocab_size and stays deterministic
+    ids2 = np.asarray(G.generate(m.params, cfg, image, seq_len=5))
+    np.testing.assert_array_equal(ids, ids2)
+    assert ids.max() < tc.vocab_size
