@@ -354,6 +354,18 @@ class CLIPModel:
         return clap.encode_audio(self.params, self.cfg, audio, normalize=normalize,
                                  compute_dtype=self.compute_dtype)
 
+    def generate(self, image, **kw):
+        """Caption images (CoCa configs; reference CoCa.generate, coca_model.py:248)."""
+        if self.cfg.multimodal_cfg is None:
+            raise ValueError("generate() requires a CoCa config (multimodal_cfg)")
+        from . import coca
+
+        if kw.pop("generation_type", None) == "beam_search" or "num_beams" in kw:
+            return coca.generate_beam(self.params, self.cfg, jnp.asarray(image),
+                                      compute_dtype=self.compute_dtype, **kw)
+        return coca.generate(self.params, self.cfg, jnp.asarray(image),
+                             compute_dtype=self.compute_dtype, **kw)
+
     def __call__(self, image=None, text=None):
         return clip_forward(
             self.params, self.cfg,

@@ -690,6 +690,12 @@ class GenLipModel:
                               text_valid, compute_loss=compute_loss,
                               compute_dtype=self.compute_dtype)
 
+    def generate(self, image, **kw):
+        """Caption images with the prefix-LM trunk (see module-level generate)."""
+        image = {k: jnp.asarray(v) for k, v in image.items()}
+        return generate(self.params, self.cfg, image,
+                        compute_dtype=self.compute_dtype, **kw)
+
 
 # ---------------------------------------------------------------------------
 # packed prefix layout (pack_prefix=True)
