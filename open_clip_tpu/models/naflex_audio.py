@@ -18,7 +18,7 @@ from ..config import CLIPAudioCfg
 from ..ops.layers import layer_norm, linear
 from . import blocks as B
 from .genlap import AudioNaFlexCfg, build_audio_position_ids
-from .genlip import GenLipTrunkCfg, _norm_params, apply_trunk, build_image_bias, mrope_cos_sin
+from .genlip import GenLipTrunkCfg, _norm_params, apply_trunk, build_image_bias, mrope_cos_sin, trunk_mask
 from .naflex_vit import _apply_map_pool
 
 
@@ -98,7 +98,7 @@ def apply_naflex_audio_encoder(
     x = audio["patches"].astype(compute_dtype)
     x = linear(x, params["patch_embed"]["proj"]["kernel"], params["patch_embed"]["proj"].get("bias"))
 
-    bias = build_image_bias(pv)
+    bias = trunk_mask(0, pv, x.shape[1], tcfg.width // tcfg.num_heads)
     # axial 2-D positions over (freq, time); 1-D time when full-height strips
     rope_1d = (acfg.mel_bins // acfg.patch_freq) == 1 and acfg.rope_type != "axial"
     pos = build_audio_position_ids(audio["patch_coord"], pv, rope_1d=rope_1d)
