@@ -84,6 +84,8 @@ def _features(params, cfg: CLIPModelCfg, batch, rng, *, compute_dtype, remat, st
         params, cfg, batch.get("image"), batch.get("text"),
         train=True, rng=rng, compute_dtype=compute_dtype, remat=remat,
         stats_sink=stats_sink,
+        # CoCa: skip the (B, L, V) vocab projection — features only
+        return_hidden=cfg.multimodal_cfg is not None,
     )
     return out["image_features"], out["text_features"]
 
@@ -139,8 +141,9 @@ def make_train_step(
     """Build the (un-jitted) train step; jit it with sharding annotations at the call
     site (see ``jit_train_step``)."""
     loss_fn = _make_loss_fn(cfg, mesh, loss_type, local_loss, dist_impl)
-    if loss_type == "coca" and accum_steps > 1:
-        raise NotImplementedError("grad accumulation for CoCa (caption term) lands later")
+    # CoCa accumulation: contrastive term via cached features (GradCache), caption
+    # term accumulated per microbatch (the reference's accum path rebuilds labels per
+    # microbatch and divides by accum_steps — coca_task.py:55-73; same semantics here)
 
     def full_loss(params, batch, rng):
         if loss_type in ("genlip", "genlap"):
@@ -272,18 +275,47 @@ def make_train_step(
         # phase 2: per-microbatch VJP with cached cotangents
         zero_grads = jax.tree.map(jnp.zeros_like, params)
 
+        contrastive_w = clip_loss_weight if loss_type == "coca" else 1.0
+
         def bwd(acc, inp):
             mb, r, di, dt = inp
+            acc_g, acc_cap = acc
             _, vjp = jax.vjp(
                 lambda p: _features(p, cfg, mb, r, compute_dtype=compute_dtype, remat=remat), params
             )
-            (g,) = vjp((di.astype(compute_dtype), dt.astype(compute_dtype)))
-            return jax.tree.map(jnp.add, acc, g), None
+            (g,) = vjp((
+                (contrastive_w * di).astype(compute_dtype),
+                (contrastive_w * dt).astype(compute_dtype),
+            ))
+            cap = jnp.float32(0.0)
+            if loss_type == "coca":
+                from ..ops.fused_ce import fused_linear_cross_entropy
 
-        grads, _ = lax.scan(bwd, zero_grads, (mb_batches, rngs, d_imfs, d_txfs))
-        grads["logit_scale"] = grads["logit_scale"] + d_ls
+                pad_id = cfg.text_cfg.pad_id if cfg.text_cfg else 0
+
+                def cap_loss(p):
+                    out = clip_forward(
+                        p, cfg, mb.get("image"), mb.get("text"), train=True, rng=r,
+                        compute_dtype=compute_dtype, remat=remat, return_hidden=True)
+                    hid = out["hidden"][:, :-1]
+                    tgt = mb["text"][:, 1:]
+                    labels = jnp.where(tgt == pad_id, -100, tgt).reshape(-1)
+                    c = fused_linear_cross_entropy(
+                        hid.reshape(-1, hid.shape[-1]),
+                        p["text_decoder"]["text_projection"].T, labels)
+                    return caption_loss_weight * c / accum_steps, c
+
+                (wcap, cap), cg = jax.value_and_grad(cap_loss, has_aux=True)(params)
+                g = jax.tree.map(jnp.add, g, cg)
+            return (jax.tree.map(jnp.add, acc_g, g), acc_cap + cap), None
+
+        (grads, cap_sum), _ = lax.scan(
+            bwd, (zero_grads, jnp.float32(0.0)), (mb_batches, rngs, d_imfs, d_txfs))
+        grads["logit_scale"] = grads["logit_scale"] + contrastive_w * d_ls
         if d_lb is not None:
-            grads["logit_bias"] = grads["logit_bias"] + d_lb
+            grads["logit_bias"] = grads["logit_bias"] + contrastive_w * d_lb
+        if loss_type == "coca":
+            loss = clip_loss_weight * loss + caption_loss_weight * cap_sum / accum_steps
         return _apply_updates(state, grads, loss)
 
     def _apply_updates(state: TrainState, grads, loss):
