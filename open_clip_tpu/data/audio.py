@@ -186,7 +186,9 @@ class SyntheticAudioDataset:
         seconds: float = 2.0,
         caption: str = "a synthetic tone for smoke testing",
     ):
-        sr = preprocess.target_sr
+        # CLAP preprocess carries target_sr; the GenLAP NaFlex patchify carries its
+        # AudioNaFlexCfg — both feed the same synthetic pipeline
+        sr = getattr(preprocess, "target_sr", None) or preprocess.cfg.sample_rate
         t = np.arange(int(sr * seconds)) / sr
         wav = (0.1 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
         sample = preprocess((wav, sr))

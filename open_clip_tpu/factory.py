@@ -239,6 +239,37 @@ def create_model_and_transforms(
 ):
     """(model, preprocess_train, preprocess_val) — reference factory.py:1081-1214."""
     model = create_model(model_name, pretrained, **kwargs)
+    if hasattr(model.cfg, "trunk_cfg"):
+        # GenLIP/GenLAP (reference _build_preprocess, factory.py:1046-1078): NaFlex
+        # transforms are bucket factories, not fixed pipelines. GenLAP gets the audio
+        # patchify directly; GenLIP gets (seq_len, patch_size) -> transform factories.
+        if getattr(model.cfg, "audio_cfg", None) is not None:
+            from .data.naflex_audio import AudioNaFlexPatchify, naflex_audio_eval_seq_len
+
+            acfg = model.cfg.audio_cfg
+            pp_t = AudioNaFlexPatchify(acfg, max_audio_tokens=naflex_audio_eval_seq_len(acfg))
+            return model, pp_t, pp_t
+        from .data.naflex import NaFlexTransform
+
+        def _factory(seq_len, patch_size=None):
+            return NaFlexTransform(seq_len, patch_size or model.cfg.vision_cfg.patch_size)
+
+        return model, _factory, _factory
+    if getattr(model.cfg, "audio_cfg", None) is not None:
+        # CLAP: audio transforms, not image ones (reference _build_preprocess audio
+        # dispatch, factory.py:1046-1078)
+        if model.cfg.audio_cfg.model_type == "naflexvit":
+            from .data.naflex_audio import AudioNaFlexPatchify, naflex_audio_eval_seq_len
+            from .models.naflex_audio import audio_naflex_cfg_from_clip_audio
+
+            acfg = audio_naflex_cfg_from_clip_audio(model.cfg.audio_cfg)
+            pp_t = AudioNaFlexPatchify(acfg, max_audio_tokens=naflex_audio_eval_seq_len(acfg))
+            return model, pp_t, pp_t
+        from .data.audio import audio_transform_v2
+
+        return (model,
+                audio_transform_v2(model.cfg.audio_cfg, is_train=True, audio_aug_cfg=aug_cfg),
+                audio_transform_v2(model.cfg.audio_cfg, is_train=False))
     pp = model._preprocess_cfg
     pp = merge_preprocess_dict(
         pp,

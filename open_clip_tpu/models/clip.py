@@ -360,7 +360,11 @@ class CLIPModel:
             raise ValueError("generate() requires a CoCa config (multimodal_cfg)")
         from . import coca
 
-        if kw.pop("generation_type", None) == "beam_search" or "num_beams" in kw:
+        # default matches the reference (coca_model.py:248 generation_type="beam_search");
+        # top_k/top_p are forwarded to the sampling loop rather than silently dropped
+        gt = kw.get("generation_type", "beam_search")
+        if gt == "beam_search" or "num_beams" in kw:
+            kw.pop("generation_type", None)
             return coca.generate_beam(self.params, self.cfg, jnp.asarray(image),
                                       compute_dtype=self.compute_dtype, **kw)
         return coca.generate(self.params, self.cfg, jnp.asarray(image),

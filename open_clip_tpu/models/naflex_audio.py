@@ -47,16 +47,22 @@ def _trunk_cfg_from_audio(acfg: CLIPAudioCfg) -> GenLipTrunkCfg:
     )
 
 
+def audio_naflex_cfg_from_clip_audio(acfg: CLIPAudioCfg) -> AudioNaFlexCfg:
+    """Mel/patch geometry of a CLAP naflexvit tower as an AudioNaFlexCfg (shared by
+    the encoder init and the data-pipeline patchify)."""
+    return AudioNaFlexCfg(
+        sample_rate=acfg.sample_rate, window_size=acfg.window_size, hop_size=acfg.hop_size,
+        fmin=acfg.fmin, fmax=acfg.fmax, n_mels=acfg.mel_bins,
+        patch_freq=acfg.patch_freq, patch_time=acfg.patch_time, in_chans=acfg.in_chans,
+    )
+
+
 def init_naflex_audio_encoder(key, acfg: CLIPAudioCfg) -> Tuple[Dict[str, Any], int]:
     """Returns (params, embed_dim) — the AudioTower projects from embed_dim."""
     from .genlip import GenLipModelCfg, GenLipTextCfg, GenLipVisionCfg, init_genlip
 
     tcfg = _trunk_cfg_from_audio(acfg)
-    ncfg = AudioNaFlexCfg(
-        sample_rate=acfg.sample_rate, window_size=acfg.window_size, hop_size=acfg.hop_size,
-        fmin=acfg.fmin, fmax=acfg.fmax, n_mels=acfg.mel_bins,
-        patch_freq=acfg.patch_freq, patch_time=acfg.patch_time, in_chans=acfg.in_chans,
-    )
+    ncfg = audio_naflex_cfg_from_clip_audio(acfg)
     width = tcfg.width
     ks = jax.random.split(key, 6)
     proxy = GenLipModelCfg(

@@ -64,6 +64,11 @@ def init_distributed(
         num_processes = num_processes if num_processes is not None else env_n
         process_id = process_id if process_id is not None else env_id
         if coordinator and num_processes and num_processes > 1:
+            if process_id is None:
+                raise ValueError(
+                    "multi-host init needs a process id: pass --dist-process-id or set "
+                    "one of OCT_PROCESS_ID / RANK / SLURM_PROCID"
+                )
             logger.info("jax.distributed.initialize(%s, %d, %d)",
                         coordinator, num_processes, process_id)
             jax.distributed.initialize(

@@ -98,4 +98,4 @@ def push_pretrained_to_hf_hub(
                  ("interpolation", image_interpolation), ("resize_mode", image_resize_mode)):
         if v is not None:
             pc[k] = v
-    return push_to_hf_hub(model, repo_id, **push_kwargs)
+    return push_to_hf_hub(model, repo_id, preprocess_cfg=pc, **push_kwargs)

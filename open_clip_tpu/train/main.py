@@ -253,7 +253,7 @@ def main(args=None):
             from ..convert import torch_clip_to_params
 
             sd = read_state_dict(path)
-            if tower == "audio" and cfg.audio_cfg is not None:
+            if tower == "audio" and getattr(cfg, "audio_cfg", None) is not None:
                 from ..models.clap import torch_clap_to_params
 
                 loaded = torch_clap_to_params(sd, cfg)
@@ -308,7 +308,10 @@ def main(args=None):
             grad_clip_norm=args.grad_clip_norm,
             wd_exclude_patterns=tuple(getattr(args, "wd_exclude_patterns", ()) or ()),
         )
-        num_layers = cfg.vision_cfg.layers if cfg.vision_cfg and not cfg.vision_cfg.is_resnet else None
+        _vc = getattr(cfg, "vision_cfg", None)
+        # LLRD layer count only applies to standard ViT towers (GenLIP trunks and
+        # ResNets enumerate layer groups differently; reference optim.py:247-335)
+        num_layers = _vc.layers if _vc is not None and getattr(_vc, "is_resnet", None) is False else None
         optimizer = create_optimizer(opt_cfg, params, schedule, num_layers=num_layers)
         if args.lock_image or args.lock_text:
             from .optim import apply_trainable_mask, trainable_mask
@@ -346,11 +349,15 @@ def main(args=None):
 
                 start_epoch = int(broadcast_scalar_from_primary(start_epoch))
 
+        # loss/family dispatch (reference create_task, factory.py:975: every model
+        # family — incl. GenLIP/GenLAP — is trainable from the CLI)
         if args.distill_model:
             loss_type = "distill"
+        elif hasattr(cfg, "trunk_cfg"):
+            loss_type = "genlap" if getattr(cfg, "audio_cfg", None) is not None else "genlip"
         elif args.siglip:
             loss_type = "siglip"
-        elif cfg.multimodal_cfg is not None:
+        elif getattr(cfg, "multimodal_cfg", None) is not None:
             loss_type = "coca"
         else:
             loss_type = "clip"

@@ -72,7 +72,10 @@ def train_one_epoch(
             # mid-epoch resume: fast-forward the deterministic (seed, epoch)-keyed
             # sample stream past already-trained batches instead of replaying them
             # (the reference replays from the epoch start; data.py has no position
-            # restore). Decode cost only, no device steps.
+            # restore). Decode cost only, no device steps. The per-step RNG is still
+            # split so dropout/augmentation randomness after resume matches an
+            # uninterrupted run at the same step index.
+            rng, _ = jax.random.split(rng)
             end = time.perf_counter()
             continue
         data_time.update(time.perf_counter() - end)
@@ -164,6 +167,34 @@ def evaluate(
     zero-shot (reference train.py:536-714), via one jitted eval step."""
     metrics: Dict[str, float] = {}
 
+    if hasattr(model.cfg, "trunk_cfg"):
+        # GenLIP/GenLAP: no contrastive head — validation is the fused AR caption
+        # loss (reference genlip_task.py eval_forward)
+        if "val" in data:
+            from ..models import genlap as _genlap, genlip as _genlip
+
+            is_audio = getattr(model.cfg, "audio_cfg", None) is not None
+            fwd = _genlap.genlap_forward if is_audio else _genlip.genlip_forward
+            mod_key = "audio" if is_audio else "image"
+
+            @jax.jit
+            def gen_step(params, batch):
+                return fwd(params, model.cfg, batch[mod_key], batch["text"],
+                           compute_loss=True, compute_dtype=model.compute_dtype)["loss"]
+
+            loss_sum, n = 0.0, 0
+            for batch in data["val"].dataloader:
+                bs = _batch_size(batch)
+                loss_sum += float(np.asarray(gen_step(model.params, _to_device(batch)))) * bs
+                n += bs
+            if n:
+                metrics["val_generative_loss"] = loss_sum / n
+                metrics["num_samples"] = n
+        metrics["epoch"] = epoch
+        if metrics and writer is not None:
+            writer.log({f"val/{k}": v for k, v in metrics.items()}, step=epoch)
+        return metrics
+
     from .zero_shot import zero_shot_eval
 
     metrics.update(zero_shot_eval(model, data, epoch, args, tokenizer=tokenizer))
@@ -174,13 +205,14 @@ def evaluate(
         loss_sum = gen_sum = 0.0
         n = gen_n = 0
         primary_key = "image"
-        pending = []  # device results awaiting host transfer (keeps device busy)
-        for batch in data["val"].dataloader:
-            if "audio" in batch:
-                primary_key = "audio"
-            res = eval_step(model.params, _to_device(batch))
-            pending.append((res, _batch_size(batch)))
-        for res, bs in pending:
+        # bounded device-result pipeline: keep a couple of batches in flight so the
+        # chip stays busy, but transfer as we go — holding every batch's features in
+        # HBM until the end would scale val-set HBM use with the dataset size
+        pending = []
+        PIPELINE_DEPTH = 2
+
+        def _drain(res, bs):
+            nonlocal loss_sum, gen_sum, n, gen_n
             if res.get("primary_features") is not None:
                 all_imf.append(np.asarray(res["primary_features"], dtype=np.float32))
                 all_txf.append(np.asarray(res["text_features"], dtype=np.float32))
@@ -189,6 +221,16 @@ def evaluate(
                 gen_sum += float(np.asarray(res["gen_loss"])) * bs
                 gen_n += bs
             n += bs
+
+        for batch in data["val"].dataloader:
+            if "audio" in batch:
+                primary_key = "audio"
+            res = eval_step(model.params, _to_device(batch))
+            pending.append((res, _batch_size(batch)))
+            if len(pending) > PIPELINE_DEPTH:
+                _drain(*pending.pop(0))
+        for res, bs in pending:
+            _drain(res, bs)
         if n and all_imf:
             loss_key = "clip_val_loss" if primary_key == "image" else f"{primary_key}_val_loss"
             metrics[loss_key] = loss_sum / n

@@ -338,13 +338,38 @@ def make_train_step(
         }
         return TrainState(state.step + 1, new_params, new_opt, new_ema), metrics
 
-    if accum_steps > 1 and cfg.vision_cfg is not None and cfg.vision_cfg.is_resnet:
+    def gen_accum_step(state: TrainState, batch, rng):
+        """Accumulation for GenLIP/GenLAP: the fused AR caption CE decomposes over
+        samples (no cross-sample negatives), so plain grad averaging over microbatches
+        is exact — no GradCache pass needed (reference genlip_task.py accum path)."""
+        params = state.params
+        mb_batches = jax.tree.map(
+            lambda x: x.reshape(accum_steps, x.shape[0] // accum_steps, *x.shape[1:]), batch
+        )
+        rngs = jax.random.split(rng, accum_steps)
+        zero_grads = jax.tree.map(jnp.zeros_like, params)
+
+        def body(acc, inp):
+            mb, r = inp
+            acc_g, acc_l = acc
+            (l, _), g = jax.value_and_grad(full_loss, has_aux=True)(params, mb, r)
+            return (jax.tree.map(jnp.add, acc_g, g), acc_l + l), None
+
+        (grads, loss_sum), _ = lax.scan(body, (zero_grads, jnp.float32(0.0)), (mb_batches, rngs))
+        inv = 1.0 / accum_steps
+        grads = jax.tree.map(lambda g: g * inv, grads)
+        new_state, metrics = _apply_updates(state, grads, loss_sum * inv)
+        return new_state, metrics
+
+    if accum_steps > 1 and getattr(getattr(cfg, "vision_cfg", None), "is_resnet", False):
         import logging
 
         logging.getLogger(__name__).warning(
             "grad accumulation with a ResNet tower: BN running stats are not updated "
             "under the GradCache path; they stay at their initial/loaded values")
-    return accum_step if accum_steps > 1 else simple_step
+    if accum_steps > 1:
+        return gen_accum_step if loss_type in ("genlip", "genlap") else accum_step
+    return simple_step
 
 
 def jit_train_step(
