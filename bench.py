@@ -10,7 +10,9 @@ CLAP-HTSAT) — one JSON line each and a combined docs/bench_suite.json.
 vs_baseline compares the flagship against the derived A100 anchor: ~775 images/sec/GPU
 for ViT-B-32 contrastive training incl. text tower (BASELINE.md, derived from reference
 docs/PRETRAINED.md:32 — 32768 global batch / 128 GPUs / 36 h / 12.8B samples).
-MFU = train FLOPs (4x fwd under full remat) / step time / 197 TF/s bf16 peak (v5e).
+MFU = 3x-forward train FLOPs / step time / 197 TF/s bf16 peak (v5e) — the standard
+convention that does NOT credit remat recomputation as useful work; "hfu" additionally
+counts the remat re-forward (4x fwd) and so reflects hardware busy-ness, not model work.
 """
 
 import json
@@ -104,13 +106,13 @@ def bench_flagship():
     dt = _run_steps(state, step, batch)
     img_per_sec = bs / dt
     gflops = _fwd_gflops("ViT-B-32", 15.06)
-    mfu = gflops * 4 * bs / dt / 1e3 / V5E_PEAK_TFLOPS  # 4x fwd: full remat
     return {
         "metric": "vit_b32_clip_train_images_per_sec_per_chip",
         "value": round(img_per_sec, 1),
         "unit": "images/sec/chip (bf16, batch 1024, incl. text tower + optimizer)",
         "vs_baseline": round(img_per_sec / A100_ANCHOR_IMG_PER_SEC, 3),
-        "mfu": round(mfu, 3),
+        "mfu": round(gflops * 3 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
+        "hfu": round(gflops * 4 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
     }
 
 
@@ -130,7 +132,8 @@ def bench_vit_l14():
         "metric": "vit_l14_clip_train_images_per_sec_per_chip",
         "value": round(bs / dt, 1),
         "unit": "images/sec/chip (bf16, batch 256, all-gather InfoNCE train step)",
-        "mfu": round(gflops * 4 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
+        "mfu": round(gflops * 3 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
+        "hfu": round(gflops * 4 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
     }
 
 
@@ -166,7 +169,8 @@ def bench_vit_h14():
         "metric": "vit_h14_clip_train_images_per_sec_per_chip",
         "value": round(bs / dt, 1),
         "unit": "images/sec/chip (pure_bf16 params + bf16 adam mu, batch 64, InfoNCE train step)",
-        "mfu": round(gflops * 4 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
+        "mfu": round(gflops * 3 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
+        "hfu": round(gflops * 4 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
     }
 
 
@@ -186,7 +190,8 @@ def bench_siglip():
         "metric": "siglip_b16_train_images_per_sec_per_chip",
         "value": round(bs / dt, 1),
         "unit": "images/sec/chip (bf16, batch 512, sigmoid loss train step)",
-        "mfu": round(gflops * 4 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
+        "mfu": round(gflops * 3 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
+        "hfu": round(gflops * 4 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
     }
 
 
@@ -206,7 +211,8 @@ def bench_coca():
         "metric": "coca_b32_train_samples_per_sec_per_chip",
         "value": round(bs / dt, 1),
         "unit": "samples/sec/chip (bf16, batch 512, contrastive+caption train step)",
-        "mfu": round(gflops * 4 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
+        "mfu": round(gflops * 3 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
+        "hfu": round(gflops * 4 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
     }
 
 
@@ -299,8 +305,158 @@ def bench_clap():
     }
 
 
+def _make_bench_shards(root, n_shards=4, per_shard=1024, side=256, quality=85):
+    """Synthetic webdataset tar shards: distinct JPEG photos (noise + gradient so
+    JPEG entropy is realistic) + distinct captions. Cached across bench runs."""
+    import io
+    import os
+    import tarfile
+
+    from PIL import Image
+
+    os.makedirs(root, exist_ok=True)
+    paths = [os.path.join(root, f"shard-{i:05d}.tar") for i in range(n_shards)]
+    if all(os.path.exists(p) for p in paths):
+        return os.path.join(root, f"shard-{{00000..{n_shards - 1:05d}}}.tar")
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:side, 0:side]
+    base = np.stack([yy, xx, (yy + xx) / 2], -1).astype(np.float32) / (2 * side) * 255
+    for si, p in enumerate(paths):
+        with tarfile.open(p, "w") as tf:
+            for j in range(per_shard):
+                arr = np.clip(base + rng.normal(0, 40, (side, side, 3)), 0, 255).astype(np.uint8)
+                buf = io.BytesIO()
+                Image.fromarray(arr).save(buf, "JPEG", quality=quality)
+                img_bytes = buf.getvalue()
+                cap = f"a synthetic photo number {si * per_shard + j} of textured noise over a diagonal gradient".encode()
+                for name, data in ((f"{j:06d}.jpg", img_bytes), (f"{j:06d}.txt", cap)):
+                    info = tarfile.TarInfo(name)
+                    info.size = len(data)
+                    tf.addfile(info, io.BytesIO(data))
+    return os.path.join(root, f"shard-{{00000..{n_shards - 1:05d}}}.tar")
+
+
+def bench_input_pipeline():
+    """END-TO-END input path (BASELINE north star): tar bytes -> JPEG decode ->
+    uint8 canvas -> H2D -> fused on-device RandomResizedCrop + normalize -> ViT-B-32
+    train step, with the host stage overlapped via background prefetch.
+
+    Reference to beat: the torch DataLoader pipeline (data.py:694-948) feeding
+    775 img/s/A100. Source images are 256 px (LAION-style pre-resized thumbnails)."""
+    jax = _setup_jax()
+    import itertools
+    import os
+
+    import jax.numpy as jnp
+
+    from open_clip_tpu.config import parse_model_cfg
+    from open_clip_tpu.data.wds import WdsConfig, WdsPipeline, device_prefetch
+    from open_clip_tpu.factory import get_tokenizer
+    from open_clip_tpu.models import blocks
+    from open_clip_tpu.train.optim import OptimizerCfg, create_optimizer
+    from open_clip_tpu.train.scheduler import const_lr
+    from open_clip_tpu.train.train_step import create_train_state, jit_train_step, make_train_step
+    from open_clip_tpu.transform import (
+        PreprocessCfg,
+        make_device_train_preprocess,
+        uint8_image_transform_v2,
+    )
+
+    import sys as _sys
+
+    def _prog(msg):
+        print(f"# input_pipeline: {msg}", file=_sys.stderr, flush=True)
+
+    blocks.SCAN_UNROLL = 2
+    urls = _make_bench_shards("/root/repo/.bench_data", n_shards=8)
+    _prog("shards ready")
+    cfg = parse_model_cfg("ViT-B-32")
+    pp_cfg = PreprocessCfg(size=224)
+    u8 = uint8_image_transform_v2(pp_cfg, is_train=True)
+    devpp = make_device_train_preprocess(pp_cfg)
+
+    import jax as _jax
+    from open_clip_tpu.models.clip import init_clip
+
+    params = init_clip(_jax.random.PRNGKey(0), cfg)
+    opt = create_optimizer(OptimizerCfg(lr=5e-4, wd=0.2, grad_clip_norm=1.0), params,
+                           const_lr(5e-4, 0))
+    state = create_train_state(params, opt)
+    step = jit_train_step(make_train_step(cfg, opt, compute_dtype=jnp.bfloat16, remat=True,
+                                          device_preprocess=devpp))
+
+    bs = 1024
+    default_nw = max(1, min(4, (os.cpu_count() or 1) - 1)) if (os.cpu_count() or 1) > 1 else 1
+    nw = int(os.environ.get("OPEN_CLIP_TPU_BENCH_WORKERS", str(default_nw)))
+    tok = get_tokenizer("ViT-B-32")
+    wds = WdsPipeline(
+        WdsConfig(urls=urls, batch_size=bs, shuffle_shards=0, shuffle_samples=0,
+                  num_workers=nw, resampled=False),
+        u8, tok,
+    )
+
+    def epochs():
+        for e in itertools.count():
+            wds.set_epoch(e)
+            yield from wds
+
+    loader = device_prefetch(epochs(), depth=3)
+    it = iter(loader)
+    warmup, iters = 3, 10
+    for i in range(warmup):
+        batch = next(it)
+        _prog(f"warmup batch {i} fetched")
+        state, metrics = step(state, batch, _jax.random.PRNGKey(i))
+        _prog(f"warmup step {i} dispatched")
+    _ = np.asarray(metrics["loss"])
+    _prog("warmup done")
+    t0 = time.perf_counter()
+    for i in range(iters):
+        batch = next(it)
+        state, metrics = step(state, batch, _jax.random.PRNGKey(warmup + i))
+    loss = float(np.asarray(metrics["loss"]))
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(loss)
+    img_per_sec = bs / dt
+    _prog(f"e2e measured {img_per_sec:.0f} img/s")
+
+    # pipeline-balance record: host stage alone, and the fused device step alone
+    # (device-resident batch) — e2e should sit at min(host, device) when overlapped
+    wds.set_epoch(99)
+    host_it = iter(wds)
+    next(host_it)
+    t0 = time.perf_counter()
+    n_host = 3
+    for _ in range(n_host):
+        next(host_it)
+    host_rate = n_host * bs / (time.perf_counter() - t0)
+
+    rng = np.random.default_rng(0)
+    dev_batch = {
+        "image": _jax.device_put(rng.integers(0, 255, (bs, 256, 256, 3), np.uint8)),
+        "text": _jax.device_put(rng.integers(0, 49407, (bs, 77)).astype(np.int32)),
+    }
+    state, metrics = step(state, dev_batch, _jax.random.PRNGKey(99))
+    _ = np.asarray(metrics["loss"])
+    t0 = time.perf_counter()
+    for i in range(5):
+        state, metrics = step(state, dev_batch, _jax.random.PRNGKey(100 + i))
+    float(np.asarray(metrics["loss"]))
+    dev_rate = bs / ((time.perf_counter() - t0) / 5)
+
+    return {
+        "metric": "vit_b32_e2e_tar_to_chip_images_per_sec",
+        "value": round(img_per_sec, 1),
+        "unit": f"images/sec (real tar shards, JPEG decode + uint8 H2D + fused device RRC/normalize + train step, {nw} decode worker(s), {os.cpu_count()} host core(s))",
+        "vs_baseline": round(img_per_sec / A100_ANCHOR_IMG_PER_SEC, 3),
+        "host_stage_images_per_sec": round(host_rate, 1),
+        "device_step_images_per_sec": round(dev_rate, 1),
+    }
+
+
 SUITE = {
     "vit_b32": bench_flagship,
+    "input_pipeline": bench_input_pipeline,
     "vit_l14": bench_vit_l14,
     "vit_h14": bench_vit_h14,
     "siglip_b16": bench_siglip,

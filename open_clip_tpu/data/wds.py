@@ -263,8 +263,13 @@ class WdsPipeline:
         failures = 0
         for rec in self._samples(epoch, worker_id, num_workers):
             try:
-                img = decode_image_rgb(rec["image_bytes"])
-                arr = self.preprocess(img)
+                if getattr(self.preprocess, "accepts_bytes", False):
+                    # uint8 device-preprocess tier decodes itself (JPEG draft mode
+                    # needs the raw bytes, not an already-loaded PIL image)
+                    arr = self.preprocess(rec["image_bytes"])
+                else:
+                    img = decode_image_rgb(rec["image_bytes"])
+                    arr = self.preprocess(img)
                 failures = 0
             except Exception as e:  # noqa: BLE001 — data-plane fault tolerance
                 failures += 1
@@ -360,18 +365,22 @@ class PrefetchIterator:
     """Background-thread prefetch of an iterable (overlaps host decode with device step,
     the role of the reference's DataLoader workers)."""
 
-    def __init__(self, iterable: Iterable, depth: int = 4):
+    def __init__(self, iterable: Iterable, depth: int = 4, transfer: Optional[Callable] = None):
         self.iterable = iterable
         self.depth = depth
+        self.transfer = transfer
 
     def __iter__(self):
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.depth)
         sentinel = object()
         err: List[BaseException] = []
+        transfer = self.transfer
 
         def worker():
             try:
                 for item in self.iterable:
+                    if transfer is not None:
+                        item = transfer(item)
                     q.put(item)
             except BaseException as e:  # noqa: BLE001 — re-raised on the consumer side
                 err.append(e)
@@ -387,3 +396,20 @@ class PrefetchIterator:
                     raise err[0]
                 return
             yield item
+
+
+def device_prefetch(iterable: Iterable, depth: int = 2, sharding=None) -> "PrefetchIterator":
+    """Prefetch-to-device: the background thread performs the H2D copy so the main
+    thread only dispatches compiled steps on already-device-resident batches
+    (overlaps host decode AND transfer with the device step; the uint8 tier keeps
+    the copied bytes 4x smaller than float32). ``sharding`` places batches directly
+    onto a mesh sharding (avoids a second on-device reshard under SPMD)."""
+    import jax
+
+    def to_device(batch):
+        return jax.tree.map(
+            lambda a: jax.device_put(a, sharding) if sharding is not None else jax.device_put(a),
+            batch,
+        )
+
+    return PrefetchIterator(iterable, depth=depth, transfer=to_device)

@@ -122,12 +122,14 @@ def random_seed(seed: int = 42):
 
 
 def _write_ckpt_meta(path, epoch: int, step: int, args) -> None:
-    """Sidecar meta.json so resume recovers the exact epoch even when steps/epoch
-    changed between runs (torch checkpoints embed 'epoch' the same way)."""
+    """Sidecar <path>.meta.json so resume recovers the exact epoch even when
+    steps/epoch changed between runs (torch checkpoints embed 'epoch' the same way).
+    Written NEXT to the checkpoint dir: under async Orbax saves the dir itself does
+    not exist until the background rename finalizes."""
     import json as _json
 
     try:
-        with open(Path(path) / "meta.json", "w") as fh:
+        with open(str(path) + ".meta.json", "w") as fh:
             _json.dump({"epoch": epoch, "step": step,
                         "samples_seen": step * args.batch_size * args.world_size}, fh)
     except OSError as e:  # noqa: PERF203 — meta is best-effort
@@ -140,20 +142,27 @@ def _resume_epoch(resume_path: str, step: int, steps_per_epoch: int) -> int:
     import json as _json
     import re as _re
 
-    meta = Path(resume_path) / "meta.json"
-    if meta.exists():
-        try:
-            return int(_json.loads(meta.read_text())["epoch"])
-        except (OSError, KeyError, ValueError):
-            pass
-    m = _re.match(r"epoch_(\d+)$", Path(resume_path).name)
+    real = Path(resume_path).resolve()  # epoch_latest may be a pointer symlink
+    for meta in (Path(str(real) + ".meta.json"), real / "meta.json"):
+        if meta.exists():
+            try:
+                return int(_json.loads(meta.read_text())["epoch"])
+            except (OSError, KeyError, ValueError):
+                pass
+    m = _re.match(r"epoch_(\d+)$", real.name)
     if m:
         return int(m.group(1))
     return step // max(steps_per_epoch, 1)
 
 
 def get_latest_checkpoint(ckpt_dir: Path) -> Optional[str]:
-    cands = sorted(ckpt_dir.glob("epoch_*"), key=lambda p: int(p.name.split("_")[1]))
+    """Resume-latest discovery (reference get_latest_checkpoint, main.py:77-96):
+    prefer the epoch_latest pointer, else the highest epoch_N dir."""
+    latest = ckpt_dir / "epoch_latest"
+    if latest.exists():
+        return str(latest)
+    cands = sorted((p for p in ckpt_dir.glob("epoch_*") if p.name.split("_")[1].isdigit()),
+                   key=lambda p: int(p.name.split("_")[1]))
     return str(cands[-1]) if cands else None
 
 
@@ -273,6 +282,21 @@ def main(args=None):
         else:
             params = shard_params(params, fsdp_shardings(params, mesh))
 
+    device_pp = None
+    if getattr(args, "device_preprocess", False):
+        # BASELINE north-star input path: the host stage emits fixed-shape uint8
+        # (decode + geometry only), the RandomResizedCrop + normalize run fused
+        # inside the jitted train step, and H2D ships 4x fewer bytes
+        if getattr(model, "_preprocess_cfg", None) is None or getattr(cfg, "vision_cfg", None) is None:
+            raise ValueError("--device-preprocess supports standard image towers only "
+                             "(not audio/GenLIP/NaFlex patch-dict inputs)")
+        from ..transform import make_device_train_preprocess, uint8_image_transform_v2
+
+        pp_train = uint8_image_transform_v2(model._preprocess_cfg, is_train=True,
+                                            aug_cfg=args.aug_cfg)
+        device_pp = make_device_train_preprocess(model._preprocess_cfg, aug_cfg=args.aug_cfg)
+        logger.info("device preprocess: host uint8 canvas -> on-device RRC+normalize")
+
     tokenizer = get_tokenizer(args.model)
     data = get_data(args, (pp_train, pp_val), epoch=0, tokenizer=tokenizer)
     assert "train" in data or "val" in data or "imagenet-val" in data, "no data specified"
@@ -378,6 +402,7 @@ def main(args=None):
                 naflex_loss_scale=args.naflex_loss_scale,
                 reference_batch_size=args.batch_size,
                 freeze_bn_stats=args.lock_image and args.lock_image_freeze_bn_stats,
+                device_preprocess=device_pp,
             ),
             mesh,
         )
@@ -399,9 +424,17 @@ def main(args=None):
         for epoch in range(start_epoch, args.epochs):
             logger.info("=> epoch %d", epoch)
             data["train"].set_epoch(epoch)
+            batch_sh = None
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from ..parallel.mesh import DATA_AXIS
+
+                batch_sh = NamedSharding(mesh, P(DATA_AXIS))
             state = train_one_epoch(
                 state, step_fn, data["train"].dataloader, epoch, args, schedule, writer,
                 skip_steps=resume_skip if epoch == start_epoch else 0,
+                batch_sharding=batch_sh,
             )
             # raw weights stay on the facade; eval below uses EMA when present
             # (reference get_trainable_module(use_ema=True), base_task.py:159-163)
@@ -422,30 +455,48 @@ def main(args=None):
                         model.params = state.params
                     logger.info("eval: %s", {k: round(_py(v), 4) for k, v in metrics.items()})
 
+            saved_path = None
             if completed % args.save_frequency == 0 or completed == args.epochs:
-                path = ckpt_dir / f"epoch_{completed}"
-                save_native(str(path), state)
-                _write_ckpt_meta(path, completed, int(state.step), args)
-                logger.info("saved checkpoint %s", path)
+                saved_path = ckpt_dir / f"epoch_{completed}"
+                # async: device->host copy blocks (donation-safe), serialization
+                # finalizes in the background while the next epoch trains
+                save_native(str(saved_path), state, block=False)
+                _write_ckpt_meta(saved_path, completed, int(state.step), args)
+                logger.info("saving checkpoint %s (async)", saved_path)
             if args.save_most_recent:
-                # atomic latest swap (reference main.py:678-741): write tmp, then rename
                 import shutil
 
-                tmp = ckpt_dir / "tmp_latest"
-                if tmp.exists():
-                    shutil.rmtree(tmp)
-                save_native(str(tmp), state)
-                _write_ckpt_meta(tmp, completed, int(state.step), args)
                 latest = ckpt_dir / "epoch_latest"
-                if latest.exists():
-                    shutil.rmtree(latest)
-                os.replace(tmp, latest)
+                if saved_path is not None:
+                    # pointer swap — no second serialization of the same state
+                    # (reference main.py:678-741 re-writes the full checkpoint; the
+                    # atomic-swap guarantee is kept via symlink replace)
+                    if latest.is_dir() and not latest.is_symlink():
+                        shutil.rmtree(latest)
+                    tmp_link = ckpt_dir / ".latest_tmp"
+                    if tmp_link.is_symlink() or tmp_link.exists():
+                        tmp_link.unlink()
+                    os.symlink(saved_path.name, tmp_link)
+                    os.replace(tmp_link, latest)
+                else:
+                    # epoch not covered by save_frequency: serialize directly;
+                    # Orbax's tmp-dir + rename keeps the update atomic
+                    if latest.is_symlink():
+                        latest.unlink()
+                    save_native(str(latest), state, block=False)
+                    _write_ckpt_meta(latest, completed, int(state.step), args)
                 if args.delete_previous_checkpoint and completed > 1:
+                    from ..checkpoint import wait_for_saves
+
+                    wait_for_saves()  # never delete while a save may reference disk
                     prev = ckpt_dir / f"epoch_{completed - 1}"
                     if prev.exists():
                         import shutil
 
                         shutil.rmtree(prev)
+        from ..checkpoint import wait_for_saves
+
+        wait_for_saves()
         return state
 
     # eval-only

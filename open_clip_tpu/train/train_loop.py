@@ -47,6 +47,7 @@ def train_one_epoch(
     schedule: Optional[Callable] = None,
     writer=None,
     skip_steps: int = 0,
+    batch_sharding=None,
 ) -> TrainState:
     batch_time = AverageMeter()
     data_time = AverageMeter()
@@ -58,12 +59,14 @@ def train_one_epoch(
     loss_ema = None
     rng = jax.random.PRNGKey(getattr(args, "seed", 0) + epoch)
 
-    # overlap host decode/tokenize with the device step (the role of the reference's
-    # DataLoader workers, data.py:1023-1055)
-    from ..data.wds import PrefetchIterator
+    # overlap host decode/tokenize AND the H2D copy with the device step: the
+    # prefetch thread device_puts each batch (onto the mesh sharding when given),
+    # so the main thread only dispatches compiled steps (the role of the
+    # reference's DataLoader workers + pin_memory/non_blocking, data.py:1023-1055)
+    from ..data.wds import device_prefetch
 
     prefetch_depth = max(1, getattr(args, "workers", 2))
-    loader = PrefetchIterator(dataloader, depth=prefetch_depth)
+    loader = device_prefetch(dataloader, depth=prefetch_depth, sharding=batch_sharding)
 
     end = time.perf_counter()
     pending_metrics = None
@@ -80,7 +83,7 @@ def train_one_epoch(
             continue
         data_time.update(time.perf_counter() - end)
         rng, step_rng = jax.random.split(rng)
-        state, metrics = step_fn(state, _to_device(batch), step_rng)
+        state, metrics = step_fn(state, batch, step_rng)
         pending_metrics = metrics
 
         if (i % metric_every) == 0 or (i % log_every) == 0:

@@ -137,10 +137,23 @@ def make_train_step(
     caption_loss_weight: float = 2.0,
     clip_loss_weight: float = 1.0,
     teacher: Optional[Tuple[CLIPModelCfg, Any]] = None,
+    device_preprocess: Optional[Callable] = None,
 ) -> Callable[[TrainState, Dict[str, jax.Array], jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the (un-jitted) train step; jit it with sharding annotations at the call
-    site (see ``jit_train_step``)."""
+    site (see ``jit_train_step``).
+
+    ``device_preprocess``: optional jittable ``(rng, uint8 images) -> float images``
+    fused into the step (the BASELINE north-star path: uint8 H2D, on-device
+    RandomResizedCrop + normalize ahead of the patchify matmul).
+    """
     loss_fn = _make_loss_fn(cfg, mesh, loss_type, local_loss, dist_impl)
+
+    def _maybe_device_pp(batch, rng):
+        if device_preprocess is None or "image" not in batch:
+            return batch
+        batch = dict(batch)
+        batch["image"] = device_preprocess(rng, batch["image"])
+        return batch
     # CoCa accumulation: contrastive term via cached features (GradCache), caption
     # term accumulated per microbatch (the reference's accum path rebuilds labels per
     # microbatch and divides by accum_steps — coca_task.py:55-73; same semantics here)
@@ -225,6 +238,8 @@ def make_train_step(
         return loss, ({"_bn_stats": sink} if sink else {})
 
     def simple_step(state: TrainState, batch, rng):
+        rng, pp_rng = jax.random.split(rng)
+        batch = _maybe_device_pp(batch, pp_rng)
         (loss, aux), grads = jax.value_and_grad(full_loss, has_aux=True)(state.params, batch, rng)
         new_state, metrics = _apply_updates(state, grads, loss)
         bn = aux.get("_bn_stats") if isinstance(aux, dict) else None
@@ -236,6 +251,8 @@ def make_train_step(
 
     def accum_step(state: TrainState, batch, rng):
         """GradCache exact accumulation over the leading microbatch axis of ``batch``."""
+        rng, pp_rng = jax.random.split(rng)
+        batch = _maybe_device_pp(batch, pp_rng)
         params = state.params
         mb_batches = jax.tree.map(
             lambda x: x.reshape(accum_steps, x.shape[0] // accum_steps, *x.shape[1:]), batch
@@ -342,6 +359,8 @@ def make_train_step(
         """Accumulation for GenLIP/GenLAP: the fused AR caption CE decomposes over
         samples (no cross-sample negatives), so plain grad averaging over microbatches
         is exact — no GradCache pass needed (reference genlip_task.py accum path)."""
+        rng, pp_rng = jax.random.split(rng)
+        batch = _maybe_device_pp(batch, pp_rng)
         params = state.params
         mb_batches = jax.tree.map(
             lambda x: x.reshape(accum_steps, x.shape[0] // accum_steps, *x.shape[1:]), batch

@@ -241,6 +241,165 @@ def collate_images(arrays: Sequence[np.ndarray]) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# uint8 host tier — decode + geometry only; float conversion / normalize / crop
+# augmentation run fused on device (BASELINE north star). H2D ships uint8: 4x
+# fewer bytes than float32, and JPEG draft-mode decode skips most IDCT work.
+# ---------------------------------------------------------------------------
+
+
+def _decode_draft(data: bytes, target: Tuple[int, int]):
+    """bytes -> PIL RGB, using JPEG draft mode to decode at a reduced scale when the
+    image is much larger than the target (cuts decode time ~2-4x on large photos;
+    draft only ever decodes at >= the requested size, so quality is preserved)."""
+    import io as _io
+
+    img = Image.open(_io.BytesIO(data))
+    try:
+        img.draft("RGB", (max(target), max(target)))
+    except Exception:  # noqa: BLE001 — draft is JPEG-only; other codecs pass through
+        pass
+    img.load()
+    return img.convert("RGB")
+
+
+class _Uint8ValTransform:
+    """Val-path geometry (resize + center crop) at uint8; pairs with
+    ``make_device_preprocess`` which does the float convert + normalize on device."""
+
+    accepts_bytes = True
+
+    def __init__(self, cfg: PreprocessCfg):
+        self.cfg = cfg
+        self.interp = _PIL_INTERP.get(cfg.interpolation, Image.BICUBIC if Image else None)
+
+    def __call__(self, img) -> np.ndarray:
+        cfg = self.cfg
+        size = cfg.size_hw
+        if isinstance(img, (bytes, bytearray)):
+            img = _decode_draft(bytes(img), size)
+        if img.mode != cfg.mode:
+            img = img.convert(cfg.mode)
+        if cfg.resize_mode == "squash":
+            img = img.resize((size[1], size[0]), self.interp)
+        elif cfg.resize_mode == "longest":
+            img = _resize_longest(img, size, self.interp)
+            img = _center_crop_or_pad(img, size, fill=cfg.fill_color)
+        else:
+            img = _resize_shortest(img, size, self.interp)
+            img = _center_crop_or_pad(img, size, fill=cfg.fill_color)
+        return np.asarray(img, dtype=np.uint8)
+
+
+class _Uint8CanvasTransform:
+    """Train-path host stage: shortest-edge resize + center crop to a fixed square
+    ``canvas`` (slightly larger than the model size) at uint8. The random resized
+    crop itself runs on device (``make_device_train_preprocess``), batched and fused
+    into the train step."""
+
+    accepts_bytes = True
+
+    def __init__(self, cfg: PreprocessCfg, canvas: int):
+        self.cfg = cfg
+        self.canvas = canvas
+        self.interp = _PIL_INTERP.get(cfg.interpolation, Image.BICUBIC if Image else None)
+
+    def __call__(self, img) -> np.ndarray:
+        s = (self.canvas, self.canvas)
+        if isinstance(img, (bytes, bytearray)):
+            img = _decode_draft(bytes(img), s)
+        if img.mode != self.cfg.mode:
+            img = img.convert(self.cfg.mode)
+        img = _resize_shortest(img, s, self.interp)
+        img = _center_crop_or_pad(img, s, fill=self.cfg.fill_color)
+        return np.asarray(img, dtype=np.uint8)
+
+
+def default_canvas_size(cfg: PreprocessCfg) -> int:
+    """Crop-source canvas for the device RRC: ~8/7 of the model size, rounded up to a
+    multiple of 16 (224 -> 256). Large enough that scale-(0.9,1.0) crops never
+    upsample, small enough to keep H2D bytes near the final size."""
+    return int(np.ceil(max(cfg.size_hw) * 8 / 7 / 16) * 16)
+
+
+def uint8_image_transform_v2(
+    cfg: PreprocessCfg,
+    is_train: bool,
+    aug_cfg: Optional[Union[Dict[str, Any], AugmentationCfg]] = None,
+    canvas: Optional[int] = None,
+):
+    """Host stage of the device-preprocess path: PIL/bytes -> uint8 HWC at a fixed
+    shape. Use with ``make_device_preprocess`` (val) / ``make_device_train_preprocess``
+    (train) for the on-device half."""
+    if is_train:
+        return _Uint8CanvasTransform(cfg, canvas or default_canvas_size(cfg))
+    return _Uint8ValTransform(cfg)
+
+
+def make_device_train_preprocess(
+    cfg: PreprocessCfg,
+    aug_cfg: Optional[Union[Dict[str, Any], AugmentationCfg]] = None,
+):
+    """Jittable fused train preprocess: (rng, uint8 (B, S, S, 3)) -> (B, th, tw, 3).
+
+    Per-sample RandomResizedCrop (scale/ratio sampled like torchvision
+    RandomResizedCrop.get_params; reference transform.py:418-447) implemented as a
+    batched bilinear grid-sample: per-sample source coordinates + four clipped
+    gathers, one XLA program that fuses with the normalize and the model's patchify
+    matmul. The crop source is the host-stage canvas rather than the original photo
+    (documented distribution shift traded for an entirely device-resident
+    augmentation); the crop-to-target downscale ratio is mild (canvas/size ~ 8/7),
+    so skipping the antialias prefilter changes little."""
+    import jax
+    import jax.numpy as jnp
+
+    if isinstance(aug_cfg, dict):
+        aug_cfg = AugmentationCfg(**aug_cfg)
+    aug = aug_cfg or AugmentationCfg()
+    scale_rng = aug.scale
+    ratio_rng = aug.ratio or (3.0 / 4.0, 4.0 / 3.0)
+    th, tw = cfg.size_hw
+    mean = jnp.asarray(cfg.mean, dtype=jnp.float32)
+    std = jnp.asarray(cfg.std, dtype=jnp.float32)
+    log_ratio = (float(np.log(ratio_rng[0])), float(np.log(ratio_rng[1])))
+
+    def fn(rng: "jax.Array", images: "jax.Array") -> "jax.Array":
+        x = images.astype(jnp.float32) / 255.0
+        b, s = x.shape[0], x.shape[1]
+        k1, k2, k3 = jax.random.split(rng, 3)
+        area = jax.random.uniform(k1, (b,), minval=scale_rng[0], maxval=scale_rng[1]) * (s * s)
+        aspect = jnp.exp(jax.random.uniform(k2, (b,), minval=log_ratio[0], maxval=log_ratio[1]))
+        cw = jnp.clip(jnp.sqrt(area * aspect), 1.0, s)
+        ch = jnp.clip(jnp.sqrt(area / aspect), 1.0, s)
+        off = jax.random.uniform(k3, (b, 2))
+        top = off[:, 0] * (s - ch)
+        left = off[:, 1] * (s - cw)
+
+        # Interpolation as matmul: random gathers are TPU-hostile, but a bilinear
+        # resample along an axis is a sparse (2-nonzero) row-stochastic matrix —
+        # materialize it dense per sample and contract on the MXU. Two einsums
+        # (rows then columns) ~ 40 GFLOP at B=256/S=256/224px: microseconds of MXU
+        # time vs ~1 s for the equivalent general gather.
+        def interp_weights(start, extent, t_out):
+            src = start[:, None] + (jnp.arange(t_out)[None, :] + 0.5) * (extent[:, None] / t_out) - 0.5
+            f = jnp.floor(src)
+            t = src - f
+            i0 = jnp.clip(f.astype(jnp.int32), 0, s - 1)
+            i1 = jnp.clip(i0 + 1, 0, s - 1)
+            grid = jnp.arange(s)[None, None, :]
+            w = ((grid == i0[:, :, None]) * (1 - t)[:, :, None]
+                 + (grid == i1[:, :, None]) * t[:, :, None])
+            return w.astype(jnp.float32)  # (B, t_out, S)
+
+        wy = interp_weights(top, ch, th)
+        wx = interp_weights(left, cw, tw)
+        rows = jnp.einsum("bhs,bswc->bhwc", wy, x)
+        out = jnp.einsum("bws,bhsc->bhwc", wx, rows)
+        return (out - mean) / std
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
 # device tier — fused on-TPU preprocessing
 # ---------------------------------------------------------------------------
 

@@ -25,14 +25,17 @@ def run_one(policy: str, batch_size: int, unroll: int) -> float:
     from open_clip_tpu.train.scheduler import const_lr
     from open_clip_tpu.train.train_step import create_train_state, jit_train_step, make_train_step
 
-    blocks.REMAT_POLICY = policy
+    # policy "noremat" turns gradient checkpointing off entirely (save everything);
+    # the other values select a jax.checkpoint policy inside remat=True
+    use_remat = policy != "noremat"
+    blocks.REMAT_POLICY = policy if use_remat else "none"
     blocks.SCAN_UNROLL = unroll
 
     cfg = parse_model_cfg("ViT-B-32")
     params = init_clip(jax.random.PRNGKey(0), cfg)
     opt = create_optimizer(OptimizerCfg(lr=5e-4, wd=0.2, grad_clip_norm=1.0), params, const_lr(5e-4, 0))
     state = create_train_state(params, opt)
-    step = jit_train_step(make_train_step(cfg, opt, compute_dtype=jnp.bfloat16, remat=True))
+    step = jit_train_step(make_train_step(cfg, opt, compute_dtype=jnp.bfloat16, remat=use_remat))
 
     rng = np.random.default_rng(0)
     batch = {

@@ -1,0 +1,139 @@
+"""Device-preprocess input path: uint8 host tier + fused on-device RRC/normalize
+(BASELINE north star; reference host pipeline transform.py:367-518 is the semantic
+spec, re-partitioned host/device for TPU)."""
+
+import io
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from open_clip_tpu.transform import (
+    AugmentationCfg,
+    PreprocessCfg,
+    default_canvas_size,
+    image_transform_v2,
+    make_device_preprocess,
+    make_device_train_preprocess,
+    uint8_image_transform_v2,
+)
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.mark.parametrize("resize_mode", ["shortest", "squash"])
+def test_uint8_val_tier_matches_host_float(rng, resize_mode):
+    """uint8 host geometry + device normalize == full host float tier, exactly:
+    the same PIL ops run on the same pixels; only the normalize moves on device."""
+    cfg = PreprocessCfg(size=32, resize_mode=resize_mode)
+    host = image_transform_v2(cfg, is_train=False)
+    u8 = uint8_image_transform_v2(cfg, is_train=False)
+    dev = make_device_preprocess(cfg)
+    for shape in ((48, 64, 3), (32, 32, 3), (100, 31, 3)):
+        img = Image.fromarray(rng.integers(0, 255, shape, np.uint8))
+        h = host(img)
+        d = np.asarray(dev(jnp.asarray(u8(img))[None]))[0]
+        np.testing.assert_allclose(d, h, atol=1e-5)
+
+
+def test_uint8_tier_accepts_bytes(rng):
+    cfg = PreprocessCfg(size=32)
+    u8 = uint8_image_transform_v2(cfg, is_train=False)
+    img = Image.fromarray(rng.integers(0, 255, (300, 400, 3), np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, "JPEG", quality=95)
+    out = u8(buf.getvalue())
+    assert out.shape == (32, 32, 3) and out.dtype == np.uint8
+    # and the PIL path agrees with the bytes path up to JPEG loss
+    out2 = u8(Image.open(io.BytesIO(buf.getvalue())))
+    assert np.abs(out.astype(int) - out2.astype(int)).mean() < 8
+
+
+def test_uint8_train_canvas_shape(rng):
+    cfg = PreprocessCfg(size=32)
+    canvas = default_canvas_size(cfg)
+    t = uint8_image_transform_v2(cfg, is_train=True)
+    img = Image.fromarray(rng.integers(0, 255, (77, 160, 3), np.uint8))
+    out = t(img)
+    assert out.shape == (canvas, canvas, 3) and out.dtype == np.uint8
+
+
+def test_device_rrc_full_canvas_matches_bilinear_resize(rng):
+    """With scale=(1,1) ratio=(1,1) the RRC degenerates to a plain bilinear resize of
+    the whole canvas; compare against torch's non-antialiased bilinear (the same
+    half-pixel-centered 2-tap convention)."""
+    import torch
+    import torch.nn.functional as F
+
+    cfg = PreprocessCfg(size=24, mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0),
+                        interpolation="bilinear")
+    devpp = make_device_train_preprocess(cfg, AugmentationCfg(scale=(1.0, 1.0), ratio=(1.0, 1.0)))
+    arr = rng.integers(0, 255, (32, 32, 3), np.uint8)
+    out = np.asarray(devpp(jax.random.PRNGKey(0), jnp.asarray(arr)[None]))[0]
+    t = torch.from_numpy(arr.astype(np.float32) / 255.0).permute(2, 0, 1)[None]
+    ref = F.interpolate(t, size=(24, 24), mode="bilinear", align_corners=False,
+                        antialias=False)[0].permute(1, 2, 0).numpy()
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_device_rrc_randomness_and_range(rng):
+    cfg = PreprocessCfg(size=16)
+    devpp = make_device_train_preprocess(cfg)
+    x = jnp.asarray(rng.integers(0, 255, (4, 24, 24, 3), np.uint8))
+    a = np.asarray(devpp(jax.random.PRNGKey(0), x))
+    b = np.asarray(devpp(jax.random.PRNGKey(1), x))
+    assert a.shape == (4, 16, 16, 3)
+    assert not np.allclose(a, b)
+    # per-sample independence: different samples get different crops
+    same = jnp.asarray(np.repeat(x[:1], 4, axis=0))
+    c = np.asarray(devpp(jax.random.PRNGKey(2), same))
+    assert not np.allclose(c[0], c[1])
+    # normalized output stays in a sane range
+    assert np.isfinite(a).all() and np.abs(a).max() < 10
+
+
+def test_device_rrc_weights_are_row_stochastic():
+    """A constant image must stay constant under any crop (interp weights sum to 1)."""
+    cfg = PreprocessCfg(size=16, mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0))
+    devpp = make_device_train_preprocess(cfg)
+    x = jnp.full((2, 24, 24, 3), 128, jnp.uint8)
+    out = np.asarray(devpp(jax.random.PRNGKey(0), x))
+    np.testing.assert_allclose(out, 128 / 255.0, atol=1e-5)
+
+
+def test_train_step_with_device_preprocess(rng):
+    """uint8 batches through the fused step: loss decreases, dtype stays uint8 on host."""
+    import optax
+
+    import open_clip_tpu as oct
+    from open_clip_tpu.models.clip import init_clip
+    from open_clip_tpu.train.train_step import create_train_state, make_train_step
+
+    cfg = oct.config.CLIPModelCfg.from_dict({
+        "embed_dim": 32,
+        "vision_cfg": {"image_size": 32, "layers": 2, "width": 32, "patch_size": 16,
+                       "head_width": 16},
+        "text_cfg": {"context_length": 16, "vocab_size": 512, "width": 32, "heads": 2,
+                     "layers": 2},
+    })
+    params = init_clip(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(1e-3)
+    pcfg = PreprocessCfg(size=32)
+    devpp = make_device_train_preprocess(pcfg)
+    step = make_train_step(cfg, opt, compute_dtype=jnp.float32, device_preprocess=devpp)
+    state = create_train_state(params, opt)
+    canvas = default_canvas_size(pcfg)
+    batch = {
+        "image": rng.integers(0, 255, (8, canvas, canvas, 3), np.uint8),
+        "text": rng.integers(1, 512, (8, 16)).astype(np.int32),
+    }
+    losses = []
+    for i in range(5):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses

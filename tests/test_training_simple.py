@@ -62,6 +62,24 @@ def test_training_resume_latest(tmp_path):
     assert int(state.step) == 4  # resumed from epoch 1 (2 steps), +2 more
 
 
+def test_training_save_most_recent_and_resume(tmp_path):
+    """epoch_latest pointer swap (async Orbax save, no second serialization) and
+    resume through the pointer (reference main.py:678-741 atomic latest swap)."""
+    common = [
+        "--model", "tiny-smoke-vit", "--dataset-type", "synthetic",
+        "--train-num-samples", "16", "--batch-size", "8",
+        "--lr", "1e-3", "--warmup", "1", "--precision", "fp32",
+        "--logs", str(tmp_path), "--name", "most-recent",
+        "--save-most-recent", "--save-frequency", "1", "--zeroshot-frequency", "100",
+    ]
+    main(common + ["--epochs", "1"])
+    latest = tmp_path / "most-recent" / "checkpoints" / "epoch_latest"
+    assert latest.is_symlink() and latest.resolve().name == "epoch_1"
+    state = main(common + ["--epochs", "2", "--resume", "latest"])
+    assert int(state.step) == 4
+    assert latest.resolve().name == "epoch_2"
+
+
 def test_training_siglip_and_accum(tmp_path):
     state = main(
         [
