@@ -98,13 +98,8 @@ def test_world_info_from_env(monkeypatch):
 def test_tensor_parallel_specs_and_compile():
     """Tensor-parallel (superset over the reference, SURVEY §2.4): the Megatron
     column/row specs land on the right axes and the 3-axis train step AOT-compiles
-    under GSPMD on a 2x2x2 mesh.
-
-    Compile-only on purpose: *executing* 8-thread CPU collectives on a loaded
-    1-core host trips XLA's 40 s rendezvous timeout (observed flaky abort), while
-    partitioning bugs surface at compile time. Execution equivalence was verified
-    manually: loss identical to the dp x fsdp run at step 1, within fp rounding
-    (3e-3) after an optimizer update."""
+    under GSPMD on a 2x2x2 mesh. Execution equivalence is covered by
+    ``test_tensor_parallel_executes_and_matches_dp`` below."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -152,3 +147,67 @@ def test_tensor_parallel_specs_and_compile():
     }
     compiled = step.lower(state, batch, jax.random.PRNGKey(1)).compile()
     assert compiled is not None
+
+
+def test_tensor_parallel_executes_and_matches_dp():
+    """EXECUTED tensor parallelism (VERDICT r2 item 4): the 1x1x2 and 2x1x2 train
+    steps run real collectives on the virtual CPU mesh and produce the same loss
+    and weight trajectory as plain data parallelism — a wrong PartitionSpec would
+    change the numbers, not just the compile."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import open_clip_tpu as oct
+    from open_clip_tpu.config import parse_model_cfg
+    from open_clip_tpu.models.clip import init_clip
+    from open_clip_tpu.parallel.mesh import create_mesh, fsdp_shardings, tp_shardings
+    from open_clip_tpu.train.optim import OptimizerCfg, create_optimizer
+    from open_clip_tpu.train.scheduler import const_lr
+    from open_clip_tpu.train.train_step import (
+        create_train_state, jit_train_step, make_train_step)
+
+    name = "tp-exec-vit"
+    if name not in oct.list_models():
+        oct.add_model_config({
+            "embed_dim": 64,
+            "vision_cfg": {"image_size": 32, "layers": 2, "width": 64,
+                           "patch_size": 16, "head_width": 32},
+            "text_cfg": {"context_length": 16, "vocab_size": 128, "width": 64,
+                         "heads": 2, "layers": 2},
+        }, name=name)
+    cfg = parse_model_cfg(name)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": np.asarray(rng.standard_normal((16, 32, 32, 3)), np.float32),
+        "text": np.asarray(rng.integers(1, 127, size=(16, 16)), np.int32),
+    }
+
+    def run(mesh_kw, shard_fn):
+        import math
+
+        n_dev = math.prod(mesh_kw.values())
+        params = init_clip(jax.random.PRNGKey(0), cfg)
+        mesh = create_mesh(**mesh_kw, devices=jax.devices()[:n_dev])
+        params = jax.device_put(params, shard_fn(params, mesh))
+        opt = create_optimizer(OptimizerCfg(lr=1e-3, wd=0.01), params, const_lr(1e-3, 0))
+        state = create_train_state(params, opt)
+        step = jit_train_step(
+            make_train_step(cfg, opt, mesh=mesh, compute_dtype=jnp.float32), mesh)
+        losses = []
+        for _ in range(2):
+            state, m = step(state, batch, jax.random.PRNGKey(7))
+            losses.append(float(np.asarray(m["loss"])))
+        probe = np.asarray(state.params["visual"]["blocks"]["attn"]["qkv"]["kernel"])
+        return losses, probe
+
+    l_dp, p_dp = run(dict(data=2, fsdp=1, tensor=1), fsdp_shardings)
+    l_tp, p_tp = run(dict(data=1, fsdp=1, tensor=2), tp_shardings)
+    l_3d, p_3d = run(dict(data=2, fsdp=1, tensor=2), tp_shardings)
+
+    # first step: same loss on identical weights; second: same after an update
+    assert abs(l_tp[0] - l_dp[0]) < 1e-5 and abs(l_3d[0] - l_dp[0]) < 1e-5
+    assert abs(l_tp[1] - l_dp[1]) < 1e-4 and abs(l_3d[1] - l_dp[1]) < 1e-4
+    # the updated (grad-carrying) probe weight matches across layouts
+    np.testing.assert_allclose(p_tp, p_dp, atol=1e-4)
+    np.testing.assert_allclose(p_3d, p_dp, atol=1e-4)
