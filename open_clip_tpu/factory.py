@@ -201,6 +201,8 @@ def _check_supported(cfg: CLIPModelCfg) -> None:
         from .models.convnext import is_convnext
         from .models.eva import EVA_CONFIGS, is_eva
         from .models.fastvit import is_fastvit as _is_fastvit_cfg
+        from .models.relpos_vit import is_relpos_vit as _is_relpos_cfg
+        from .models.swin import is_swin as _is_swin_cfg
         from .models.vitamin import is_vitamin as _is_vitamin_cfg
 
         if is_eva(v):
@@ -208,7 +210,8 @@ def _check_supported(cfg: CLIPModelCfg) -> None:
                 raise NotImplementedError(
                     f"EVA variant {v.timm_model_name!r} has no native TPU config yet")
         elif not re.match(r"vit_[a-z0-9]+_patch\d+_(siglip|clip|gap)|vit_base_mci", v.timm_model_name) \
-                and not is_convnext(v) and not _is_fastvit_cfg(v) and not _is_vitamin_cfg(v):
+                and not is_convnext(v) and not _is_fastvit_cfg(v) and not _is_vitamin_cfg(v) \
+                and not _is_swin_cfg(v) and not _is_relpos_cfg(v):
             raise NotImplementedError(
                 f"timm vision tower {v.timm_model_name!r} has no native TPU implementation yet"
             )

@@ -64,6 +64,14 @@ def init_clip(key, cfg: CLIPModelCfg) -> Dict[str, Any]:
             from . import vitamin
 
             params["visual"] = vitamin.init_vitamin(kv, cfg.vision_cfg, cfg.embed_dim)
+        elif _is_swin(cfg.vision_cfg):
+            from . import swin
+
+            params["visual"] = swin.init_swin(kv, cfg.vision_cfg, cfg.embed_dim)
+        elif _is_relpos(cfg.vision_cfg):
+            from . import relpos_vit
+
+            params["visual"] = relpos_vit.init_relpos_vit(kv, cfg.vision_cfg, cfg.embed_dim)
         else:
             params["visual"] = vit.init_vision_tower(kv, cfg.vision_cfg, cfg.embed_dim)
     if cfg.text_cfg is not None:
@@ -121,6 +129,18 @@ def _is_vitamin(vision_cfg) -> bool:
     from .vitamin import is_vitamin
 
     return is_vitamin(vision_cfg)
+
+
+def _is_swin(vision_cfg) -> bool:
+    from .swin import is_swin
+
+    return is_swin(vision_cfg)
+
+
+def _is_relpos(vision_cfg) -> bool:
+    from .relpos_vit import is_relpos_vit
+
+    return is_relpos_vit(vision_cfg)
 
 
 def encode_image(
@@ -181,6 +201,20 @@ def encode_image(
         from . import vitamin
 
         pooled = vitamin.apply_vitamin(
+            params["visual"], vcfg, image, train=train, rng=rng,
+            compute_dtype=compute_dtype, remat=remat,
+        )
+    elif _is_swin(vcfg):
+        from . import swin
+
+        pooled = swin.apply_swin(
+            params["visual"], vcfg, image, train=train, rng=rng,
+            compute_dtype=compute_dtype, remat=remat,
+        )
+    elif _is_relpos(vcfg):
+        from . import relpos_vit
+
+        pooled = relpos_vit.apply_relpos_vit(
             params["visual"], vcfg, image, train=train, rng=rng,
             compute_dtype=compute_dtype, remat=remat,
         )

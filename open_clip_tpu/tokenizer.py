@@ -287,6 +287,122 @@ def simple_mask_tokenize(
     return result
 
 
+# POS-lite tagging for the syntax reduction mask. The reference uses nltk's
+# perceptron tagger (tokenizer.py:364-428); its corpora need a network download,
+# so offline installs fall back to a closed-class/suffix heuristic that lands in
+# the same four priority buckets the mask cares about: noun(1) < adj(2) < verb(3)
+# < other(4) — i.e. keep content words, drop function words first.
+
+_POSLITE_CLOSED = frozenset("""
+a an the this that these those some any each every no all both either neither
+i you he she it we they me him her us them my your his its our their mine yours
+hers ours theirs myself yourself himself herself itself ourselves themselves
+of in on at by for with from to into onto upon about above below under over
+between among through during before after against across behind beyond near
+and or but nor so yet if because although though while whereas unless since
+when where whom whose which who what why how there here not only just very too
+also quite rather as than then once again is are was were be been being am do
+does did have has had will would shall should can could may might must
+""".split())
+
+_POSLITE_VERBS = frozenset("""
+go goes went gone run runs ran running walk walks walked sit sits sat stand
+stands stood come comes came eat eats ate drink drinks drank make makes made
+take takes took get gets got give gives gave say says said see sees saw look
+looks looked hold holds held play plays played fly flies flew jump jumps jumped
+wear wears wore ride rides rode swim swims swam
+""".split())
+
+_POSLITE_ADJ_SUFFIX = ("ful", "ous", "ive", "able", "ible", "ish", "less", "ic", "al")
+_POSLITE_ADJ = frozenset("""
+big small large little old new good bad great high low long short red blue
+green yellow black white brown orange purple pink gray grey young happy sad
+hot cold dark bright beautiful
+""".split())
+
+
+_POSLITE_LY_NOUNS = frozenset(
+    "family butterfly jelly belly lily italy assembly ally rally".split())
+
+
+def _pos_lite_order(word: str) -> int:
+    w = word.lower()
+    if not w[:1].isalpha():
+        return 4
+    if w in _POSLITE_CLOSED:
+        return 4
+    if len(w) >= 5 and w.endswith("ly") and w not in _POSLITE_LY_NOUNS:
+        return 4  # adverbs (RB) sit in the lowest-priority bucket
+    if w in _POSLITE_ADJ or w.endswith(_POSLITE_ADJ_SUFFIX):
+        return 2
+    if w in _POSLITE_VERBS or w.endswith(("ing", "ed", "ify", "ize", "ise")):
+        return 3
+    return 1  # default: noun — highest keep priority, like the CLIPA intent
+
+
+_WORD_RE = None
+_nltk_ready: Optional[bool] = None
+
+
+def _syntax_word_orders(text: str):
+    """(words, priority-orders) via nltk when its corpora are installed, else the
+    POS-lite heuristic."""
+    global _nltk_ready, _WORD_RE
+    if _nltk_ready is None:
+        try:
+            import nltk
+
+            nltk.pos_tag(nltk.tokenize.word_tokenize("a"))
+            _nltk_ready = True
+        except Exception:  # noqa: BLE001 — missing package or missing corpora
+            _nltk_ready = False
+
+    def bucket(tag: str) -> int:
+        if tag.startswith("NN"):
+            return 1
+        if tag.startswith("JJ"):
+            return 2
+        if tag.startswith("VB"):
+            return 3
+        return 4
+
+    if _nltk_ready:
+        import nltk
+
+        words = nltk.tokenize.word_tokenize(text)
+        return words, [bucket(t) for _, t in nltk.pos_tag(words)]
+    if _WORD_RE is None:
+        import re as _re
+
+        _WORD_RE = _re.compile(r"\w+|[^\w\s]")
+    words = _WORD_RE.findall(text)
+    return words, [_pos_lite_order(w) for w in words]
+
+
+def syntax_mask_tokenize(
+    texts: List[str],
+    context_length: int,
+    sot_token_id: int,
+    eot_token_id: int,
+    encode_fn: Callable,
+) -> np.ndarray:
+    """Drop words prioritized by part of speech before tokenizing (reference
+    syntax_mask_tokenize, tokenizer.py:356-412): keep nouns, then adjectives, then
+    verbs, then everything else, preserving original word order."""
+    result = np.zeros((len(texts), context_length), dtype=np.int32)
+    budget = context_length - 2
+    for i, text in enumerate(texts):
+        words, orders = _syntax_word_orders(text)
+        keep = sorted(np.argsort(np.asarray(orders), kind="stable")[:budget])
+        reduced = " ".join(str(words[j]) for j in keep)
+        tokens = [sot_token_id] + encode_fn(reduced) + [eot_token_id]
+        if len(tokens) > context_length:  # some words produce multiple tokens
+            tokens = tokens[:context_length]
+            tokens[-1] = eot_token_id
+        result[i, : len(tokens)] = tokens
+    return result
+
+
 def get_reduction_mask_fn(kind: str) -> Callable:
     if kind == "random":
         return random_mask_tokenize
@@ -295,7 +411,7 @@ def get_reduction_mask_fn(kind: str) -> Callable:
     if kind == "simple":
         return simple_mask_tokenize
     if kind == "syntax":
-        raise NotImplementedError("syntax reduction mask requires nltk (not available)")
+        return syntax_mask_tokenize
     raise ValueError(f"invalid reduction mask {kind!r}")
 
 

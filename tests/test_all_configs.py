@@ -15,12 +15,9 @@ import pytest
 import open_clip_tpu as oct
 from open_clip_tpu.config import parse_model_cfg
 
-# configs whose towers are deliberately gated (experimental reference configs with
-# no published pretrained tags, or optional-dependency tokenizers don't matter here)
-GATED = {
-    "swin_base_patch4_window7_224",
-    "vit_relpos_medium_patch16_cls_224",
-}
+# no gated towers remain: swin_base_patch4_window7_224 and
+# vit_relpos_medium_patch16_cls_224 grew native implementations in round 3
+GATED = set()
 
 ALL = sorted(oct.list_models())
 

@@ -72,3 +72,31 @@ def test_reduction_mask_shapes():
     out = tok(["word " * 50, "short"])
     assert out.shape == (2, 16)
     assert out[0, 0] == tok.sot_token_id
+
+
+def test_syntax_reduction_mask():
+    """CLIPA syntax mask (reference tokenizer.py:356-412): over-budget captions keep
+    content words (nouns first, then adjectives, then verbs) in original order;
+    under-budget captions pass through untouched."""
+    from open_clip_tpu.tokenizer import SimpleTokenizer
+
+    tok = SimpleTokenizer(context_length=12, reduction_mask="syntax")
+    out = tok(["The quick brown fox jumps over the extremely lazy dog near a very old red barn"])
+    assert out.shape == (1, 12)
+    ids = [t for t in out[0].tolist() if t != 0]
+    assert ids[0] == tok.sot_token_id and ids[-1] == tok.eot_token_id
+    dec = tok.decode(ids[1:-1])
+    # nouns survive, determiners/prepositions/adverbs are dropped first
+    for w in ("fox", "dog", "barn"):
+        assert w in dec, dec
+    for w in ("over", "near", "extremely"):
+        assert w not in dec, dec
+    # word order is preserved
+    assert dec.index("fox") < dec.index("dog") < dec.index("barn")
+
+    # under budget: identical to plain tokenize
+    plain = SimpleTokenizer(context_length=12)
+    short = ["a cat sits"]
+    import numpy as np
+
+    np.testing.assert_array_equal(tok(short), plain(short))
