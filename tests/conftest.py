@@ -27,6 +27,29 @@ jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The `quick` gate tier: `pytest -m quick` runs these modules in ~2 minutes with a
+# warm compile cache (cold adds one-off jit time). Covers config/registry breadth,
+# tokenizers, data plumbing, transforms (host + device tiers), metrics, and core
+# layer math — the places regressions usually land first. Everything else (torch
+# parity oracles, CLI training smokes, multihost) runs in the full suite.
+_QUICK_MODULES = {
+    "test_config",
+    "test_tokenizer",
+    "test_metrics",
+    "test_bucketing",
+    "test_data",
+    "test_layers",
+    "test_all_configs",
+    "test_misc_behavior",
+    "test_device_preprocess",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in _QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture(scope="session")
 def rng():

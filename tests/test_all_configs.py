@@ -33,13 +33,19 @@ def test_config_builds_and_traces(name):
     assert raw is not None
 
     if "genlip_cfg" in raw or "genlap_cfg" in raw:
-        # generative family: init-shape check through the factory dispatch path
-        from open_clip_tpu.factory import create_model
+        # generative family: abstract init-shape check (eval_shape — materializing
+        # so150m-scale params costs ~10 s each on the CPU suite)
+        if "genlap_cfg" in raw:
+            from open_clip_tpu.models import genlap as gmod
 
-        if name in GATED:
-            pytest.skip("gated tower")
-        model = create_model(name, load_weights=False)
-        assert model is not None
+            gcfg = gmod.GenLapModelCfg.from_dict(raw)
+            params = jax.eval_shape(lambda: gmod.init_genlap(jax.random.PRNGKey(0), gcfg))
+        else:
+            from open_clip_tpu.models import genlip as gmod
+
+            gcfg = gmod.GenLipModelCfg.from_dict(raw)
+            params = jax.eval_shape(lambda: gmod.init_genlip(jax.random.PRNGKey(0), gcfg))
+        assert params
         return
 
     cfg = parse_model_cfg(name)
