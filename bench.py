@@ -101,15 +101,18 @@ def bench_flagship():
     blocks.SCAN_UNROLL = 2  # sweep result: unroll 2 edges out 1
     cfg = parse_model_cfg("ViT-B-32")
     state, step = _train_step(cfg)
-    bs = 1024
+    # batch 256/chip: the round-3 remat/batch sweep frontier winner (1810 vs 1585
+    # img/s at 1024; scripts/bench_sweep.py + docs/ROUND3.md), and exactly the
+    # reference recipe's per-device batch (32768 global / 128 GPUs)
+    bs = 256
     batch = _image_text_batch(jnp, bs, 224, 77, 49408)
-    dt = _run_steps(state, step, batch)
+    dt = _run_steps(state, step, batch, iters=20)
     img_per_sec = bs / dt
     gflops = _fwd_gflops("ViT-B-32", 15.06)
     return {
         "metric": "vit_b32_clip_train_images_per_sec_per_chip",
         "value": round(img_per_sec, 1),
-        "unit": "images/sec/chip (bf16, batch 1024, incl. text tower + optimizer)",
+        "unit": "images/sec/chip (bf16, batch 256/chip as in the reference 32k/128-GPU recipe, incl. text tower + optimizer)",
         "vs_baseline": round(img_per_sec / A100_ANCHOR_IMG_PER_SEC, 3),
         "mfu": round(gflops * 3 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
         "hfu": round(gflops * 4 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
