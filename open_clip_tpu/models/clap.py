@@ -315,21 +315,17 @@ def hf_clap_to_params(sd: Dict[str, Any], cfg: CLIPModelCfg) -> Dict[str, Any]:
             del fc["bias"]
     tree["audio"] = {"encoder": enc, "proj": _to_jnp(proj)}
 
-    # text: torch roberta -> flax params for the HF text tower
-    import torch as _torch
-
-    from transformers.modeling_flax_pytorch_utils import convert_pytorch_state_dict_to_flax
-
-    from .hf_text import _resolve_flax_model
+    # text: torch roberta -> the HF-Flax-layout tree our native bert_encode reads
+    # (hf_native.torch_bert_to_layout replaces transformers' deprecated
+    # convert_pytorch_state_dict_to_flax utility)
+    from .hf_native import torch_bert_to_layout
 
     assert cfg.text_cfg is not None and (cfg.text_cfg.hf_model_config or cfg.text_cfg.hf_model_name), \
         "hf-clap conversion expects an HF text tower config"
-    config, model_cls = _resolve_flax_model(cfg.text_cfg)
-    flax_model = model_cls(config, seed=0)  # conversion util reads .params for shapes
-    pt_text = {k[len("text.transformer."):]: _torch.as_tensor(_np(v))
-               for k, v in ref_sd.items() if k.startswith("text.transformer.")}
-    text_params = convert_pytorch_state_dict_to_flax(pt_text, flax_model)
-    text_tree: Dict[str, Any] = {"hf": jax.tree.map(jnp.asarray, dict(text_params))}
+    text_params = torch_bert_to_layout(
+        {k[len("text.transformer."):]: _np(v)
+         for k, v in ref_sd.items() if k.startswith("text.transformer.")})
+    text_tree: Dict[str, Any] = {"hf": text_params}
     tproj = {
         "fc1": {"kernel": _np(ref_sd["text.proj.0.weight"]).T},
         "fc2": {"kernel": _np(ref_sd["text.proj.2.weight"]).T},

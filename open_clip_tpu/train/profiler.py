@@ -37,7 +37,10 @@ def _flops_of(fn, *args) -> Optional[float]:
     prev = B.SCAN_UNROLL
     B.SCAN_UNROLL = 64
     try:
-        analysis = jax.jit(fn).lower(*args).cost_analysis()
+        lowered = jax.jit(fn).lower(*args)
+        analysis = lowered.cost_analysis()
+        if analysis is None:  # some backends only expose post-compile analysis
+            analysis = lowered.compile().cost_analysis()
         if isinstance(analysis, list):
             analysis = analysis[0]
         return float(analysis.get("flops", 0.0))
@@ -72,12 +75,30 @@ def profile_model(model_name: str, batch_size: int = 1, force_custom_text: bool 
         txt = jnp.ones((batch_size, tcfg.context_length), jnp.int32)
         txt_gflops = _flops_of(lambda p, t: encode_text(p, cfg, t), params, txt)
 
+    # CoCa-style models run a multimodal decoder on top of the two towers; the
+    # reference's total comes from the FULL forward (profiler.py:200-202 profiles
+    # ``model(image, text)``), so sum-of-towers undercounts. Profile the full
+    # coca_forward for the total in that case (round-3 fix: coca_ViT-B-32 is
+    # 33.3 GF total, not the 15.4 GF tower sum).
+    total_gflops = None
+    if "text_decoder" in params and img_gflops is not None and txt_gflops is not None:
+        from ..models.coca import coca_forward
+
+        size = row["image_size"]
+        img = jnp.zeros((batch_size, size, size, 3), jnp.float32)
+        txt = jnp.ones((batch_size, cfg.text_cfg.context_length), jnp.int32)
+        total_gflops = _flops_of(
+            lambda p, x, t: coca_forward(p, cfg, x, t), params, img, txt
+        )
+    if total_gflops is None and img_gflops is not None and txt_gflops is not None:
+        total_gflops = img_gflops + txt_gflops
+
     if img_gflops is not None:
         row["image GFLOPs"] = round(img_gflops / 1e9 / batch_size, 2)
     if txt_gflops is not None:
         row["text GFLOPs"] = round(txt_gflops / 1e9 / batch_size, 2)
-    if img_gflops is not None and txt_gflops is not None:
-        row["GFLOPs"] = round((img_gflops + txt_gflops) / 1e9 / batch_size, 2)
+    if total_gflops is not None:
+        row["GFLOPs"] = round(total_gflops / 1e9 / batch_size, 2)
     row["embed_dim"] = getattr(cfg, "embed_dim", None)
     return row
 
