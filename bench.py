@@ -391,10 +391,15 @@ def bench_input_pipeline():
     bs = 1024
     default_nw = max(1, min(4, (os.cpu_count() or 1) - 1)) if (os.cpu_count() or 1) > 1 else 1
     nw = int(os.environ.get("OPEN_CLIP_TPU_BENCH_WORKERS", str(default_nw)))
+    # native C++ decode stage (in-library threads, no fork/IPC) when it builds;
+    # OPEN_CLIP_TPU_BENCH_NATIVE=0 forces the PIL fork-worker tier for comparison
+    nat = int(os.environ.get("OPEN_CLIP_TPU_BENCH_NATIVE", "1")) and (
+        getattr(u8, "native_canvas", None) is not None)
+    nat_threads = max(nw, os.cpu_count() or 1) if nat else 0
     tok = get_tokenizer("ViT-B-32")
     wds = WdsPipeline(
         WdsConfig(urls=urls, batch_size=bs, shuffle_shards=0, shuffle_samples=0,
-                  num_workers=nw, resampled=False),
+                  num_workers=nw, resampled=False, native_decode_threads=nat_threads),
         u8, tok,
     )
 
@@ -447,13 +452,24 @@ def bench_input_pipeline():
     float(np.asarray(metrics["loss"]))
     dev_rate = bs / ((time.perf_counter() - t0) / 5)
 
+    # H2D rate in-context (after compute has run). On the axon tunnel this
+    # collapses from ~1.2 GB/s (fresh process) to ~40 MB/s, which caps e2e on
+    # this bench host — a tunnel artifact, not a pipeline property; recorded so
+    # the e2e number can be attributed (docs/ROUND3.md).
+    h2d_buf = rng.integers(0, 255, (bs, 256, 256, 3), np.uint8)
+    t0 = time.perf_counter()
+    _jax.device_put(h2d_buf).block_until_ready()
+    h2d_rate = h2d_buf.nbytes / (time.perf_counter() - t0) / 1e6
+
     return {
         "metric": "vit_b32_e2e_tar_to_chip_images_per_sec",
         "value": round(img_per_sec, 1),
-        "unit": f"images/sec (real tar shards, JPEG decode + uint8 H2D + fused device RRC/normalize + train step, {nw} decode worker(s), {os.cpu_count()} host core(s))",
+        "unit": f"images/sec (real tar shards, JPEG decode + uint8 H2D + fused device RRC/normalize + train step, "
+                f"{'native C++ decode, ' + str(nat_threads) + ' threads' if nat_threads else str(nw) + ' PIL decode worker(s)'}, {os.cpu_count()} host core(s))",
         "vs_baseline": round(img_per_sec / A100_ANCHOR_IMG_PER_SEC, 3),
         "host_stage_images_per_sec": round(host_rate, 1),
         "device_step_images_per_sec": round(dev_rate, 1),
+        "h2d_mb_per_sec_in_context": round(h2d_rate, 1),
     }
 
 

@@ -173,7 +173,6 @@ def get_data(
             return DataInfo(ds, num_samples=n, num_batches=max(1, n // batch_size))
         if dstype == "webdataset-audio":
             from .audio import make_wds_audio_pipeline
-            from .wds import WdsConfig
 
             cfg = WdsConfig(
                 urls=split_path, batch_size=batch_size,
@@ -200,7 +199,6 @@ def get_data(
             return DataInfo(ds, num_samples=get("train_num_samples", 100) or 100, num_batches=nb)
         if dstype == "webdataset-naflex":
             from .naflex import NaFlexDataConfig, NaFlexWdsPipeline
-            from .wds import WdsConfig, WdsPipeline
 
             wcfg = WdsConfig(
                 urls=split_path, batch_size=batch_size, caption_key=get("wds_caption_key", "txt"),
@@ -267,6 +265,8 @@ def get_data(
                 shuffle_shards=2000 if is_train else 0,
                 shuffle_samples=get("wds_shuffle_buffer", 5000) if is_train else 0,
                 partial_batches=not is_train,
+                num_workers=get("workers", 2) if is_train else 1,
+                native_decode_threads=get("native_decode_threads", 0) if is_train else 0,
             )
             ds = WdsPipeline(cfg, pp, tokenizer)
             num_samples = get("train_num_samples") if is_train else get("val_num_samples")

@@ -146,6 +146,21 @@ def extract_caption(sample: Dict[str, Any], caption_key: str = "txt") -> Optiona
     return None
 
 
+_PROBE_JPEG_CACHE: Optional[bytes] = None
+
+
+def _probe_jpeg() -> bytes:
+    """Tiny valid JPEG used to verify the native decode stage builds and runs."""
+    global _PROBE_JPEG_CACHE
+    if _PROBE_JPEG_CACHE is None:
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (16, 16), (128, 64, 32)).save(buf, "JPEG")
+        _PROBE_JPEG_CACHE = buf.getvalue()
+    return _PROBE_JPEG_CACHE
+
+
 def decode_image_rgb(data: bytes):
     """bytes -> PIL RGB (reference decode_pil_rgb, data.py:393-412)."""
     from PIL import Image
@@ -170,6 +185,11 @@ class WdsConfig:
     num_workers: int = 2
     partial_batches: bool = False
     max_consecutive_failures: int = 10
+    # >0: decode JPEG batches through the native C++ stage (open_clip_tpu.native)
+    # with this many in-library threads instead of forked PIL workers — no IPC,
+    # no pickling, deterministic single-stream order. Requires the uint8
+    # device-preprocess transform tier; silently falls back when unavailable.
+    native_decode_threads: int = 0
 
 
 class WdsPipeline:
@@ -247,10 +267,97 @@ class WdsPipeline:
         parent interleaves worker outputs round-robin — deterministic for a fixed
         (seed, epoch, num_workers), like torch's DataLoader ordering.
         """
+        if self.cfg.native_decode_threads > 0 and self._native_canvas() is not None:
+            yield from self._batches_native(self.epoch)
+            return
         if self.cfg.num_workers > 1:
             yield from _multiprocess_batches(self, self.epoch, self.cfg.num_workers)
             return
         yield from self._batches_for_worker(self.epoch, 0, 1)
+
+    def _native_canvas(self) -> Optional[int]:
+        canvas = getattr(self.preprocess, "native_canvas", None)
+        if canvas is None:
+            return None
+        from ..native import decode_resize_one  # triggers build on first call
+
+        probe = decode_resize_one(_probe_jpeg(), int(canvas))
+        return int(canvas) if probe is not None else None
+
+    def _batches_native(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Batch decode through the C++ stage: JPEG bytes are accumulated to
+        batch_size and decoded by the in-library thread pool (GIL-free), PIL
+        handles the rare non-JPEG slot, and output order equals the single-worker
+        stream order — parallel AND deterministic, unlike forked PIL workers."""
+        from ..native import decode_resize_batch
+
+        cfg = self.cfg
+        canvas = self._native_canvas()
+        images: List[np.ndarray] = []
+        captions: List[str] = []
+        chunk_bytes: List[bytes] = []
+        chunk_caps: List[str] = []
+        failures = 0
+
+        def _flush():
+            nonlocal failures
+            decoded, status = decode_resize_batch(
+                chunk_bytes, canvas, nthreads=cfg.native_decode_threads)
+            if (not images and len(status) == cfg.batch_size
+                    and all(rc == 0 for rc in status)):
+                # common case: the whole batch decoded clean into the contiguous
+                # output buffer — ship it as-is, skipping the np.stack re-copy
+                # (~200 MB/batch at canvas 256 x batch 1024)
+                failures = 0
+                batch = {
+                    "image": decoded,
+                    "text": np.asarray(self.tokenizer(chunk_caps), dtype=np.int32),
+                }
+                chunk_bytes.clear()
+                chunk_caps.clear()
+                return batch
+            for i, rc in enumerate(status):
+                if rc == 0:
+                    images.append(decoded[i])
+                    captions.append(chunk_caps[i])
+                    failures = 0
+                    continue
+                try:  # non-JPEG/CMYK/corrupt: PIL tier decides (decode or raise)
+                    images.append(self.preprocess(chunk_bytes[i]))
+                    captions.append(chunk_caps[i])
+                    failures = 0
+                except Exception as e:  # noqa: BLE001 — data-plane fault tolerance
+                    failures += 1
+                    if failures % ERROR_LOG_EVERY == 1:
+                        logger.warning("decode failure (%d consecutive): %r", failures, e)
+                    if failures >= cfg.max_consecutive_failures:
+                        raise RuntimeError(
+                            f"{failures} consecutive decode failures") from e
+            chunk_bytes.clear()
+            chunk_caps.clear()
+            return None
+
+        for rec in self._samples(epoch, 0, 1):
+            chunk_bytes.append(bytes(rec["image_bytes"]))
+            chunk_caps.append(rec["caption"])
+            if len(chunk_bytes) >= cfg.batch_size:
+                whole = _flush()
+                if whole is not None:
+                    yield whole
+            while len(images) >= cfg.batch_size:
+                yield self._collate(images[:cfg.batch_size], captions[:cfg.batch_size])
+                del images[:cfg.batch_size]
+                del captions[:cfg.batch_size]
+        if chunk_bytes:
+            whole = _flush()
+            if whole is not None:
+                yield whole
+        while len(images) >= cfg.batch_size:
+            yield self._collate(images[:cfg.batch_size], captions[:cfg.batch_size])
+            del images[:cfg.batch_size]
+            del captions[:cfg.batch_size]
+        if images and cfg.partial_batches:
+            yield self._collate(images, captions)
 
     def _batches_for_worker(self, epoch: int, worker_id: int, num_workers: int
                             ) -> Iterator[Dict[str, np.ndarray]]:

@@ -241,6 +241,9 @@ def parse_args(args=None):
     parser.add_argument("--ema", type=float, default=None, help="EMA decay (e.g. 0.9998)")
     parser.add_argument("--device-preprocess", action="store_true", default=False,
                         help="uint8 host batches; fused resize/normalize on device")
+    parser.add_argument("--native-decode-threads", type=int, default=0,
+                        help="decode train JPEGs via the C++ libjpeg stage with this many "
+                             "threads (requires --device-preprocess; 0 = PIL workers)")
 
     # torch-only knobs accepted for launch-script compatibility; each has a TPU-side
     # replacement (jit replaces torchcompile; the mesh replaces DDP/FSDP wrappers;

@@ -302,10 +302,20 @@ class _Uint8CanvasTransform:
         self.cfg = cfg
         self.canvas = canvas
         self.interp = _PIL_INTERP.get(cfg.interpolation, Image.BICUBIC if Image else None)
+        # the native (C++/libjpeg) decode stage implements exactly this geometry
+        # for bicubic RGB; data/wds.py batch-decodes through it when set
+        self.native_canvas = canvas if (
+            cfg.interpolation in ("bicubic",) and cfg.mode == "RGB") else None
 
     def __call__(self, img) -> np.ndarray:
         s = (self.canvas, self.canvas)
         if isinstance(img, (bytes, bytearray)):
+            if self.native_canvas is not None:
+                from .native import decode_resize_one
+
+                out = decode_resize_one(bytes(img), self.canvas)
+                if out is not None:
+                    return out
             img = _decode_draft(bytes(img), s)
         if img.mode != self.cfg.mode:
             img = img.convert(self.cfg.mode)

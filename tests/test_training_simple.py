@@ -213,3 +213,51 @@ def test_training_naflex_synthetic(tmp_path):
         ]
     )
     assert int(state.step) == 4
+
+
+def test_training_wds_device_preprocess_native(tmp_path):
+    """webdataset train data through the CLI with --device-preprocess and the
+    native C++ decode stage: tar bytes -> uint8 canvas -> fused device RRC ->
+    train step (falls back to PIL decode transparently when g++/libjpeg are
+    unavailable — the flag wiring is what's under test)."""
+    import io
+    import tarfile
+
+    from PIL import Image
+
+    shard = tmp_path / "train-000000.tar"
+    rng = np.random.default_rng(0)
+    with tarfile.open(shard, "w") as tf:
+        for i in range(16):
+            arr = rng.integers(0, 256, (48, 56, 3)).astype(np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, "JPEG", quality=90)
+            data = buf.getvalue()
+            info = tarfile.TarInfo(f"{i:05d}.jpg")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+            cap = f"sample {i}".encode()
+            info = tarfile.TarInfo(f"{i:05d}.txt")
+            info.size = len(cap)
+            tf.addfile(info, io.BytesIO(cap))
+
+    state = main(
+        [
+            "--model", "tiny-smoke-vit",
+            "--train-data", str(shard),
+            "--dataset-type", "webdataset",
+            "--train-num-samples", "16",
+            "--batch-size", "8",
+            "--workers", "1",
+            "--device-preprocess",
+            "--native-decode-threads", "2",
+            "--epochs", "1",
+            "--lr", "1e-3",
+            "--warmup", "1",
+            "--precision", "fp32",
+            "--logs", str(tmp_path),
+            "--name", "smoke-wds-native",
+            "--zeroshot-frequency", "100",
+        ]
+    )
+    assert int(state.step) == 2  # 16 samples / batch 8
