@@ -127,14 +127,16 @@ def bench_vit_l14():
 
     cfg = parse_model_cfg("ViT-L-14")
     state, step = _train_step(cfg)
-    bs = 256
+    # batch 64/chip: round-3 frontier probe winner (171 vs 166 img/s at 256;
+    # scripts/bench_frontier.py — 32:162, 64:171, 96:169, 128:168, 256:166, 512 OOM)
+    bs = 64
     batch = _image_text_batch(jnp, bs, 224, 77, 49408)
-    dt = _run_steps(state, step, batch, iters=5)
+    dt = _run_steps(state, step, batch, iters=10)
     gflops = _fwd_gflops("ViT-L-14", 177.51)
     return {
         "metric": "vit_l14_clip_train_images_per_sec_per_chip",
         "value": round(bs / dt, 1),
-        "unit": "images/sec/chip (bf16, batch 256, all-gather InfoNCE train step)",
+        "unit": "images/sec/chip (bf16, batch 64, all-gather InfoNCE train step)",
         "mfu": round(gflops * 3 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
         "hfu": round(gflops * 4 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
     }
@@ -185,14 +187,16 @@ def bench_siglip():
 
     cfg = parse_model_cfg("ViT-B-16-SigLIP")
     state, step = _train_step(cfg, loss_type="siglip")
-    bs = 512
+    # batch 256/chip: round-3 frontier probe winner (625 vs 617 img/s at 512;
+    # scripts/bench_frontier.py — 128:612, 256:625, 512:617, 1024:590)
+    bs = 256
     batch = _image_text_batch(jnp, bs, 224, 64, 32000)
-    dt = _run_steps(state, step, batch, iters=5)
+    dt = _run_steps(state, step, batch, iters=10)
     gflops = _fwd_gflops("ViT-B-16-SigLIP", 46.4)
     return {
         "metric": "siglip_b16_train_images_per_sec_per_chip",
         "value": round(bs / dt, 1),
-        "unit": "images/sec/chip (bf16, batch 512, sigmoid loss train step)",
+        "unit": "images/sec/chip (bf16, batch 256, sigmoid loss train step)",
         "mfu": round(gflops * 3 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
         "hfu": round(gflops * 4 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
     }
