@@ -215,8 +215,9 @@ def _check_supported(cfg: CLIPModelCfg) -> None:
             raise NotImplementedError(
                 f"timm vision tower {v.timm_model_name!r} has no native TPU implementation yet"
             )
-    # HF text towers run natively via transformers' Flax classes (models/hf_text.py);
-    # name-only resolution needs hub/cache access, hf_model_config builds offline.
+    # HF text towers run on native JAX encoders (models/hf_native.py, routed via
+    # models/hf_text.py); name-only resolution needs hub/cache access for the HF
+    # config+weights, hf_model_config builds offline.
 
 
 
