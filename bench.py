@@ -91,7 +91,7 @@ def _fwd_gflops(model_name, default):
     return default
 
 
-def bench_flagship():
+def bench_flagship(bs=None):
     jax = _setup_jax()
     import jax.numpy as jnp
 
@@ -104,7 +104,7 @@ def bench_flagship():
     # batch 256/chip: the round-3 remat/batch sweep frontier winner (1810 vs 1585
     # img/s at 1024; scripts/bench_sweep.py + docs/ROUND3.md), and exactly the
     # reference recipe's per-device batch (32768 global / 128 GPUs)
-    bs = 256
+    bs = bs or 256
     batch = _image_text_batch(jnp, bs, 224, 77, 49408)
     dt = _run_steps(state, step, batch, iters=20)
     img_per_sec = bs / dt
@@ -119,7 +119,7 @@ def bench_flagship():
     }
 
 
-def bench_vit_l14():
+def bench_vit_l14(bs=None):
     jax = _setup_jax()
     import jax.numpy as jnp
 
@@ -129,7 +129,7 @@ def bench_vit_l14():
     state, step = _train_step(cfg)
     # batch 64/chip: round-3 frontier probe winner (171 vs 166 img/s at 256;
     # scripts/bench_frontier.py — 32:162, 64:171, 96:169, 128:168, 256:166, 512 OOM)
-    bs = 64
+    bs = bs or 64
     batch = _image_text_batch(jnp, bs, 224, 77, 49408)
     dt = _run_steps(state, step, batch, iters=10)
     gflops = _fwd_gflops("ViT-L-14", 177.51)
@@ -142,7 +142,7 @@ def bench_vit_l14():
     }
 
 
-def bench_vit_h14():
+def bench_vit_h14(bs=None):
     jax = _setup_jax()
     import jax.numpy as jnp
 
@@ -166,7 +166,7 @@ def bench_vit_h14():
     state = create_train_state(params, opt)
     step = jit_train_step(make_train_step(cfg, opt, loss_type="clip",
                                           compute_dtype=jnp.bfloat16, remat=True))
-    bs = 64
+    bs = bs or 64
     batch = _image_text_batch(jnp, bs, 224, 77, 49408)
     dt = _run_steps(state, step, batch, iters=5)
     gflops = _fwd_gflops("ViT-H-14", 381.9)
@@ -179,7 +179,7 @@ def bench_vit_h14():
     }
 
 
-def bench_siglip():
+def bench_siglip(bs=None):
     jax = _setup_jax()
     import jax.numpy as jnp
 
@@ -189,7 +189,7 @@ def bench_siglip():
     state, step = _train_step(cfg, loss_type="siglip")
     # batch 256/chip: round-3 frontier probe winner (625 vs 617 img/s at 512;
     # scripts/bench_frontier.py — 128:612, 256:625, 512:617, 1024:590)
-    bs = 256
+    bs = bs or 256
     batch = _image_text_batch(jnp, bs, 224, 64, 32000)
     dt = _run_steps(state, step, batch, iters=10)
     gflops = _fwd_gflops("ViT-B-16-SigLIP", 46.4)
@@ -202,7 +202,7 @@ def bench_siglip():
     }
 
 
-def bench_coca():
+def bench_coca(bs=None):
     jax = _setup_jax()
     import jax.numpy as jnp
 
@@ -210,7 +210,7 @@ def bench_coca():
 
     cfg = parse_model_cfg("coca_ViT-B-32")
     state, step = _train_step(cfg, loss_type="coca")
-    bs = 256  # round-3 probe: 698 samples/s vs 613 at 512 (matches the flagship frontier)
+    bs = bs or 256  # round-3 probe: 698 samples/s vs 613 at 512 (matches the flagship frontier)
     batch = _image_text_batch(jnp, bs, 224, 76, 49408)
     dt = _run_steps(state, step, batch, iters=10)
     gflops = _fwd_gflops("coca_ViT-B-32", 33.3)
@@ -223,7 +223,7 @@ def bench_coca():
     }
 
 
-def bench_naflex():
+def bench_naflex(bs=None):
     jax = _setup_jax()
     import jax.numpy as jnp
 
@@ -232,7 +232,7 @@ def bench_naflex():
     cfg = parse_model_cfg("naflex_ViT-B-16")
     state, step = _train_step(cfg)
     # token-budget bucket: seq 1024 patches @ patch 16 -> 16384-token budget = 16/batch
-    bs, seq = 16, 1024
+    bs, seq = bs or 16, 1024
     rng = np.random.default_rng(0)
     patches = {
         "patches": jnp.asarray(rng.standard_normal((bs, seq, 16 * 16 * 3)), jnp.bfloat16),
@@ -252,7 +252,7 @@ def bench_naflex():
     }
 
 
-def bench_genlip():
+def bench_genlip(bs=None):
     """GenLIP prefix-LM train step at 1k image tokens — exercises the flash
     prefix-LM kernels (ops/flash_attention.py) and the fused linear-CE."""
     jax = _setup_jax()
@@ -270,7 +270,7 @@ def bench_genlip():
     state = create_train_state(params, opt)
     step = jit_train_step(make_train_step(cfg, opt, loss_type="genlip",
                                           compute_dtype=jnp.bfloat16, remat=True))
-    bs, ni, lt = 8, 1024, 128
+    bs, ni, lt = bs or 8, 1024, 128
     rng = np.random.default_rng(0)
     grid32 = np.stack(np.meshgrid(np.arange(32), np.arange(32), indexing="ij"), -1)
     batch = {
@@ -290,7 +290,7 @@ def bench_genlip():
     }
 
 
-def bench_clap():
+def bench_clap(bs=None):
     jax = _setup_jax()
     import jax.numpy as jnp
 
@@ -298,7 +298,7 @@ def bench_clap():
 
     cfg = parse_model_cfg("CLAP-HTSAT-tiny")
     state, step = _train_step(cfg)
-    bs = 64
+    bs = bs or 64
     rng = np.random.default_rng(0)
     batch = {
         "audio": {"waveform": jnp.asarray(rng.standard_normal((bs, 480000)) * 0.1, jnp.float32)},

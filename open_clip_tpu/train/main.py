@@ -485,15 +485,18 @@ def main(args=None):
                         latest.unlink()
                     save_native(str(latest), state, block=False)
                     _write_ckpt_meta(latest, completed, int(state.step), args)
-                if args.delete_previous_checkpoint and completed > 1:
+            if args.delete_previous_checkpoint:
+                # independent of --save-most-recent; the previous saved epoch is
+                # save_frequency back, not completed-1 (reference main.py:729-734)
+                prev_epoch = completed - args.save_frequency
+                prev = ckpt_dir / f"epoch_{prev_epoch}"
+                if prev_epoch > 0 and prev.exists():
+                    import shutil
+
                     from ..checkpoint import wait_for_saves
 
                     wait_for_saves()  # never delete while a save may reference disk
-                    prev = ckpt_dir / f"epoch_{completed - 1}"
-                    if prev.exists():
-                        import shutil
-
-                        shutil.rmtree(prev)
+                    shutil.rmtree(prev)
         from ..checkpoint import wait_for_saves
 
         wait_for_saves()

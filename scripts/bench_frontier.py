@@ -7,6 +7,11 @@ are caught and reported so the sweep continues.
 
 Usage: python scripts/bench_frontier.py model=ViT-L-14 loss=clip ctx=77 vocab=49408 \
            [iters=5] combo... where combo = batch:unroll
+
+Suite mode probes any bench.py suite entry through its exact bench code path
+(model/optimizer/batch builder included) at overridden batch sizes:
+
+    python scripts/bench_frontier.py suite=vit_h14 32 48 96
 """
 
 import json
@@ -72,6 +77,23 @@ if __name__ == "__main__":
         else:
             combos.append(arg)
     combos = combos or ["256:1"]
+
+    if "suite" in kw:
+        import bench
+
+        fn = bench.SUITE[kw["suite"]]
+        for combo in combos:
+            bs = int(combo.split(":")[0])
+            try:
+                res = fn(bs=bs)
+                print(json.dumps({"suite": kw["suite"], "batch": bs,
+                                  "value": res["value"], "unit": res["unit"],
+                                  **{k: res[k] for k in ("mfu", "hfu") if k in res}}),
+                      flush=True)
+            except Exception as e:  # noqa: BLE001 — keep sweeping past compiler OOMs
+                print(json.dumps({"suite": kw["suite"], "batch": bs,
+                                  "error": f"{type(e).__name__}: {str(e)[:200]}"}), flush=True)
+        sys.exit(0)
     for combo in combos:
         bs, unroll = (combo.split(":") + ["1"])[:2]
         t0 = time.perf_counter()

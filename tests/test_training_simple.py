@@ -261,3 +261,20 @@ def test_training_wds_device_preprocess_native(tmp_path):
         ]
     )
     assert int(state.step) == 2  # 16 samples / batch 8
+
+
+def test_training_delete_previous_checkpoint(tmp_path):
+    """--delete-previous-checkpoint removes epoch_{completed - save_frequency}
+    independently of --save-most-recent (reference main.py:729-734)."""
+    state = main([
+        "--model", "tiny-smoke-vit", "--dataset-type", "synthetic",
+        "--train-num-samples", "16", "--batch-size", "8",
+        "--epochs", "2", "--lr", "1e-3", "--warmup", "1", "--precision", "fp32",
+        "--logs", str(tmp_path), "--name", "del-prev",
+        "--save-frequency", "1", "--delete-previous-checkpoint",
+        "--zeroshot-frequency", "100",
+    ])
+    ckpts = tmp_path / "del-prev" / "checkpoints"
+    assert (ckpts / "epoch_2").exists()
+    assert not (ckpts / "epoch_1").exists()
+    assert int(state.step) == 4
