@@ -166,14 +166,17 @@ def bench_vit_h14(bs=None):
     state = create_train_state(params, opt)
     step = jit_train_step(make_train_step(cfg, opt, loss_type="clip",
                                           compute_dtype=jnp.bfloat16, remat=True))
-    bs = bs or 64
+    # batch 32/chip: round-3 frontier probe winner (77.8 vs 75.2 at 48, 71.5 at 96
+    # img/s) — same pattern as the other towers: the smallest batch that fills the
+    # MXU wins under full remat.
+    bs = bs or 32
     batch = _image_text_batch(jnp, bs, 224, 77, 49408)
     dt = _run_steps(state, step, batch, iters=5)
     gflops = _fwd_gflops("ViT-H-14", 381.9)
     return {
         "metric": "vit_h14_clip_train_images_per_sec_per_chip",
         "value": round(bs / dt, 1),
-        "unit": "images/sec/chip (pure_bf16 params + bf16 adam mu, batch 64, InfoNCE train step)",
+        "unit": f"images/sec/chip (pure_bf16 params + bf16 adam mu, batch {bs}, InfoNCE train step)",
         "mfu": round(gflops * 3 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
         "hfu": round(gflops * 4 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
     }
@@ -298,7 +301,8 @@ def bench_clap(bs=None):
 
     cfg = parse_model_cfg("CLAP-HTSAT-tiny")
     state, step = _train_step(cfg)
-    bs = bs or 64
+    # batch 128/chip: round-3 frontier probe winner (406 vs 370 clips/s at 32)
+    bs = bs or 128
     rng = np.random.default_rng(0)
     batch = {
         "audio": {"waveform": jnp.asarray(rng.standard_normal((bs, 480000)) * 0.1, jnp.float32)},
@@ -308,8 +312,60 @@ def bench_clap(bs=None):
     return {
         "metric": "clap_htsat_tiny_train_clips_per_sec_per_chip",
         "value": round(bs / dt, 1),
-        "unit": "10s clips/sec/chip (bf16, batch 64, on-device log-mel + train step)",
+        "unit": f"10s clips/sec/chip (bf16, batch {bs}, on-device log-mel + train step)",
     }
+
+
+def _img_gflops(model_name, default):
+    """Per-sample image-tower forward GFLOPs from docs/model_profile.csv."""
+    try:
+        import csv
+
+        with open("/root/repo/docs/model_profile.csv") as fh:
+            for row in csv.DictReader(fh):
+                if row["model"] == model_name and row.get("image GFLOPs"):
+                    return float(row["image GFLOPs"])
+    except OSError:
+        pass
+    return default
+
+
+def bench_inference(bs=None):
+    """Serving-path throughput: jitted bf16 ``encode_image`` (normalize included),
+    the hot op of zero-shot classification / retrieval / embedding services.
+    MFU is 1x forward (no remat, no backward)."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from open_clip_tpu.config import parse_model_cfg
+    from open_clip_tpu.convert import convert_params_dtype
+    from open_clip_tpu.models.clip import encode_image, init_clip
+
+    out = {"metric": "image_encode_inference_images_per_sec_per_chip",
+           "unit": "images/sec/chip (bf16 params+compute, jitted encode_image+l2norm)"}
+    for name, batch_size, ref_gf in (("ViT-B-32", 2048, 8.95), ("ViT-L-14", 512, 163.99)):
+        cfg = parse_model_cfg(name)
+        params = convert_params_dtype(init_clip(jax.random.PRNGKey(0), cfg), jnp.bfloat16)
+
+        @jax.jit
+        def fn(params, image, _cfg=cfg):
+            return encode_image(params, _cfg, image, normalize=True, compute_dtype=jnp.bfloat16)
+
+        bs_i = bs or batch_size
+        rng = np.random.default_rng(0)
+        image = jnp.asarray(rng.standard_normal((bs_i, 224, 224, 3)), dtype=jnp.bfloat16)
+        fn(params, image).block_until_ready()
+        t0 = time.perf_counter()
+        iters = 10
+        for _ in range(iters):
+            r = fn(params, image)
+        r.block_until_ready()
+        dt = (time.perf_counter() - t0) / iters
+        gf = _img_gflops(name, ref_gf)
+        key = name.lower().replace("-", "_")
+        out[key] = {"value": round(bs_i / dt, 1), "batch": bs_i,
+                    "mfu": round(gf * bs_i / dt / 1e3 / V5E_PEAK_TFLOPS, 3)}
+    return out
 
 
 def _make_bench_shards(root, n_shards=4, per_shard=1024, side=256, quality=85):
@@ -487,6 +543,7 @@ SUITE = {
     "coca_b32": bench_coca,
     "genlip_b16": bench_genlip,
     "clap_htsat": bench_clap,
+    "inference": bench_inference,
 }
 
 
