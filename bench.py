@@ -77,18 +77,27 @@ def _image_text_batch(jnp, bs, image_size, ctx, vocab):
     }
 
 
-def _fwd_gflops(model_name, default):
-    """Per-sample forward GFLOPs from docs/model_profile.csv (XLA-counted)."""
+def _profile_gflops(model_name, default, column="GFLOPs"):
+    """Per-sample forward GFLOPs from docs/model_profile.csv (XLA-counted);
+    ``column`` picks the full-model or per-tower count."""
+    import os
+
     try:
         import csv
 
-        with open("/root/repo/docs/model_profile.csv") as fh:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "docs", "model_profile.csv")
+        with open(path) as fh:
             for row in csv.DictReader(fh):
-                if row["model"] == model_name and row.get("GFLOPs"):
-                    return float(row["GFLOPs"])
+                if row["model"] == model_name and row.get(column):
+                    return float(row[column])
     except OSError:
         pass
     return default
+
+
+def _fwd_gflops(model_name, default):
+    return _profile_gflops(model_name, default)
 
 
 def bench_flagship(bs=None):
@@ -316,20 +325,6 @@ def bench_clap(bs=None):
     }
 
 
-def _img_gflops(model_name, default):
-    """Per-sample image-tower forward GFLOPs from docs/model_profile.csv."""
-    try:
-        import csv
-
-        with open("/root/repo/docs/model_profile.csv") as fh:
-            for row in csv.DictReader(fh):
-                if row["model"] == model_name and row.get("image GFLOPs"):
-                    return float(row["image GFLOPs"])
-    except OSError:
-        pass
-    return default
-
-
 def bench_inference(bs=None):
     """Serving-path throughput: jitted bf16 ``encode_image`` (normalize included),
     the hot op of zero-shot classification / retrieval / embedding services.
@@ -361,7 +356,7 @@ def bench_inference(bs=None):
             r = fn(params, image)
         r.block_until_ready()
         dt = (time.perf_counter() - t0) / iters
-        gf = _img_gflops(name, ref_gf)
+        gf = _profile_gflops(name, ref_gf, column="image GFLOPs")
         key = name.lower().replace("-", "_")
         out[key] = {"value": round(bs_i / dt, 1), "batch": bs_i,
                     "mfu": round(gf * bs_i / dt / 1e3 / V5E_PEAK_TFLOPS, 3)}

@@ -340,7 +340,11 @@ class WdsPipeline:
         for rec in self._samples(epoch, 0, 1):
             chunk_bytes.append(bytes(rec["image_bytes"]))
             chunk_caps.append(rec["caption"])
-            if len(chunk_bytes) >= cfg.batch_size:
+            # chunks top up any slow-path leftovers to exactly batch_size so
+            # `images` drains back to empty and the zero-copy fast path
+            # re-engages after a decode failure (instead of being disabled for
+            # the rest of the run by a permanent bs-1 remainder)
+            if len(chunk_bytes) + len(images) >= cfg.batch_size:
                 whole = _flush()
                 if whole is not None:
                     yield whole

@@ -165,6 +165,11 @@ int decode_one(const uint8_t* buf, size_t len, int canvas, uint8_t* out,
                int flags = 0) {
   jpeg_decompress_struct cinfo;
   JerrMgr jerr;
+  // Declared BEFORE setjmp: a longjmp from mid-decode lands inside their
+  // lifetime, so the error-path return runs their destructors (declaring them
+  // after setjmp would skip destructors — leak + formally UB).
+  std::vector<uint8_t> raw;
+  std::vector<uint8_t> resized;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = jerr_exit;
   jerr.pub.emit_message = jerr_emit;
@@ -218,7 +223,7 @@ int decode_one(const uint8_t* buf, size_t len, int canvas, uint8_t* out,
     return 4;
   }
   const int w = cinfo.output_width, h = cinfo.output_height;
-  std::vector<uint8_t> raw(static_cast<size_t>(w) * h * 3);
+  raw.resize(static_cast<size_t>(w) * h * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     JSAMPROW row = raw.data() + static_cast<size_t>(cinfo.output_scanline) * w * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
@@ -236,7 +241,6 @@ int decode_one(const uint8_t* buf, size_t len, int canvas, uint8_t* out,
     nw = static_cast<int>(std::nearbyint(w * scale));
     nh = static_cast<int>(std::nearbyint(h * scale));
   }
-  std::vector<uint8_t> resized;
   const uint8_t* rptr = raw.data();
   if (nw != w || nh != h) {
     resized.resize(static_cast<size_t>(nw) * nh * 3);

@@ -157,12 +157,34 @@ def _resume_epoch(resume_path: str, step: int, steps_per_epoch: int) -> int:
 
 def get_latest_checkpoint(ckpt_dir: Path) -> Optional[str]:
     """Resume-latest discovery (reference get_latest_checkpoint, main.py:77-96):
-    prefer the epoch_latest pointer, else the highest epoch_N dir."""
-    latest = ckpt_dir / "epoch_latest"
-    if latest.exists():
-        return str(latest)
+    the epoch_latest pointer or the highest epoch_N dir, whichever is newer.
+
+    epoch_latest may be stale — e.g. written by an earlier --save-most-recent run
+    that a later run without the flag never updated — so it only wins when the
+    epoch it points at is >= the highest numbered checkpoint present."""
+    import re as _re
+
+    def _epoch_num(p: Path) -> int:
+        real = p.resolve()
+        m = _re.match(r"epoch_(\d+)$", real.name)
+        if m:
+            return int(m.group(1))
+        import json as _json
+
+        for meta in (Path(str(real) + ".meta.json"), real / "meta.json"):
+            try:
+                return int(_json.loads(meta.read_text())["epoch"])
+            except (OSError, KeyError, ValueError):
+                pass
+        return -1
+
     cands = sorted((p for p in ckpt_dir.glob("epoch_*") if p.name.split("_")[1].isdigit()),
                    key=lambda p: int(p.name.split("_")[1]))
+    latest = ckpt_dir / "epoch_latest"
+    if latest.exists():
+        n = _epoch_num(latest)
+        if not cands or n < 0 or n >= int(cands[-1].name.split("_")[1]):
+            return str(latest)
     return str(cands[-1]) if cands else None
 
 
@@ -497,6 +519,9 @@ def main(args=None):
 
                     wait_for_saves()  # never delete while a save may reference disk
                     shutil.rmtree(prev)
+                    meta = Path(str(prev) + ".meta.json")  # sidecar lives NEXT to the dir
+                    if meta.exists():
+                        meta.unlink()
         from ..checkpoint import wait_for_saves
 
         wait_for_saves()

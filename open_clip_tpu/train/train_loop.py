@@ -65,7 +65,9 @@ def train_one_epoch(
     # reference's DataLoader workers + pin_memory/non_blocking, data.py:1023-1055)
     from ..data.wds import device_prefetch
 
-    prefetch_depth = max(1, getattr(args, "workers", 2))
+    # depth bounds batches pinned in device HBM, so keep it small and independent
+    # of the host decode-worker count (workers=8 at batch-1024 fp32 would pin ~5 GB)
+    prefetch_depth = min(3, max(1, getattr(args, "workers", 2)))
     loader = device_prefetch(dataloader, depth=prefetch_depth, sharding=batch_sharding)
 
     end = time.perf_counter()

@@ -365,6 +365,17 @@ def make_device_train_preprocess(
     if isinstance(aug_cfg, dict):
         aug_cfg = AugmentationCfg(**aug_cfg)
     aug = aug_cfg or AugmentationCfg()
+    # only scale/ratio are implemented on-device; erroring beats silently
+    # training with a different augmentation recipe than the host tier would use
+    unsupported = {f: getattr(aug, f) for f in
+                   ("color_jitter", "color_jitter_prob", "gray_scale_prob",
+                    "re_prob", "re_count", "use_timm")
+                   if getattr(aug, f, None) not in (None, False, 0, 0.0)}
+    if unsupported:
+        raise ValueError(
+            f"--device-preprocess implements only scale/ratio (RandomResizedCrop); "
+            f"unsupported aug_cfg fields set: {unsupported} — drop them or disable "
+            f"--device-preprocess to use the host PIL augmentation tier")
     scale_rng = aug.scale
     ratio_rng = aug.ratio or (3.0 / 4.0, 4.0 / 3.0)
     th, tw = cfg.size_hw

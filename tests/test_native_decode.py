@@ -168,3 +168,34 @@ def test_wds_native_path_falls_back_for_png(tmp_path):
     for b in batches:
         assert b["image"].dtype == np.uint8
         assert (np.ptp(b["image"].reshape(b["image"].shape[0], -1), axis=1) > 0).all()
+
+def test_wds_native_fast_path_recovers_after_failure(tmp_path):
+    """A corrupt sample must not permanently disable the zero-copy fast path:
+    chunks top up slow-path leftovers to batch_size so `images` drains back to
+    empty and later clean batches ship the contiguous buffer again."""
+    from open_clip_tpu.data.wds import WdsConfig, WdsPipeline
+
+    _make_shard(tmp_path / "s-000000.tar", 16)
+    # overwrite sample 1 with bytes that fail BOTH native and PIL decode
+    with tarfile.open(tmp_path / "s-000000.tar", "r") as tf:
+        members = {m.name: tf.extractfile(m).read() for m in tf.getmembers()}
+    members["000001.jpg"] = b"\xff\xd8\xff\xe0 not a real jpeg body"
+    with tarfile.open(tmp_path / "s-000000.tar", "w") as tf:
+        for name, data in members.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+    cfg = WdsConfig(urls=str(tmp_path / "s-000000.tar"), batch_size=4, num_workers=1,
+                    seed=7, native_decode_threads=2)
+    t = _Uint8CanvasTransform(PreprocessCfg(size=32), canvas=48)
+    pipe = WdsPipeline(cfg, t, _fake_tok)
+    slow_collates = []
+    orig = pipe._collate
+    pipe._collate = lambda imgs, caps: slow_collates.append(len(imgs)) or orig(imgs, caps)
+    pipe.set_epoch(0)
+    batches = list(pipe)
+    # 15 good samples -> 3 full batches (partial dropped); only the batch that
+    # absorbed the failure goes through the slow collate, the rest are fast-path
+    assert sum(b["image"].shape[0] for b in batches) == 12
+    assert len(slow_collates) == 1

@@ -278,3 +278,23 @@ def test_training_delete_previous_checkpoint(tmp_path):
     assert (ckpts / "epoch_2").exists()
     assert not (ckpts / "epoch_1").exists()
     assert int(state.step) == 4
+
+
+def test_get_latest_checkpoint_prefers_newer_numbered(tmp_path):
+    """A stale epoch_latest (e.g. from an earlier --save-most-recent run) must not
+    shadow a higher-numbered checkpoint written by a later run without the flag."""
+    import os
+
+    from open_clip_tpu.train.main import get_latest_checkpoint
+
+    ckpt = tmp_path / "checkpoints"
+    ckpt.mkdir()
+    (ckpt / "epoch_3").mkdir()
+    os.symlink("epoch_3", ckpt / "epoch_latest")
+    assert get_latest_checkpoint(ckpt).endswith("epoch_latest")  # pointer is current
+    (ckpt / "epoch_10").mkdir()
+    assert get_latest_checkpoint(ckpt).endswith("epoch_10")  # pointer is stale
+    # pointer updated to the top again -> preferred again
+    (ckpt / "epoch_latest").unlink()
+    os.symlink("epoch_10", ckpt / "epoch_latest")
+    assert get_latest_checkpoint(ckpt).endswith("epoch_latest")
