@@ -53,6 +53,7 @@ from .data.audio import (
     audio_transform_v2,
     require_audio,
 )
+from .export import export_encoders, load_exported, save_exported
 from .push_to_hf_hub import push_pretrained_to_hf_hub, push_to_hf_hub, save_for_hf
 from .tokenizer import (
     DEFAULT_CONTEXT_LENGTH,
@@ -116,6 +117,9 @@ __all__ = [
     "forward_intermediates",
     "save_for_hf",
     "push_to_hf_hub",
+    "export_encoders",
+    "save_exported",
+    "load_exported",
     "SigLipTokenizer",
     "TikTokenTokenizer",
     "build_zero_shot_classifier",
