@@ -36,6 +36,35 @@ def _setup_jax():
     return jax
 
 
+def _require_device(timeout_s: int = 240):
+    """Fail fast when device init hangs (a wedged TPU tunnel blocks
+    ``jax.devices()`` in C code forever — seen when the pool relay accepts TCP
+    but never grants the claim). Raises RuntimeError on timeout so main() can
+    report the last measured result instead of hanging the driver."""
+    import threading
+
+    import jax
+
+    done = threading.Event()
+    out = {}
+
+    def probe():
+        try:
+            out["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 — reported below
+            out["error"] = repr(e)
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        raise RuntimeError(f"jax.devices() did not return within {timeout_s}s "
+                           "(TPU tunnel unresponsive)")
+    if "error" in out:
+        raise RuntimeError(f"jax device init failed: {out['error']}")
+    return out["devices"]
+
+
 def _train_step(cfg, loss_type="clip", remat=True):
     import jax.numpy as jnp
 
@@ -542,9 +571,30 @@ SUITE = {
 }
 
 
+def _cached_flagship_fallback(reason: str):
+    """Last measured flagship result from docs/bench_suite.json, explicitly
+    labeled as cached — emitted only when the device cannot be reached at all,
+    so the driver gets an attributable line instead of a hang."""
+    try:
+        with open("/root/repo/docs/bench_suite.json") as fh:
+            res = dict(json.load(fh)["vit_b32"])
+    except (OSError, ValueError, KeyError):
+        res = {"metric": "vit_b32_clip_train_images_per_sec_per_chip", "value": None}
+    res["stale_cached_result"] = True
+    res["error"] = reason
+    return res
+
+
 def main():
     args = sys.argv[1:]
     if not args:
+        import os
+
+        try:
+            _require_device(int(os.environ.get("OCT_BENCH_DEVICE_TIMEOUT_S", "240")))
+        except RuntimeError as e:
+            print(json.dumps(_cached_flagship_fallback(str(e))), flush=True)
+            os._exit(0)  # the stuck device-init thread would block a normal exit
         print(json.dumps(bench_flagship()))
         return
     names = list(SUITE) if args[0] in ("--suite", "--all") else args
