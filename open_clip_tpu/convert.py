@@ -30,12 +30,15 @@ logger = logging.getLogger(__name__)
 def _np(t) -> np.ndarray:
     if isinstance(t, np.ndarray):
         return t
-    # torch tensor (cpu) — avoid importing torch unless needed
+    # torch tensor (cpu) — avoid importing torch unless needed. Copy: .numpy()
+    # on a CPU tensor SHARES storage, so without it a later in-place torch op
+    # (e.g. optimizer.step() on the source model) silently mutates the
+    # converted params.
     if hasattr(t, "detach"):
         t = t.detach()
         if t.dtype is not None and str(t.dtype) == "torch.bfloat16":
             t = t.float()
-        return t.cpu().numpy()
+        return t.cpu().numpy().copy()
     return np.asarray(t)
 
 
@@ -177,7 +180,8 @@ def _convert_timm_vit_trunk(sd: Mapping[str, Any]) -> Dict[str, Any]:
 
     def t(k):
         v = sd[k]
-        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        # copy: .numpy() shares CPU-tensor storage (see _np above)
+        return np.asarray(v.detach().cpu().numpy().copy() if hasattr(v, "detach") else v)
 
     def ln(prefix):
         return {"scale": t(f"{prefix}.weight"), "bias": t(f"{prefix}.bias")}
