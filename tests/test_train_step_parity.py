@@ -89,12 +89,10 @@ def _torch_step(ref, tmodel):
     loss = ClipLoss()(fi, ft, scale)
     opt.zero_grad()
     loss.backward()
-    grads_sd = {n: p.grad.detach().clone() for n, p in tmodel.named_parameters()
-                if p.grad is not None}
     torch.nn.utils.clip_grad_norm_(tmodel.parameters(), CLIP_NORM, norm_type=2.0)
     opt.step()
-    return float(loss.detach()), grads_sd, {n: p.detach().clone()
-                                            for n, p in tmodel.named_parameters()}
+    return float(loss.detach()), {n: p.detach().clone()
+                                  for n, p in tmodel.named_parameters()}
 
 
 def _jax_step(cfg, params):
@@ -126,16 +124,10 @@ def _flat(tree, prefix=""):
 
 def test_one_train_step_matches_reference(ref, pair):
     tmodel, cfg, params = pair
-    ref_loss, ref_grads_sd, ref_params_after = _torch_step(ref, tmodel)
+    ref_loss, ref_params_after = _torch_step(ref, tmodel)
     our_loss, our_params_after = _jax_step(cfg, params)
 
     assert abs(ref_loss - our_loss) < 1e-5, (ref_loss, our_loss)
-
-    # gradients, pushed through the same layout converter as the weights
-    # (transpose/stack are linear, so grads convert identically to params)
-    conv_grads = torch_clip_to_params(ref_grads_sd, cfg)
-    conv_grads.pop("_unconverted", None)
-    our_grads = None  # grads are implicit in the update; compare via param deltas
 
     # updated parameters: AdamW step-1 update is ~sign(g)*lr, so parity here
     # pins grads, the wd mask, the global-norm clip, and optax-vs-torch AdamW
@@ -156,3 +148,70 @@ def test_one_train_step_matches_reference(ref, pair):
     # and the step actually moved the weights
     moved = max(float(np.max(np.abs(before[n] - theirs[n]))) for n in theirs)
     assert moved > LR * 0.5, f"reference step barely moved weights ({moved:.3e})"
+
+
+def test_one_siglip_step_matches_reference(ref, tmp_path_factory):
+    """Same one-step pin for the sigmoid loss + logit_bias path (reference
+    SigLipLoss, loss.py:314; model.py:364 init_logit_bias)."""
+    from open_clip.loss import SigLipLoss
+    from open_clip_train.optim import OptimizerCfg as RefOptCfg
+    from open_clip_train.optim import create_optimizer as ref_create_optimizer
+
+    from open_clip_tpu.train.optim import OptimizerCfg, create_optimizer
+    from open_clip_tpu.train.scheduler import const_lr
+    from open_clip_tpu.train.train_step import (create_train_state, jit_train_step,
+                                                make_train_step)
+
+    sig_cfg = dict(TINY_CFG)
+    sig_cfg["init_logit_scale"] = float(np.log(10.0))
+    sig_cfg["init_logit_bias"] = -10.0
+    name = "tiny-stepparity-siglip"
+    if name not in oct.list_models():
+        oct.add_model_config(dict(sig_cfg), name=name)
+    if name not in ref.list_models():
+        p = tmp_path_factory.mktemp("cfg") / f"{name}.json"
+        p.write_text(json.dumps(sig_cfg))
+        ref.add_model_config(p)
+    torch.manual_seed(11)
+    tmodel = ref.create_model(name)
+    tmodel.train()
+    cfg = parse_model_cfg(name)
+    params = merge_params(init_clip(jax.random.PRNGKey(0), cfg),
+                          torch_clip_to_params(tmodel.state_dict(), cfg), cfg, strict=True)
+
+    img, txt = _batch(seed=5)
+    # torch side
+    opt = ref_create_optimizer(
+        tmodel, RefOptCfg(opt="adamw", lr=LR, weight_decay=WD, beta1=BETA1,
+                          beta2=BETA2, eps=EPS))
+    out = tmodel(image=torch.from_numpy(img).permute(0, 3, 1, 2).contiguous(),
+                 text=torch.from_numpy(txt.astype(np.int64)))
+    fi, ft, scale, bias = (out["image_features"], out["text_features"],
+                           out["logit_scale"], out["logit_bias"]) \
+        if isinstance(out, dict) else out
+    ref_loss = SigLipLoss(rank=0, world_size=1)(fi, ft, scale, bias)
+    opt.zero_grad()
+    ref_loss.backward()
+    torch.nn.utils.clip_grad_norm_(tmodel.parameters(), CLIP_NORM, norm_type=2.0)
+    opt.step()
+    ref_after = torch_clip_to_params(
+        {n: p.detach().clone() for n, p in tmodel.named_parameters()}, cfg)
+    ref_after.pop("_unconverted", None)
+
+    # jax side
+    jopt = create_optimizer(
+        OptimizerCfg(lr=LR, wd=WD, beta1=BETA1, beta2=BETA2, eps=EPS,
+                     grad_clip_norm=CLIP_NORM), params, const_lr(LR, 0))
+    state = create_train_state(params, jopt)
+    step = jit_train_step(make_train_step(cfg, jopt, loss_type="siglip",
+                                          compute_dtype=jnp.float32, remat=False))
+    new_state, metrics = step(state, {"image": jnp.asarray(img), "text": jnp.asarray(txt)},
+                              jax.random.PRNGKey(0))
+
+    assert abs(float(ref_loss) - float(metrics["loss"])) < 1e-5
+    ours = dict(_flat(new_state.params))
+    theirs = dict(_flat(ref_after))
+    assert set(ours) == set(theirs)
+    for k, v in theirs.items():
+        d = float(np.max(np.abs(ours[k] - v)))
+        assert d < LR * 0.02, f"{k}: max |delta| {d:.3e}"
