@@ -23,7 +23,12 @@ NO_WD_NAMES = {
     "cls_emb",
     "logit_scale",
     "logit_bias",
-    "query",  # attentional pooler latents
+    # Attentional-pooler latents. Deliberate uniform choice: the reference's
+    # newer MAP towers exclude the pool query as a learned token (reference
+    # transformer.py:1481-1487) while its classic tower still decays it
+    # (transformer.py:778-781); we apply the newer convention everywhere
+    # (divergence pinned in tests/test_train_step_parity.py, CoCa step).
+    "query",
 }
 
 
