@@ -250,14 +250,27 @@ def make_wds_audio_pipeline(cfg, preprocess, tokenizer, audio_ext: str = None):
 
     class AudioWds(WdsPipeline):
         def _samples(self, epoch):
+            # same swap-shuffle buffer as the image pipeline: without it samples
+            # arrive in tar order (recording sessions / classes cluster within a
+            # shard), correlating consecutive contrastive batches
             rng = random.Random(self.cfg.seed * 7919 + epoch)
+            buf = []
             for shard in self._my_shards(epoch):
                 for sample in iterate_tar_samples(shard):
                     caption = extract_caption(sample, self.cfg.caption_key)
                     pair = next(((sample[e], e) for e in exts if e in sample), None)
                     if caption is None or pair is None:
                         continue
-                    yield {"audio_bytes": pair[0], "audio_ext": pair[1], "caption": caption}
+                    rec = {"audio_bytes": pair[0], "audio_ext": pair[1], "caption": caption}
+                    if self.cfg.shuffle_samples:
+                        if len(buf) < self.cfg.shuffle_samples:
+                            buf.append(rec)
+                            continue
+                        idx = rng.randrange(len(buf))
+                        buf[idx], rec = rec, buf[idx]
+                    yield rec
+            rng.shuffle(buf)
+            yield from buf
 
         def __iter__(self):
             auds, caps = [], []

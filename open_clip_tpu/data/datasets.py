@@ -52,6 +52,7 @@ class CsvDataset:
         batch_size: int = 64,
         shuffle: bool = False,
         seed: int = 0,
+        partial_batches: bool = False,
     ):
         with open(input_filename, newline="") as fh:
             reader = csv.DictReader(fh, delimiter=sep)
@@ -65,6 +66,7 @@ class CsvDataset:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
+        self.partial_batches = partial_batches
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -94,6 +96,13 @@ class CsvDataset:
                     "text": np.asarray(self.tokenizer(captions), dtype=np.int32),
                 }
                 images, captions = [], []
+        if images and self.partial_batches:
+            # eval must see the tail: torch's val DataLoader keeps the last
+            # partial batch (reference data.py get_csv_dataset, drop_last=False)
+            yield {
+                "image": np.stack(images),
+                "text": np.asarray(self.tokenizer(captions), dtype=np.int32),
+            }
 
 
 class SyntheticDataset:
@@ -161,6 +170,13 @@ def get_data(
         dstype = get("dataset_type", "auto")
         pp = pp_train if is_train else pp_val
         batch_size = get("batch_size", 64)
+        if is_train:
+            # reference CLI contract: --accum-freq accumulates accum_freq batches
+            # of --batch-size each (train.py:254-267), so the effective/optimizer
+            # batch is batch_size * accum_freq. The loader yields that whole
+            # super-batch; the train step splits it back into accum_freq
+            # GradCache microbatches of batch_size.
+            batch_size *= max(1, get("accum_freq", 1) or 1)
         if dstype == "synthetic-audio":
             from .audio import SyntheticAudioDataset
 
@@ -250,9 +266,16 @@ def get_data(
                 batch_size=batch_size,
                 shuffle=is_train,
                 seed=get("seed", 0),
+                partial_batches=not is_train,
             )
-            return DataInfo(ds, num_samples=len(ds), num_batches=len(ds) // batch_size)
+            nb = (len(ds) // batch_size) if is_train else math.ceil(len(ds) / batch_size)
+            return DataInfo(ds, num_samples=len(ds), num_batches=nb)
         if dstype == "webdataset":
+            num_samples = get("train_num_samples") if is_train else get("val_num_samples")
+            if not num_samples:
+                num_samples, _ = get_dataset_size(split_path)
+                num_samples = num_samples or 0
+            num_batches = num_samples // batch_size if num_samples else 0
             cfg = WdsConfig(
                 urls=split_path,
                 weights=get("train_data_upsampling_factors") if is_train else None,
@@ -267,13 +290,12 @@ def get_data(
                 partial_batches=not is_train,
                 num_workers=get("workers", 2) if is_train else 1,
                 native_decode_threads=get("native_decode_threads", 0) if is_train else 0,
+                # train: equalize every rank's epoch to exactly num_batches steps
+                # (reference with_epoch) so collective step counts never diverge
+                epoch_batches=num_batches if is_train and num_batches else None,
             )
             ds = WdsPipeline(cfg, pp, tokenizer)
-            num_samples = get("train_num_samples") if is_train else get("val_num_samples")
-            if not num_samples:
-                num_samples, _ = get_dataset_size(split_path)
-                num_samples = num_samples or 0
-            return DataInfo(ds, num_samples=num_samples, num_batches=num_samples // batch_size if num_samples else 0)
+            return DataInfo(ds, num_samples=num_samples, num_batches=num_batches)
         raise ValueError(f"unsupported dataset type {dstype!r}")
 
     if get("train_data") or str(get("dataset_type", "")).startswith("synthetic"):

@@ -60,7 +60,12 @@ def expand_urls(urls, weights: Optional[str] = None) -> Tuple[List[str], Optiona
             expanded = _brace_expand(src)
             all_urls.extend(expanded)
             if wlist is not None:
-                all_weights.extend([float(wlist[i]) / len(expanded)] * len(expanded))
+                # per-SHARD weight = the source weight verbatim (reference
+                # expand_urls, data.py:174-179): a source's total sampling mass
+                # is weight x its shard count, so larger datasets are sampled
+                # proportionally more at equal weights. Dividing by shard count
+                # here would equalize sources regardless of size.
+                all_weights.extend([float(wlist[i])] * len(expanded))
         return all_urls, (all_weights if wlist is not None else None)
     return list(urls), None
 
@@ -190,6 +195,9 @@ class WdsConfig:
     # no pickling, deterministic single-stream order. Requires the uint8
     # device-preprocess transform tier; silently falls back when unavailable.
     native_decode_threads: int = 0
+    # cap/pad each epoch to exactly this many batches (reference with_epoch) so
+    # all ranks run the same number of collective steps; None = raw shard content
+    epoch_batches: Optional[int] = None
 
 
 class WdsPipeline:
@@ -258,6 +266,13 @@ class WdsPipeline:
         rng.shuffle(buf)
         yield from buf
 
+    def _one_pass(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        if self.cfg.native_decode_threads > 0 and self._native_canvas() is not None:
+            return self._batches_native(epoch)
+        if self.cfg.num_workers > 1:
+            return _multiprocess_batches(self, epoch, self.cfg.num_workers)
+        return self._batches_for_worker(epoch, 0, 1)
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         """Yield batches for the current epoch.
 
@@ -266,14 +281,31 @@ class WdsPipeline:
         shards are split per (rank, worker), each worker batches independently, and the
         parent interleaves worker outputs round-robin — deterministic for a fixed
         (seed, epoch, num_workers), like torch's DataLoader ordering.
+
+        ``cfg.epoch_batches`` caps AND pads the stream to exactly that many
+        batches (the reference's ``with_epoch``, data.py:948): every rank then
+        executes the same number of jitted collective steps per epoch even when
+        shard counts split unevenly across ranks, and steps_per_epoch (LR
+        schedule, resume arithmetic) matches what actually runs. A short pass
+        continues into a re-shuffled pass keyed off a shifted epoch.
         """
-        if self.cfg.native_decode_threads > 0 and self._native_canvas() is not None:
-            yield from self._batches_native(self.epoch)
+        n = self.cfg.epoch_batches
+        if not n:
+            yield from self._one_pass(self.epoch)
             return
-        if self.cfg.num_workers > 1:
-            yield from _multiprocess_batches(self, self.epoch, self.cfg.num_workers)
-            return
-        yield from self._batches_for_worker(self.epoch, 0, 1)
+        count = 0
+        for cycle in range(1000):  # bound: a pass yielding 1 batch at n=1000
+            got = False
+            for b in self._one_pass(self.epoch + cycle * 7919):
+                got = True
+                yield b
+                count += 1
+                if count >= n:
+                    return
+            if not got:
+                raise RuntimeError(
+                    "webdataset stream produced no batches for this rank/worker split "
+                    f"(epoch {self.epoch}); cannot pad to epoch_batches={n}")
 
     def _native_canvas(self) -> Optional[int]:
         canvas = getattr(self.preprocess, "native_canvas", None)

@@ -155,6 +155,7 @@ def encode_image(
     remat: bool = False,
     attn_impl: str = "auto",
     stats_sink=None,
+    bn_eval: bool = False,  # frozen-BN semantics: normalize with running stats even in train mode
 ) -> jax.Array:
     vcfg = cfg.vision_cfg
     if isinstance(image, dict) and not _is_naflex(vcfg):
@@ -174,7 +175,7 @@ def encode_image(
 
         pooled = resnet.apply_modified_resnet(
             params["visual"], vcfg, image, compute_dtype=compute_dtype,
-            use_batch_stats=train, stats_sink=stats_sink,
+            use_batch_stats=train and not bn_eval, stats_sink=stats_sink,
         )
     elif _is_convnext(vcfg):
         from . import convnext
@@ -283,6 +284,7 @@ def clip_forward(
     remat: bool = False,
     attn_impl: str = "auto",
     stats_sink=None,
+    bn_eval: bool = False,
     return_hidden: bool = False,
 ) -> Dict[str, jax.Array]:
     """Dict-output forward matching reference CLIP.forward(output_dict=True)
@@ -306,7 +308,7 @@ def clip_forward(
         out["image_features"] = encode_image(
             params, cfg, image, normalize=True, train=train, rng=rng,
             compute_dtype=compute_dtype, remat=remat, attn_impl=attn_impl,
-            stats_sink=stats_sink,
+            stats_sink=stats_sink, bn_eval=bn_eval,
         )
     if text is not None:
         out["text_features"] = encode_text(

@@ -55,7 +55,11 @@ def batch_norm(x: jax.Array, p: Dict[str, jax.Array], eps: float = 1e-5, use_bat
             n = x32.shape[0] * x32.shape[1] * x32.shape[2]
             _set_nested(sink, path, {"mean": mean, "var": var * (n / max(n - 1, 1))})
     else:
-        mean, var = p["mean"].astype(jnp.float32), p["var"].astype(jnp.float32)
+        # running stats are BUFFERS (torch semantics): never differentiated, so
+        # the optimizer cannot drift them when an eval-stats forward appears in
+        # a training loss (e.g. --lock-image-freeze-bn-stats)
+        mean = jax.lax.stop_gradient(p["mean"].astype(jnp.float32))
+        var = jax.lax.stop_gradient(p["var"].astype(jnp.float32))
     inv = jax.lax.rsqrt(var + eps) * p["scale"].astype(jnp.float32)
     return ((x32 - mean) * inv + p["bias"].astype(jnp.float32)).astype(dtype)
 

@@ -131,7 +131,8 @@ def _write_ckpt_meta(path, epoch: int, step: int, args) -> None:
     try:
         with open(str(path) + ".meta.json", "w") as fh:
             _json.dump({"epoch": epoch, "step": step,
-                        "samples_seen": step * args.batch_size * args.world_size}, fh)
+                        "samples_seen": step * args.batch_size
+                        * max(1, getattr(args, "accum_freq", 1) or 1) * args.world_size}, fh)
     except OSError as e:  # noqa: PERF203 — meta is best-effort
         logger.warning("could not write checkpoint meta: %r", e)
 
@@ -342,7 +343,7 @@ def main(args=None):
         total_steps = steps_per_epoch * args.epochs
         scheduler_kind = "const" if getattr(args, "skip_scheduler", False) else args.lr_scheduler
         schedule = create_scheduler(
-            scheduler_kind, args.lr, min(args.warmup, max(total_steps // 10, 1)), total_steps,
+            scheduler_kind, args.lr, args.warmup, total_steps,
             **({"cooldown_steps": steps_per_epoch * args.epochs_cooldown,
                 "cooldown_power": args.lr_cooldown_power,
                 "cooldown_end_lr": args.lr_cooldown_end}
@@ -351,6 +352,9 @@ def main(args=None):
         opt_cfg = OptimizerCfg(
             opt=args.opt, lr=args.lr, wd=args.wd, beta1=args.beta1, beta2=args.beta2,
             eps=args.eps, momentum=args.momentum, layer_decay=args.layer_decay,
+            image_layer_decay=getattr(args, "image_layer_decay", None),
+            text_layer_decay=getattr(args, "text_layer_decay", None),
+            audio_layer_decay=getattr(args, "audio_layer_decay", None),
             grad_clip_norm=args.grad_clip_norm,
             wd_exclude_patterns=tuple(getattr(args, "wd_exclude_patterns", ()) or ()),
         )

@@ -46,6 +46,11 @@ class OptimizerCfg:
     wd_exclude_names: Tuple[str, ...] = ()
     wd_exclude_patterns: Tuple[str, ...] = ()
     layer_decay: Optional[float] = None
+    # per-tower overrides (reference --image/--text/--audio-layer-decay);
+    # fall back to layer_decay when None
+    image_layer_decay: Optional[float] = None
+    text_layer_decay: Optional[float] = None
+    audio_layer_decay: Optional[float] = None
     grad_clip_norm: Optional[float] = None
     # dtype of Adam's first moment (optax mu_dtype). bf16 halves the m-state HBM
     # footprint — the difference it makes to updates is below bf16 weight rounding;
@@ -91,24 +96,43 @@ def wd_mask(params: Any, extra_names: Sequence[str] = (), patterns: Sequence[str
     return jax.tree_util.tree_map_with_path(leaf_mask, params)
 
 
-def layer_decay_scales(params: Any, decay: float, num_layers: int) -> Any:
+def layer_decay_scales(params: Any, decay: Optional[float],
+                       num_layers: Optional[int] = None,
+                       tower_decay: Optional[Dict[str, Optional[float]]] = None) -> Any:
     """Per-leaf LR scale for layer-wise LR decay (reference optim.py:247-334).
 
     Groups: embeddings (scale decay^(L+1)) < block i (decay^(L-i)) < head/proj (1.0).
-    Works on the stacked-blocks layout by scaling along the layer axis.
+    Each tower's ladder depth comes from its own stacked-blocks leading axis, so
+    towers of different depths (ViT-L-14: 24 vision / 12 text layers) decay
+    independently; ``tower_decay`` overrides the factor per top-level tower key
+    (reference --image/--text/--audio-layer-decay; None/1.0 = that tower off).
     """
+
+    def depth_of(sub):
+        if isinstance(sub, dict) and isinstance(sub.get("blocks"), dict):
+            leaves = jax.tree_util.tree_leaves(sub["blocks"])
+            if leaves:
+                return int(leaves[0].shape[0])
+        return None
+
+    depths = {k: depth_of(v) for k, v in params.items() if isinstance(v, dict)}
 
     def leaf_scale(path, leaf):
         names = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
+        tower = names[0] if names else ""
+        d = (tower_decay or {}).get(tower, decay)
+        depth = depths.get(tower) or num_layers
+        if d is None or d >= 1.0 or not depth:
+            return jnp.float32(1.0)
         if "blocks" in names:
-            # per-layer scale vector broadcast over the leading stack axis
-            scales = decay ** (num_layers - jnp.arange(num_layers, dtype=jnp.float32))
-            shape = [leaf.shape[0]] + [1] * (leaf.ndim - 1)
-            return scales.reshape(shape)
+            # per-layer scale vector broadcast over this stack's leading axis
+            n = leaf.shape[0]
+            scales = d ** (n - jnp.arange(n, dtype=jnp.float32))
+            return scales.reshape([n] + [1] * (leaf.ndim - 1))
         name = names[-1] if names else ""
         if name in ("proj", "text_projection", "logit_scale", "logit_bias") or "ln_post" in names or "ln_final" in names:
             return jnp.float32(1.0)
-        return jnp.float32(decay ** (num_layers + 1))
+        return jnp.float32(d ** (depth + 1))
 
     return jax.tree_util.tree_map_with_path(leaf_scale, params)
 
@@ -147,9 +171,11 @@ def create_optimizer(
     if cfg.wd:
         chain.append(optax.add_decayed_weights(cfg.wd, mask=mask))
 
-    if cfg.layer_decay is not None and cfg.layer_decay < 1.0:
-        assert num_layers is not None, "layer_decay requires num_layers"
-        scales = layer_decay_scales(params, cfg.layer_decay, num_layers)
+    tower_decay = {"visual": cfg.image_layer_decay if cfg.image_layer_decay is not None else cfg.layer_decay,
+                   "text": cfg.text_layer_decay if cfg.text_layer_decay is not None else cfg.layer_decay,
+                   "audio": cfg.audio_layer_decay if cfg.audio_layer_decay is not None else cfg.layer_decay}
+    if any(d is not None and d < 1.0 for d in (cfg.layer_decay, *tower_decay.values())):
+        scales = layer_decay_scales(params, cfg.layer_decay, num_layers, tower_decay=tower_decay)
         chain.append(
             optax.GradientTransformation(
                 init=lambda _: optax.EmptyState(),

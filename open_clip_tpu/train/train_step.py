@@ -71,19 +71,20 @@ def _merge_bn_stats(params, stats, momentum: float = 0.1):
     return rec(params, stats)
 
 
-def _features(params, cfg: CLIPModelCfg, batch, rng, *, compute_dtype, remat, stats_sink=None):
+def _features(params, cfg: CLIPModelCfg, batch, rng, *, compute_dtype, remat,
+              stats_sink=None, train=True, bn_eval=False):
     if "audio" in batch:
         # CLAP: audio features take the image slot for the contrastive loss
         # (reference clap_task.py maps audio_features -> image_features)
         out = clip_forward(
             params, cfg, batch["audio"], batch.get("text"),
-            train=True, rng=rng, compute_dtype=compute_dtype, remat=remat,
+            train=train, rng=rng, compute_dtype=compute_dtype, remat=remat,
         )
         return out["audio_features"], out["text_features"]
     out = clip_forward(
         params, cfg, batch.get("image"), batch.get("text"),
-        train=True, rng=rng, compute_dtype=compute_dtype, remat=remat,
-        stats_sink=stats_sink,
+        train=train, rng=rng, compute_dtype=compute_dtype, remat=remat,
+        stats_sink=stats_sink, bn_eval=bn_eval,
         # CoCa: skip the (B, L, V) vocab projection — features only
         return_hidden=cfg.multimodal_cfg is not None,
     )
@@ -203,6 +204,7 @@ def make_train_step(
         sink = {} if (cfg.vision_cfg is not None and cfg.vision_cfg.is_resnet
                       and not freeze_bn_stats) else None
         imf, txf = _features(params, cfg, batch, rng, compute_dtype=compute_dtype, remat=remat,
+                             bn_eval=freeze_bn_stats,
                              stats_sink=sink)
         loss = loss_fn(imf, txf, scale, bias)
         if naflex_loss_scale != "none" and isinstance(batch.get("image"), dict):
@@ -216,9 +218,11 @@ def make_train_step(
             # frozen teacher features; KL on both logit directions
             # (reference DistillClipLoss, loss.py:187-223 / distill_task.py)
             tcfg, tparams = teacher
+            # eval-mode teacher: deterministic features, no dropout/patch-dropout/
+            # batch-stat BN (reference main.py calls dist_model.eval())
             t_imf, t_txf = _features(
-                lax.stop_gradient(tparams), tcfg, batch, rng,
-                compute_dtype=compute_dtype, remat=remat,
+                lax.stop_gradient(tparams), tcfg, batch, None,
+                compute_dtype=compute_dtype, remat=remat, train=False,
             )
             t_imf = lax.stop_gradient(t_imf.astype(jnp.float32))
             t_txf = lax.stop_gradient(t_txf.astype(jnp.float32))
@@ -262,17 +266,52 @@ def make_train_step(
         # phase 1: features without grads
         def fwd(carry, inp):
             mb, r = inp
-            imf, txf = _features(params, cfg, mb, r, compute_dtype=compute_dtype, remat=remat)
+            imf, txf = _features(params, cfg, mb, r, compute_dtype=compute_dtype, remat=remat,
+                                 bn_eval=freeze_bn_stats)
             return carry, (imf, txf)
 
         _, (imfs, txfs) = lax.scan(fwd, None, (mb_batches, rngs))
         all_imf = lax.stop_gradient(imfs.reshape(-1, imfs.shape[-1]))
         all_txf = lax.stop_gradient(txfs.reshape(-1, txfs.shape[-1]))
 
+        # distillation composes with GradCache exactly: the KL term is a function
+        # of the cached full-batch features only, so it joins the loss part and
+        # its gradient rides the same cotangents (teacher frozen + eval mode)
+        t_imf = t_txf = t_scale = None
+        if loss_type == "distill":
+            tcfg, tparams = teacher
+
+            def tfwd(carry, mb):
+                ti, tt = _features(lax.stop_gradient(tparams), tcfg, mb, None,
+                                   compute_dtype=compute_dtype, remat=remat, train=False)
+                return carry, (ti.astype(jnp.float32), tt.astype(jnp.float32))
+
+            _, (timfs, ttxfs) = lax.scan(tfwd, None, mb_batches)
+            t_imf = lax.stop_gradient(timfs.reshape(-1, timfs.shape[-1]))
+            t_txf = lax.stop_gradient(ttxfs.reshape(-1, ttxfs.shape[-1]))
+            t_scale = lax.stop_gradient(jnp.exp(tparams["logit_scale"].astype(jnp.float32)))
+
+        # NaFlex token-budget scaling folds into the loss part so the cached
+        # cotangents carry it too (same semantics as full_loss)
+        loss_ratio = 1.0
+        if naflex_loss_scale != "none" and isinstance(batch.get("image"), dict):
+            assert reference_batch_size, "naflex loss scaling needs the reference batch size"
+            r = all_imf.shape[0] / reference_batch_size
+            loss_ratio = r if naflex_loss_scale == "linear" else r ** 0.5
+
         def loss_of_feats(imf, txf, ls, lb):
             scale = jnp.exp(ls.astype(jnp.float32))
             bias = lb.astype(jnp.float32) if lb is not None else None
-            return loss_fn(imf, txf, scale, bias)
+            loss = loss_fn(imf, txf, scale, bias)
+            if loss_type == "distill":
+                def kl(tl, sl):
+                    tp = jax.nn.softmax(tl, axis=-1)
+                    return -(tp * jax.nn.log_softmax(sl, axis=-1)).sum(-1).mean()
+
+                s_i = scale * imf.astype(jnp.float32) @ txf.astype(jnp.float32).T
+                t_i = t_scale * t_imf @ t_txf.T
+                loss = loss + 0.5 * (kl(t_i, s_i) + kl(t_i.T, s_i.T))
+            return loss * loss_ratio
 
         lb = params.get("logit_bias")
         grad_args = (0, 1, 2, 3) if lb is not None else (0, 1, 2)
@@ -298,7 +337,8 @@ def make_train_step(
             mb, r, di, dt = inp
             acc_g, acc_cap = acc
             _, vjp = jax.vjp(
-                lambda p: _features(p, cfg, mb, r, compute_dtype=compute_dtype, remat=remat), params
+                lambda p: _features(p, cfg, mb, r, compute_dtype=compute_dtype, remat=remat,
+                                    bn_eval=freeze_bn_stats), params
             )
             (g,) = vjp((
                 (contrastive_w * di).astype(compute_dtype),

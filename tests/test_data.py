@@ -62,9 +62,11 @@ def test_expand_urls_braces():
 
 
 def test_expand_urls_multisource_weights():
+    # per-shard weight is the source weight verbatim (reference data.py:174-179):
+    # source mass = weight x shard count, so dataset size still matters
     urls, w = expand_urls("/a/s-{00..01}.tar::/b/t-{00..03}.tar", weights="1::2")
     assert len(urls) == 6
-    assert w[0] == pytest.approx(0.5) and w[2] == pytest.approx(0.5)
+    assert w == pytest.approx([1.0, 1.0, 2.0, 2.0, 2.0, 2.0])
 
 
 def test_iterate_tar_samples(shards):
@@ -172,3 +174,39 @@ def test_get_data_synthetic():
     )
     assert "train" in data
     assert data["train"].num_batches == 2
+
+
+def test_wds_epoch_batches_caps_and_pads(shards):
+    """epoch_batches equalizes every epoch to exactly N batches (reference
+    with_epoch): a long stream is cut, a short one continues into a
+    re-shuffled pass — so all ranks always run the same step count."""
+    pp = image_transform_v2(PreprocessCfg(size=16), is_train=False)
+    base = dict(urls=str(shards / "shard-{000000..000001}.tar"),
+                batch_size=4, shuffle_shards=0, shuffle_samples=0)
+    # raw content = 15 samples -> 3 full batches; cap to 2
+    capped = WdsPipeline(WdsConfig(**base, epoch_batches=2), pp, _fake_tokenizer)
+    assert len(list(capped)) == 2
+    # pad to 5: cycles into a second pass
+    padded = WdsPipeline(WdsConfig(**base, epoch_batches=5), pp, _fake_tokenizer)
+    batches = list(padded)
+    assert len(batches) == 5
+    assert all(b["image"].shape[0] == 4 for b in batches)
+    # deterministic for a fixed (seed, epoch)
+    again = list(WdsPipeline(WdsConfig(**base, epoch_batches=5), pp, _fake_tokenizer))
+    for a, b in zip(batches, again):
+        np.testing.assert_array_equal(a["text"], b["text"])
+
+
+def test_csv_val_keeps_partial_tail(tmp_path):
+    """Eval CSVs must not drop the tail remainder (reference val DataLoader has
+    drop_last=False); a val set smaller than batch_size must still yield."""
+    img_path = tmp_path / "img0.jpg"
+    Image.new("RGB", (20, 20), "red").save(img_path)
+    csv_path = tmp_path / "v.csv"
+    csv_path.write_text("filepath\ttitle\n" + "img0.jpg\tcap\n" * 3)
+    pp = image_transform_v2(PreprocessCfg(size=16), is_train=False)
+    ds = CsvDataset(str(csv_path), pp, _fake_tokenizer, batch_size=2, partial_batches=True)
+    batches = list(ds)
+    assert [b["image"].shape[0] for b in batches] == [2, 1]
+    tiny = CsvDataset(str(csv_path), pp, _fake_tokenizer, batch_size=64, partial_batches=True)
+    assert [b["image"].shape[0] for b in list(tiny)] == [3]

@@ -73,3 +73,40 @@ def test_train_step_updates_running_stats(rng):
     assert not np.allclose(
         np.asarray(params["visual"]["layer4"]["0"]["bn3"]["var"]),
         np.asarray(state.params["visual"]["layer4"]["0"]["bn3"]["var"]))
+
+
+def test_freeze_bn_stats_uses_running_stats(rng):
+    """--lock-image-freeze-bn-stats must give FrozenBatchNorm semantics: the
+    forward normalizes with the (pretrained) running stats, not batch stats,
+    and the running stats stay untouched (reference freeze_batch_norm_2d)."""
+    if "tiny-rn-freeze" not in list_models():
+        add_model_config(dict(TINY_RN), name="tiny-rn-freeze")
+    cfg = parse_model_cfg("tiny-rn-freeze")
+    params = init_clip(jax.random.PRNGKey(0), cfg)
+    opt = create_optimizer(OptimizerCfg(lr=1e-3, wd=0.0), params, const_lr(1e-3, 0))
+    batch = {
+        "image": jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32),
+        "text": jnp.asarray(rng.integers(1, 63, size=(4, 12)), jnp.int32),
+    }
+    frozen = make_train_step(cfg, opt, compute_dtype=jnp.float32, freeze_bn_stats=True)
+    s = create_train_state(params, opt)
+    s1, m1 = frozen(s, batch, jax.random.PRNGKey(0))
+
+    # frozen loss equals the loss computed with an eval-mode (running-stats)
+    # forward, not the batch-stats forward
+    from open_clip_tpu.loss import clip_loss
+    from open_clip_tpu.models.clip import clip_forward
+
+    def loss_at(train):
+        out = clip_forward(params, cfg, batch["image"], batch["text"],
+                           train=train, rng=jax.random.PRNGKey(0),
+                           compute_dtype=jnp.float32)
+        scale = jnp.exp(params["logit_scale"].astype(jnp.float32))
+        return float(clip_loss(out["image_features"], out["text_features"], scale))
+
+    assert abs(float(m1["loss"]) - loss_at(False)) < 1e-5
+    assert abs(float(m1["loss"]) - loss_at(True)) > 1e-4  # batch stats would differ
+    # running stats untouched
+    def first_bn(p):
+        return np.asarray(p["visual"]["bn1"]["mean"])
+    np.testing.assert_array_equal(first_bn(s1.params), first_bn(params))

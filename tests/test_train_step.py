@@ -367,3 +367,26 @@ def test_coca_accum_matches_simple():
     b = jax.tree.leaves(states["simple"].params)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=5e-4)
+
+
+def test_distill_accum_matches_simple(tiny, rng):
+    """Distillation under GradCache accumulation: the teacher-KL term must ride
+    the cached full-batch cotangents and match the full-batch distill step
+    (regression: the accum path used to drop the KL term silently)."""
+    cfg, params = tiny
+    teacher_params = init_clip(jax.random.PRNGKey(9), cfg)
+    opt = _optimizer(params)
+    batch = _batch(rng, n=16)
+    key = jax.random.PRNGKey(0)
+
+    s1 = create_train_state(params, opt)
+    s1, m1 = make_train_step(cfg, opt, loss_type="distill", compute_dtype=jnp.float32,
+                             teacher=(cfg, teacher_params))(s1, batch, key)
+
+    s2 = create_train_state(params, opt)
+    s2, m2 = make_train_step(cfg, opt, loss_type="distill", compute_dtype=jnp.float32,
+                             teacher=(cfg, teacher_params), accum_steps=4)(s2, batch, key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

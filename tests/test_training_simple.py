@@ -98,7 +98,10 @@ def test_training_siglip_and_accum(tmp_path):
             "--zeroshot-frequency", "100",
         ]
     )
-    assert int(state.step) == 2
+    # reference contract: effective batch = batch_size * accum_freq = 16,
+    # so 16 samples -> ONE optimizer step (reference train.py global_step =
+    # num_batches // accum_freq)
+    assert int(state.step) == 1
 
 
 def test_training_coca_smoke(tmp_path):
