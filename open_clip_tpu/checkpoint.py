@@ -52,7 +52,18 @@ def load_checkpoint(
     """Load reference-format weights into (a copy of) ``params``; resizes pos embeds when
     the target image size / context length differs (reference factory.py:193-238)."""
     sd = read_state_dict(path)
-    loaded = torch_clip_to_params(sd, cfg)
+    if cfg is not None and getattr(cfg, "audio_cfg", None) is not None:
+        # CLAP checkpoints need the audio-tower converters (reference routes these
+        # through convert_state_dict / audio/convert.py:76-123); torch_clip_to_params
+        # only knows image/text towers.
+        from .models.clap import hf_clap_to_params, torch_clap_to_params
+
+        if any(k.removeprefix("module.").startswith(("audio_model.", "audio_projection.")) for k in sd):
+            loaded = hf_clap_to_params(sd, cfg)
+        else:
+            loaded = torch_clap_to_params(sd, cfg)
+    else:
+        loaded = torch_clip_to_params(sd, cfg)
     loaded.pop("_unconverted", None)
     return merge_params(params, loaded, cfg, strict=strict)
 

@@ -1,0 +1,263 @@
+"""User-facing scripts (scripts/*.py — reference scripts/ equivalents): caption-stats
+analyzer, audio patch-layout checkpoint remap, and the shared trained-weights loader."""
+
+import importlib.util
+import io
+import json
+import os
+import sys
+import tarfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import open_clip_tpu as oct
+
+SCRIPTS = Path(__file__).resolve().parent.parent / "scripts"
+
+TINY = {
+    "embed_dim": 16,
+    "vision_cfg": {"image_size": 32, "layers": 2, "width": 32, "patch_size": 16,
+                   "head_width": 16},
+    "text_cfg": {"context_length": 16, "vocab_size": 64, "width": 16, "heads": 2,
+                 "layers": 2},
+}
+
+
+@pytest.fixture(autouse=True)
+def _tiny_model():
+    if "tiny-scripts-vit" not in oct.list_models():
+        oct.add_model_config(dict(TINY), name="tiny-scripts-vit")
+
+
+def _load_script(name):
+    if str(SCRIPTS) not in sys.path:
+        sys.path.insert(0, str(SCRIPTS))
+    spec = importlib.util.spec_from_file_location(name, SCRIPTS / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _make_caption_shard(path, n, json_captions=False):
+    with tarfile.open(path, "w") as tf:
+        for i in range(n):
+            if json_captions:
+                payload = json.dumps({
+                    "caption_original": f"short cap {i}",
+                    "caption_long": "a much longer synthetic caption " * (i % 4 + 1),
+                    "height": 480,
+                }).encode()
+                info = tarfile.TarInfo(f"{i:06d}.json")
+            else:
+                payload = f"a photo of object number {i}".encode()
+                info = tarfile.TarInfo(f"{i:06d}.txt")
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+
+
+class TestCaptionStats:
+    def test_txt_field_report(self, tmp_path, capsys, monkeypatch):
+        mod = _load_script("genlip_caption_stats")
+        _make_caption_shard(tmp_path / "s-000000.tar", 24)
+        monkeypatch.setattr(sys, "argv", [
+            "genlip_caption_stats.py", str(tmp_path), "--model", "ViT-B-32",
+            "--image-seq-len", "64", "--batch-sizes", "4", "--target-batch", "4"])
+        mod.main()
+        out = capsys.readouterr().out
+        assert "Field: txt" in out
+        assert "--naflex-max-text-tokens" in out
+        assert "--naflex-max-tokens-per-batch" in out
+
+    def test_json_caption_survey(self, tmp_path, capsys, monkeypatch):
+        mod = _load_script("genlip_caption_stats")
+        _make_caption_shard(tmp_path / "s-000000.tar", 16, json_captions=True)
+        monkeypatch.setattr(sys, "argv", [
+            "genlip_caption_stats.py", str(tmp_path), "--model", "ViT-B-32"])
+        mod.main()
+        out = capsys.readouterr().out
+        # both caption_* JSON fields surveyed separately; non-string fields skipped
+        assert "Field: caption_original" in out
+        assert "Field: caption_long" in out
+        assert "Field: height" not in out
+        assert "--json-text-key caption_long" in out
+
+    def test_json_text_key_pins_field(self, tmp_path, capsys, monkeypatch):
+        mod = _load_script("genlip_caption_stats")
+        _make_caption_shard(tmp_path / "s-000000.tar", 8, json_captions=True)
+        monkeypatch.setattr(sys, "argv", [
+            "genlip_caption_stats.py", str(tmp_path), "--model", "ViT-B-32",
+            "--json-text-key", "caption_original"])
+        mod.main()
+        out = capsys.readouterr().out
+        assert "Field: caption_original" in out
+        assert "Field: caption_long" not in out
+
+    def test_sample_shards_even_spacing(self):
+        mod = _load_script("genlip_caption_stats")
+        shards = [f"s{i}" for i in range(100)]
+        picked = mod.sample_shards(shards, 5)
+        assert picked[0] == "s0" and picked[-1] == "s99" and len(picked) == 5
+
+
+class TestConvertAudioPatchLayout:
+    def test_remap_roundtrip(self, tmp_path, capsys, monkeypatch):
+        torch = pytest.importorskip("torch")
+        mod = _load_script("convert_audio_patch_layout")
+        # naflexclap_test geometry: in_chans=1, patch_time=4, patch_freq=64
+        cfg = oct.get_model_config("naflexclap_test")["audio_cfg"]
+        C, pt, pf = cfg.get("in_chans", 1), cfg["patch_time"], cfg["patch_freq"]
+        embed = 8
+        W = torch.arange(embed * C * pt * pf, dtype=torch.float32).reshape(embed, C * pt * pf)
+        ck = {"state_dict": {"audio.patch_embeds.proj.weight": W.clone()},
+              "epoch": 3}
+        path = tmp_path / "ckpt.pt"
+        torch.save(ck, str(path))
+
+        monkeypatch.setattr(sys, "argv", [
+            "convert_audio_patch_layout.py", "naflexclap_test", str(path)])
+        mod.main()
+        out = capsys.readouterr().out
+        assert "1 converted" in out
+
+        legacy = torch.load(str(tmp_path / "ckpt_legacy.pt"), weights_only=False)
+        conv = torch.load(str(path), weights_only=False)
+        assert conv["audio_patch_layout"] == "canonical"
+        assert conv["epoch"] == 3
+        W_legacy = legacy["state_dict"]["audio.patch_embeds.proj.weight"]
+        W_new = conv["state_dict"]["audio.patch_embeds.proj.weight"]
+        # permutation: canonical col (c, f, t) holds legacy col (c, t, f)
+        expect = W_legacy.reshape(embed, C, pt, pf).transpose(-1, -2).reshape(embed, -1)
+        assert torch.equal(W_new, expect)
+
+        # legacy-layout activations on transposed patches == canonical on originals
+        patch_legacy = torch.randn(C, pt, pf)
+        patch_canon = patch_legacy.transpose(-1, -2)  # (C, pf, pt)
+        y_legacy = W_legacy @ patch_legacy.reshape(-1)
+        y_canon = W_new @ patch_canon.reshape(-1)
+        assert torch.allclose(y_legacy, y_canon, atol=1e-5)
+
+        # re-running refuses (backup exists), exits cleanly via per-file skip
+        monkeypatch.setattr(sys, "argv", [
+            "convert_audio_patch_layout.py", "naflexclap_test", str(path)])
+        mod.main()
+        assert "1 skipped" in capsys.readouterr().out
+
+
+class TestLoadTrainedWeights:
+    def test_native_dir_params_and_ema(self, tmp_path):
+        from open_clip_tpu.checkpoint import save_native
+
+        common = _load_script("_common")
+        model = oct.create_model("tiny-scripts-vit", load_weights=False)
+        import jax
+
+        params = model.params
+        ema = jax.tree.map(lambda x: x + 1.0, params)
+        ck = tmp_path / "epoch_1"
+        save_native(str(ck), {"params": params, "ema_params": ema, "step": np.int32(7)})
+
+        m2 = oct.create_model("tiny-scripts-vit", load_weights=False, seed=1)
+        common.load_trained_weights(m2, str(ck))
+        a = jax.tree.leaves(m2.params)[0]
+        b = jax.tree.leaves(params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+        m3 = oct.create_model("tiny-scripts-vit", load_weights=False, seed=1)
+        common.load_trained_weights(m3, str(ck), use_ema=True)
+        a = jax.tree.leaves(m3.params)[0]
+        b = jax.tree.leaves(ema)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_torch_task_checkpoint_with_prefixes(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        common = _load_script("_common")
+        # synthesize a torch-layout state dict from a converted tiny model via the
+        # interop exporter if available; otherwise exercise prefix stripping only
+        sd = {"trainable_module.module.logit_scale": torch.tensor(1.25)}
+        path = tmp_path / "task.pt"
+        torch.save({"epoch": 2, "state_dict": sd}, str(path))
+        got = common._read_torch_state_dict(str(path), use_ema=False)
+        assert set(got) == {"logit_scale"}
+
+        # EMA variant preferred when present
+        torch.save({"state_dict": sd,
+                    "state_dict_ema": {"logit_scale": torch.tensor(2.5)}}, str(path))
+        got = common._read_torch_state_dict(str(path), use_ema=True)
+        assert float(got["logit_scale"]) == 2.5
+
+
+class TestClapZeroShotScript:
+    def test_end_to_end_with_stub_dataset(self, tmp_path, capsys, monkeypatch):
+        """Drive scripts/clap_zeroshot.py main() with a native checkpoint and a
+        stubbed HF dataset (network-free)."""
+        from open_clip_tpu.checkpoint import save_native
+
+        name = "tiny-scripts-clap"
+        if name not in oct.list_models():
+            oct.add_model_config({
+                "embed_dim": 16,
+                "audio_cfg": {
+                    "model_type": "whisper", "model_name": "tiny", "sample_rate": 16000,
+                    "mel_bins": 80, "window_size": 400, "hop_size": 160, "fmin": 50,
+                    "fmax": 8000, "clip_samples": 16000, "audio_length": 64,
+                },
+                "text_cfg": {"context_length": 12, "vocab_size": 49408, "width": 16,
+                             "heads": 2, "layers": 2},
+            }, name=name)
+        model = oct.create_model(name, load_weights=False)
+        ck = tmp_path / "epoch_1"
+        save_native(str(ck), {"params": model.params})
+
+        rng = np.random.default_rng(0)
+
+        class _StubHFDatasets:
+            @staticmethod
+            def load_dataset(dataset, split=None, cache_dir=None):
+                return [
+                    {"audio": {"array": rng.normal(size=8000).astype(np.float32),
+                               "sampling_rate": 16000},
+                     "target": i % 2, "category": ["dog", "rain"][i % 2]}
+                    for i in range(4)
+                ]
+
+        monkeypatch.setitem(sys.modules, "datasets", _StubHFDatasets())
+        mod = _load_script("clap_zeroshot")
+        monkeypatch.setattr(sys, "argv", [
+            "clap_zeroshot.py", "--model", name, "--checkpoint", str(ck),
+            "--audio-zeroshot-dataset", "stub/esc2", "--batch-size", "2",
+            "--precision", "fp32"])
+        mod.main()
+        out = capsys.readouterr().out
+        assert "audio zero-shot on stub/esc2" in out
+        assert "audio-zeroshot-top1" in out
+
+
+class TestClapCheckpointDispatch:
+    def test_load_checkpoint_routes_clap(self, monkeypatch):
+        """factory/checkpoint load of a CLAP model must use the CLAP converter
+        (regression: torch_clip_to_params has no audio tower handling)."""
+        from open_clip_tpu import checkpoint as ck
+        from open_clip_tpu.config import parse_model_cfg
+
+        called = {}
+
+        def fake_read(path):
+            return {"audio.encoder.x": np.zeros(1)}
+
+        def fake_clap(sd, cfg):
+            called["clap"] = True
+            return {}
+
+        monkeypatch.setattr(ck, "read_state_dict", fake_read)
+        monkeypatch.setattr("open_clip_tpu.models.clap.torch_clap_to_params", fake_clap)
+        cfg = parse_model_cfg("CLAP-HTSAT-tiny") if "CLAP-HTSAT-tiny" in oct.list_models() \
+            else None
+        if cfg is None:
+            names = [n for n in oct.list_models() if parse_model_cfg(n).audio_cfg is not None
+                     and "naflex" not in n.lower()]
+            assert names, "no CLAP config in registry"
+            cfg = parse_model_cfg(names[0])
+        ck.load_checkpoint({}, cfg, "dummy.pt", strict=False)
+        assert called.get("clap")
