@@ -234,6 +234,28 @@ def genlap_forward(
     return {"logits": logits, "audio_seq_len": ni}
 
 
+def prefix_cache(params, cfg: GenLapModelCfg, audio: Dict[str, jax.Array], *,
+                 compute_dtype=jnp.float32) -> Dict[str, jax.Array]:
+    """Audio-prefix KV cache for cached caption scoring (pair with
+    genlip.score_captions): genlip.prefix_cache with the GenLAP position scheme
+    (1-D time / 2-D freq-time RoPE) and the mel patch embed."""
+    from . import genlip as genlip_mod
+
+    pv = audio["patch_valid"].astype(bool)
+    pos = build_audio_position_ids(audio["patch_coord"], pv, rope_1d=cfg.use_rope_1d)
+    freq = audio["patch_coord"][..., 0].astype(jnp.int32)
+    time = audio["patch_coord"][..., 1].astype(jnp.int32)
+    if cfg.use_rope_1d:
+        text_start = jnp.where(pv, time, 0).max(axis=1) + 1
+    else:
+        text_start = jnp.maximum(jnp.where(pv, freq, 0).max(axis=1),
+                                 jnp.where(pv, time, 0).max(axis=1)) + 1
+    return genlip_mod.prefix_cache(
+        params, cfg, audio, compute_dtype=compute_dtype, pos_ids=pos,
+        text_start=text_start,
+        embed_fn=lambda p, c, pt, dt: embed_audio_patches(p, c, pt, dt))
+
+
 def torch_genlap_to_params(sd, cfg: GenLapModelCfg) -> Dict[str, Any]:
     """Reference NaFlexGenLap state dict -> param tree (reuses the genlip converter with
     the audio_embed/audio_proj key remap)."""
@@ -277,4 +299,16 @@ class GenLapModel:
         audio = {k: jnp.asarray(v) for k, v in audio.items()}
         return genlap_forward(self.params, self.cfg, audio, jnp.asarray(text),
                               text_valid, compute_loss=compute_loss,
+                              compute_dtype=self.compute_dtype)
+
+    def prefix_cache(self, audio):
+        """Audio-prefix KV cache for score_captions (see module-level prefix_cache)."""
+        audio = {k: jnp.asarray(v) for k, v in audio.items()}
+        return prefix_cache(self.params, self.cfg, audio, compute_dtype=self.compute_dtype)
+
+    def score_captions(self, cache, text, text_valid=None):
+        """Length-normalized log P(caption | cached audio prefix), (B,)."""
+        from .genlip import score_captions
+
+        return score_captions(self.params, self.cfg, cache, jnp.asarray(text), text_valid,
                               compute_dtype=self.compute_dtype)

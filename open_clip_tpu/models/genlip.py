@@ -316,7 +316,12 @@ def _flash_ok(seq: int, hd: int) -> bool:
     return _on_tpu() and seq >= _FLASH_MIN_SEQ and hd % 64 == 0
 
 
-def _apply_trunk_block(p, x, *, t: GenLipTrunkCfg, bias, cos, sin, drop_path_rng=None, train=False):
+def _apply_trunk_block(p, x, *, t: GenLipTrunkCfg, bias, cos, sin, drop_path_rng=None,
+                       train=False, kv_cache=None, return_kv=False):
+    """One trunk block. ``kv_cache=(k, v)`` prepends cached (already rotary-positioned)
+    keys/values ahead of this call's own — ``bias`` must then cover the extended key
+    axis ``(B, 1, S, S_cache + S)``. ``return_kv`` additionally returns this call's
+    post-RoPE (k, v) for caching (prefix-LM: image K/V are text-independent)."""
     from ..ops.attention import dot_product_attention
 
     nt, eps = t.norm_type, t.layer_norm_eps
@@ -340,6 +345,11 @@ def _apply_trunk_block(p, x, *, t: GenLipTrunkCfg, bias, cos, sin, drop_path_rng
         q = _norm(q, p["attn"]["q_norm"], norm_type=nt, eps=eps)
         k = _norm(k, p["attn"]["k_norm"], norm_type=nt, eps=eps)
     q, k = apply_mrope(q, k, cos, sin)
+    own_kv = (k, v)
+    if kv_cache is not None:
+        kc, vc = kv_cache
+        k = jnp.concatenate([jnp.broadcast_to(kc, (b,) + kc.shape[1:]).astype(k.dtype), k], axis=1)
+        v = jnp.concatenate([jnp.broadcast_to(vc, (b,) + vc.shape[1:]).astype(v.dtype), v], axis=1)
     if isinstance(bias, tuple):
         # structured prefix-LM mask -> Pallas flash kernels (O(L) memory, no
         # (S, S) bias tensor): prefix keys bidirectional, rest causal, padding
@@ -359,7 +369,13 @@ def _apply_trunk_block(p, x, *, t: GenLipTrunkCfg, bias, cos, sin, drop_path_rng
         out = out * p["ls1"].astype(out.dtype)
     out = _drop_path(out, t.drop_path_rate, drop_path_rng, train, salt=0)
     x = x + out
+    if return_kv:
+        return _apply_trunk_block_mlp(p, x, t=t, drop_path_rng=drop_path_rng, train=train), own_kv
+    return _apply_trunk_block_mlp(p, x, t=t, drop_path_rng=drop_path_rng, train=train)
 
+
+def _apply_trunk_block_mlp(p, x, *, t: GenLipTrunkCfg, drop_path_rng=None, train=False):
+    nt, eps = t.norm_type, t.layer_norm_eps
     h = _norm(x, p["layer_norm2"], norm_type=nt, eps=eps)
     act = _ACT[t.hidden_act]
     if t.use_swiglu_ffn:
@@ -407,6 +423,126 @@ def apply_trunk(params, t: GenLipTrunkCfg, x, bias, cos, sin, *, remat=False, tr
         body = jax.checkpoint(body, prevent_cse=False)
     x, _ = jax.lax.scan(body, x, (params["blocks"], jnp.arange(t.depth)), unroll=B.scan_unroll())
     return _norm(x, params["ln_post"], norm_type=t.norm_type, eps=t.layer_norm_eps)
+
+
+# ---------------------------------------------------------------------------
+# prefix KV cache
+#
+# TPU-native superset: the reference recomputes the image prefix for every
+# caption chunk (scripts/genlip_zeroshot.py:97-119, whose docstring concedes
+# full-scale eval "needs a KV-cache (not here)") and for every decode step
+# (generation.py:27, cache forced off). Prefix-LM property: image tokens never
+# attend text, so their hidden states — and therefore their per-layer K/V — are
+# identical in the joint forward. Cached scoring/decoding is exact.
+# ---------------------------------------------------------------------------
+
+def build_text_over_prefix_bias(patch_valid: jax.Array, text_valid: jax.Array) -> jax.Array:
+    """Additive fp32 bias (B, 1, Lt, Ni+Lt) for text queries over [cached image ; text]:
+    exactly the text-query rows of ``build_prefix_lm_bias`` (image keys where valid,
+    text keys causal+valid, diagonal forced open)."""
+    pv = patch_valid.astype(bool)
+    tv = text_valid.astype(bool)
+    b, ni = pv.shape
+    lt = tv.shape[1]
+    img_allowed = jnp.broadcast_to(pv[:, None, :], (b, lt, ni))
+    causal = jnp.tril(jnp.ones((lt, lt), bool))
+    txt_allowed = (causal[None] & tv[:, None, :]) | jnp.eye(lt, dtype=bool)[None]
+    allowed = jnp.concatenate([img_allowed, jnp.broadcast_to(txt_allowed, (b, lt, lt))], axis=-1)
+    return jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)[:, None]
+
+
+def prefix_cache(params, cfg: GenLipModelCfg, image: Dict[str, jax.Array], *,
+                 compute_dtype=jnp.float32, pos_ids: Optional[jax.Array] = None,
+                 text_start: Optional[jax.Array] = None,
+                 embed_fn=None) -> Dict[str, jax.Array]:
+    """Run the trunk over the image prefix once; return per-layer post-RoPE K/V
+    (depth, B, Ni, H, hd), the post-``out_proj`` hidden at the last prefix position
+    (whose logits predict text token 0 in the reference scoring protocol), the patch
+    validity, and the MRoPE text start position.
+
+    ``pos_ids`` / ``text_start`` / ``embed_fn`` override the image defaults so the
+    GenLAP audio prefix (1-D time / 2-D freq-time RoPE, mel patch embed) can share
+    this cache (see models/genlap.prefix_cache)."""
+    t = cfg.trunk_cfg
+    pv = image["patch_valid"].astype(bool)
+    x = (embed_fn or (lambda p, c, pt, dt: embed_patches(p, c, pt, dt)))(
+        params, cfg, image["patches"], compute_dtype)
+    hd = t.width // t.num_heads
+    pos = build_image_position_ids(image["patch_coord"]) if pos_ids is None else pos_ids
+    cos, sin = mrope_cos_sin(pos, hd, t.mrope_section, t.rope_theta, t.mrope_interleaved)
+    # exactly the image-query rows of build_prefix_lm_bias: every image query (even a
+    # padded one — the reference scores from position ni-1 regardless) attends all
+    # valid image keys, diagonal forced open. build_image_bias differs for padded
+    # queries (attend nothing but self), which would change last_hidden.
+    b_, ni_ = pv.shape
+    allowed = jnp.broadcast_to(pv[:, None, :], (b_, ni_, ni_)) | jnp.eye(ni_, dtype=bool)[None]
+    bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)[:, None]
+
+    def body(carry, p):
+        return _apply_trunk_block(p, carry, t=t, bias=bias, cos=cos, sin=sin, return_kv=True)
+
+    x, (kc, vc) = jax.lax.scan(body, x, params["trunk"]["blocks"], unroll=B.scan_unroll())
+    h = _norm(x, params["trunk"]["ln_post"], norm_type=t.norm_type, eps=t.layer_norm_eps)
+    last = h[:, -1, :]
+    if "out_proj" in params:
+        last = linear(last, params["out_proj"]["kernel"], params["out_proj"].get("bias"))
+
+    if text_start is None:
+        h_v = jnp.where(pv, image["patch_coord"][..., 0].astype(jnp.int32), 0)
+        w_v = jnp.where(pv, image["patch_coord"][..., 1].astype(jnp.int32), 0)
+        text_start = jnp.maximum(h_v.max(axis=1), w_v.max(axis=1)) + 1  # (B,)
+    return {"k": kc, "v": vc, "last_hidden": last, "patch_valid": pv,
+            "text_start": text_start}
+
+
+def _apply_trunk_cached(params, t: GenLipTrunkCfg, x, cache_kv, bias, cos, sin):
+    """Trunk over text-only ``x`` with per-layer cached prefix K/V prepended."""
+    def body(carry, inp):
+        p, kc, vc = inp
+        return _apply_trunk_block(p, carry, t=t, bias=bias, cos=cos, sin=sin,
+                                  kv_cache=(kc, vc)), None
+
+    x, _ = jax.lax.scan(body, x, (params["blocks"], cache_kv[0], cache_kv[1]),
+                        unroll=B.scan_unroll())
+    return _norm(x, params["ln_post"], norm_type=t.norm_type, eps=t.layer_norm_eps)
+
+
+def score_captions(params, cfg: GenLipModelCfg, cache: Dict[str, jax.Array],
+                   text: jax.Array, text_valid: Optional[jax.Array] = None, *,
+                   compute_dtype=jnp.float32) -> jax.Array:
+    """Length-normalized ``log P(caption | image)`` per row, (B,), from a prefix cache.
+
+    Matches the reference scoring protocol (scripts/genlip_zeroshot.py:97-119): caption
+    token ``text[:, j]`` at global position ``ni + j`` is scored by the logits at
+    ``ni - 1 + j``; the ``j == 0`` term comes from the cached last-prefix hidden. The
+    cache may hold 1 image against a batch of captions (broadcast) or one per row."""
+    t = cfg.trunk_cfg
+    tc = cfg.text_cfg
+    if text_valid is None:
+        text_valid = text != tc.pad_id
+    b, lt = text.shape
+    hd = t.width // t.num_heads
+
+    x = embed_text(params, cfg, text, compute_dtype)
+    text_pos = cache["text_start"][:, None] + jnp.arange(lt)[None, :]  # (Bc, Lt)
+    text_pos = jnp.broadcast_to(text_pos, (b, lt))
+    pos = jnp.broadcast_to(text_pos[None], (3, b, lt)).astype(jnp.int32)
+    cos, sin = mrope_cos_sin(pos, hd, t.mrope_section, t.rope_theta, t.mrope_interleaved)
+    pv = jnp.broadcast_to(cache["patch_valid"], (b, cache["patch_valid"].shape[1]))
+    bias = build_text_over_prefix_bias(pv, text_valid)
+
+    h = _apply_trunk_cached(params["trunk"], t, x, (cache["k"], cache["v"]), bias, cos, sin)
+    if "out_proj" in params:
+        h = linear(h, params["out_proj"]["kernel"], params["out_proj"].get("bias"))
+    w = params["lm_head"]["kernel"]
+    logits_txt = jnp.dot(h, w.astype(h.dtype))  # (B, Lt, V)
+    first = jnp.dot(cache["last_hidden"].astype(h.dtype), w.astype(h.dtype))  # (Bc, V)
+    first = jnp.broadcast_to(first, (b, first.shape[-1]))
+    pred = jnp.concatenate([first[:, None], logits_txt[:, :-1]], axis=1).astype(jnp.float32)
+    token_lp = jax.nn.log_softmax(pred, axis=-1)
+    token_lp = jnp.take_along_axis(token_lp, text[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    token_lp = jnp.where(text_valid, token_lp, 0.0)
+    return token_lp.sum(1) / jnp.clip(text_valid.sum(1), 1, None)
 
 
 def embed_patches(params, cfg: GenLipModelCfg, patches, compute_dtype):
@@ -508,6 +644,118 @@ def genlip_forward(
     return {"logits": logits, "image_seq_len": ni}
 
 
+def _sample_next(step_logits, key, generation_type, temperature, top_k, top_p):
+    """Next-token sampling shared by the cached and uncached decode loops."""
+    if generation_type == "greedy":
+        return jnp.argmax(step_logits, axis=-1)
+    if generation_type == "top_k":
+        lg = step_logits / max(temperature, 1e-6)
+        kth = jnp.sort(lg, axis=-1)[:, -top_k][:, None]
+        lg = jnp.where(lg < kth, jnp.finfo(jnp.float32).min, lg)
+        return jax.random.categorical(key, lg, axis=-1)
+    if generation_type == "top_p":
+        lg = step_logits / max(temperature, 1e-6)
+        srt = jnp.sort(lg, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(srt, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cut = jnp.sum(cum < top_p, axis=-1)
+        thresh = jnp.take_along_axis(srt, cut[:, None], axis=-1)
+        lg = jnp.where(lg < thresh, jnp.finfo(jnp.float32).min, lg)
+        return jax.random.categorical(key, lg, axis=-1)
+    raise ValueError(f"unknown generation_type {generation_type!r}")
+
+
+def generate_cached(
+    params: Dict[str, Any],
+    cfg: GenLipModelCfg,
+    image: Dict[str, jax.Array],
+    rng: Optional[jax.Array] = None,
+    *,
+    seq_len: int = 32,
+    min_seq_len: int = 1,
+    generation_type: str = "greedy",
+    temperature: float = 1.0,
+    top_k: int = 1,
+    top_p: float = 0.1,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """KV-cached incremental decode: the image prefix runs through the trunk ONCE
+    (prefix_cache) and each step processes a single text position against the cached
+    prefix + text K/V. O(T·(Ni+T)·D) attention vs the uncached loop's
+    O(T·(Ni+T)²·D) — token-for-token identical to ``generate`` (greedy), tested.
+    The reference has no cache at all (generation.py:27 forces it off)."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    tc, t = cfg.text_cfg, cfg.trunk_cfg
+    b = image["patches"].shape[0]
+    heads = t.num_heads
+    hd = t.width // heads
+
+    cache = prefix_cache(params, cfg, image, compute_dtype=compute_dtype)
+    pv = cache["patch_valid"]
+    ni = pv.shape[1]
+
+    # rope tables for every text position, computed once: (B, seq_len, hd)
+    text_pos = cache["text_start"][:, None] + jnp.arange(seq_len)[None, :]
+    pos = jnp.broadcast_to(text_pos[None], (3, b, seq_len)).astype(jnp.int32)
+    cos_all, sin_all = mrope_cos_sin(pos, hd, t.mrope_section, t.rope_theta,
+                                     t.mrope_interleaved)
+
+    ids0 = jnp.full((b, seq_len), tc.pad_id, dtype=jnp.int32).at[:, 0].set(tc.bos_id)
+    done0 = jnp.zeros((b,), dtype=bool)
+    kt0 = jnp.zeros((t.depth, b, seq_len, heads, hd), dtype=compute_dtype)
+    vt0 = jnp.zeros_like(kt0)
+
+    def step(t_i, carry):
+        # query = text position t_i - 1 (token ids[:, t_i - 1]) predicting ids[:, t_i]
+        ids, done, key, kt, vt = carry
+        tok = jax.lax.dynamic_slice(ids, (0, t_i - 1), (b, 1))
+        x = embed_text(params, cfg, tok, compute_dtype)
+        cos = jax.lax.dynamic_slice(cos_all, (0, t_i - 1, 0), (b, 1, hd))
+        sin = jax.lax.dynamic_slice(sin_all, (0, t_i - 1, 0), (b, 1, hd))
+
+        # keys per layer: [image (ni), text buffer (seq_len; slots < t_i-1), self (1)]
+        txt_key_ok = (jnp.arange(seq_len) < (t_i - 1))[None, :]
+        allowed = jnp.concatenate(
+            [pv, jnp.broadcast_to(txt_key_ok, (b, seq_len)),
+             jnp.ones((b, 1), bool)], axis=1)  # (B, ni + seq_len + 1)
+        bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)[:, None, None, :]
+
+        def body(carry_x, inp):
+            p, k_img, v_img, kt_l, vt_l = inp
+            kv = (jnp.concatenate([k_img.astype(compute_dtype), kt_l], axis=1),
+                  jnp.concatenate([v_img.astype(compute_dtype), vt_l], axis=1))
+            out, (k_new, v_new) = _apply_trunk_block(
+                p, carry_x, t=t, bias=bias, cos=cos, sin=sin,
+                kv_cache=kv, return_kv=True)
+            return out, (k_new.astype(compute_dtype), v_new.astype(compute_dtype))
+
+        x, (k_new, v_new) = jax.lax.scan(
+            body, x, (params["trunk"]["blocks"], cache["k"], cache["v"], kt, vt),
+            unroll=B.scan_unroll())
+        kt = jax.lax.dynamic_update_slice(kt, k_new, (0, 0, t_i - 1, 0, 0))
+        vt = jax.lax.dynamic_update_slice(vt, v_new, (0, 0, t_i - 1, 0, 0))
+
+        h = _norm(x, params["trunk"]["ln_post"], norm_type=t.norm_type,
+                  eps=t.layer_norm_eps)[:, 0]
+        if "out_proj" in params:
+            h = linear(h, params["out_proj"]["kernel"], params["out_proj"].get("bias"))
+        step_logits = jnp.dot(h, params["lm_head"]["kernel"].astype(h.dtype)).astype(jnp.float32)
+        step_logits = jnp.where(
+            (t_i < min_seq_len),
+            step_logits.at[:, tc.eos_id].set(jnp.finfo(jnp.float32).min), step_logits)
+
+        key, sub = jax.random.split(key)
+        nxt = _sample_next(step_logits, sub, generation_type, temperature, top_k, top_p)
+        nxt = jnp.where(done, tc.pad_id, nxt).astype(jnp.int32)
+        ids = jax.lax.dynamic_update_slice(ids, nxt[:, None], (0, t_i))
+        done = done | (nxt == tc.eos_id)
+        return ids, done, key, kt, vt
+
+    ids, _, _, _, _ = jax.lax.fori_loop(1, seq_len, step, (ids0, done0, rng, kt0, vt0))
+    return ids
+
+
 def generate(
     params: Dict[str, Any],
     cfg: GenLipModelCfg,
@@ -521,12 +769,19 @@ def generate(
     top_k: int = 1,
     top_p: float = 0.1,
     compute_dtype=jnp.float32,
+    kv_cache: bool = True,
 ) -> jax.Array:
     """Caption images with the prefix-LM trunk (superset: the reference exposes
     generation only for CoCa, generation.py:27). Same fixed-shape single-jit
     scheme as models/coca.generate: a static (B, seq_len) ids buffer seeded with
-    bos, each step re-runs the trunk on [image ; ids] and reads the logits at the
-    current position; eos-terminated then padded with pad_id."""
+    bos; ``kv_cache=True`` (default) runs the prefix once and decodes incrementally
+    (generate_cached); ``kv_cache=False`` re-runs the trunk on [image ; ids] each
+    step (the reference's cache-less scheme, kept for parity testing)."""
+    if kv_cache:
+        return generate_cached(
+            params, cfg, image, rng, seq_len=seq_len, min_seq_len=min_seq_len,
+            generation_type=generation_type, temperature=temperature, top_k=top_k,
+            top_p=top_p, compute_dtype=compute_dtype)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     tc = cfg.text_cfg
@@ -548,25 +803,7 @@ def generate(
             step_logits.at[:, tc.eos_id].set(jnp.finfo(jnp.float32).min), step_logits)
 
         key, sub = jax.random.split(key)
-        if generation_type == "greedy":
-            nxt = jnp.argmax(step_logits, axis=-1)
-        elif generation_type == "top_k":
-            lg = step_logits / max(temperature, 1e-6)
-            kth = jnp.sort(lg, axis=-1)[:, -top_k][:, None]
-            lg = jnp.where(lg < kth, jnp.finfo(jnp.float32).min, lg)
-            nxt = jax.random.categorical(sub, lg, axis=-1)
-        elif generation_type == "top_p":
-            lg = step_logits / max(temperature, 1e-6)
-            srt = jnp.sort(lg, axis=-1)[:, ::-1]
-            probs = jax.nn.softmax(srt, axis=-1)
-            cum = jnp.cumsum(probs, axis=-1)
-            cut = jnp.sum(cum < top_p, axis=-1)
-            thresh = jnp.take_along_axis(srt, cut[:, None], axis=-1)
-            lg = jnp.where(lg < thresh, jnp.finfo(jnp.float32).min, lg)
-            nxt = jax.random.categorical(sub, lg, axis=-1)
-        else:
-            raise ValueError(f"unknown generation_type {generation_type!r}")
-
+        nxt = _sample_next(step_logits, sub, generation_type, temperature, top_k, top_p)
         nxt = jnp.where(done, tc.pad_id, nxt).astype(jnp.int32)
         ids = ids.at[:, t].set(nxt)
         done = done | (nxt == tc.eos_id)
@@ -695,6 +932,16 @@ class GenLipModel:
         image = {k: jnp.asarray(v) for k, v in image.items()}
         return generate(self.params, self.cfg, image,
                         compute_dtype=self.compute_dtype, **kw)
+
+    def prefix_cache(self, image):
+        """Image-prefix KV cache for score_captions (see module-level prefix_cache)."""
+        image = {k: jnp.asarray(v) for k, v in image.items()}
+        return prefix_cache(self.params, self.cfg, image, compute_dtype=self.compute_dtype)
+
+    def score_captions(self, cache, text, text_valid=None):
+        """Length-normalized log P(caption | cached prefix), (B,)."""
+        return score_captions(self.params, self.cfg, cache, jnp.asarray(text), text_valid,
+                              compute_dtype=self.compute_dtype)
 
 
 # ---------------------------------------------------------------------------
