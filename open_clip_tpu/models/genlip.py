@@ -588,6 +588,21 @@ def encode_image(params, cfg: GenLipModelCfg, image: Dict[str, jax.Array], *,
     return pooled
 
 
+def patch_features(params, cfg: GenLipModelCfg, image: Dict[str, jax.Array], *,
+                   compute_dtype=jnp.float32, remat: bool = False):
+    """Last-layer patch hiddens (B, Ni, width), post ln_post, image-only mask — the
+    frozen-backbone probe protocol (reference scripts/genlip_attentive_probe.py:57-67,
+    which pools these with a trained AttentionPoolLatent head)."""
+    pv = image["patch_valid"].astype(bool)
+    x = embed_patches(params, cfg, image["patches"], compute_dtype)
+    bias = trunk_mask(0, pv, x.shape[1], cfg.trunk_cfg.width // cfg.trunk_cfg.num_heads)
+    pos = build_image_position_ids(image["patch_coord"])
+    cos, sin = mrope_cos_sin(pos, cfg.trunk_cfg.width // cfg.trunk_cfg.num_heads,
+                             cfg.trunk_cfg.mrope_section, cfg.trunk_cfg.rope_theta,
+                             cfg.trunk_cfg.mrope_interleaved)
+    return apply_trunk(params["trunk"], cfg.trunk_cfg, x, bias, cos, sin, remat=remat)
+
+
 def genlip_forward(
     params: Dict[str, Any],
     cfg: GenLipModelCfg,

@@ -234,6 +234,98 @@ class TestClapZeroShotScript:
         assert "audio-zeroshot-top1" in out
 
 
+class _StubVariableTokenizer:
+    """Deterministic variable-length tokenizer with the TikTokenTokenizer surface."""
+
+    pad_token_id = 100278
+    bos_id = 100279
+    eos_id = 100277
+
+    def __call__(self, texts, context_length=None, pad=True):
+        rows = []
+        for t in texts:
+            body = [1 + (ord(c) * 31) % 900 for c in t[:9]]
+            rows.append(np.asarray([self.bos_id] + body + [self.eos_id], dtype=np.int32))
+        if not pad:
+            return rows
+        n = context_length or 16
+        out = np.full((len(rows), n), self.pad_token_id, dtype=np.int32)
+        for i, r in enumerate(rows):
+            out[i, :min(len(r), n)] = r[:n]
+        return out
+
+
+class TestGenlipZeroShotScript:
+    def test_end_to_end_tiny(self, tmp_path, capsys, monkeypatch):
+        """Drive scripts/genlip_zeroshot.py main() on a 2-class ImageFolder with the
+        tiny genlip config, a stub tokenizer, and patched classnames."""
+        from PIL import Image
+
+        from open_clip_tpu import factory, zero_shot_metadata
+        from open_clip_tpu.checkpoint import save_native
+
+        for ci, cls in enumerate(["classa", "classb"]):
+            d = tmp_path / "val" / cls
+            d.mkdir(parents=True)
+            for i in range(2):
+                Image.new("RGB", (48, 32), (40 * ci + i, 80, 120)).save(d / f"{i}.jpg")
+
+        model = oct.create_model("naflexgenlip_test", load_weights=False)
+        ck = tmp_path / "ckpt"
+        save_native(str(ck), {"params": model.params})
+
+        monkeypatch.setattr(zero_shot_metadata, "IMAGENET_CLASSNAMES", ["classa", "classb"])
+        monkeypatch.setattr(factory, "get_tokenizer", lambda name: _StubVariableTokenizer())
+        mod = _load_script("genlip_zeroshot")
+        monkeypatch.setattr(sys, "argv", [
+            "genlip_zeroshot.py", "--model", "naflexgenlip_test",
+            "--checkpoint", str(ck), "--imagenet-val", str(tmp_path / "val"),
+            "--seq-len", "12", "--patch-size", "16", "--templates", "single",
+            "--score-batch", "2", "--num-images", "3", "--precision", "fp32", "--pmi"])
+        mod.main()
+        out = capsys.readouterr().out
+        assert "generative zero-shot" in out
+        assert "top-1:" in out
+        assert "PMI on" in out
+
+
+class TestGenlipAttentiveProbeScript:
+    def test_end_to_end_tiny(self, tmp_path, capsys, monkeypatch):
+        """Drive scripts/genlip_attentive_probe.py main() on a separable 2-class
+        folder; the trained probe head must beat chance clearly."""
+        from PIL import Image
+
+        from open_clip_tpu.checkpoint import save_native
+
+        rng = np.random.default_rng(0)
+        for split, k in (("train", 6), ("val", 4)):
+            for ci, (cls, base) in enumerate((("classa", 30), ("classb", 220))):
+                d = tmp_path / split / cls
+                d.mkdir(parents=True)
+                for i in range(k):
+                    arr = rng.integers(0, 30, size=(32, 48, 3)).astype(np.uint8) + base
+                    Image.fromarray(arr).save(d / f"{i}.png")
+
+        model = oct.create_model("naflexgenlip_test", load_weights=False)
+        ck = tmp_path / "ckpt"
+        save_native(str(ck), {"params": model.params})
+
+        mod = _load_script("genlip_attentive_probe")
+        monkeypatch.setattr(sys, "argv", [
+            "genlip_attentive_probe.py", "--model", "naflexgenlip_test",
+            "--checkpoint", str(ck),
+            "--imagenet-train", str(tmp_path / "train"),
+            "--imagenet-val", str(tmp_path / "val"),
+            "--seq-len", "8", "--patch-size", "16", "--epochs", "12",
+            "--train-per-class", "0", "--head-batch", "12", "--extract-batch", "4",
+            "--pool-num-heads", "4", "--lr", "1e-2", "--precision", "fp32"])
+        mod.main()
+        out = capsys.readouterr().out
+        assert "attentive probe" in out
+        best = float(out.rsplit("best val top-1:", 1)[1].split("%")[0])
+        assert best >= 75.0, out  # separable colors; chance is 50%
+
+
 class TestClapCheckpointDispatch:
     def test_load_checkpoint_routes_clap(self, monkeypatch):
         """factory/checkpoint load of a CLAP model must use the CLAP converter
