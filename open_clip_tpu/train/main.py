@@ -273,6 +273,10 @@ def main(args=None):
         force_context_length=args.force_context_length,
         seed=args.seed,
         aug_cfg=args.aug_cfg,
+        image_mean=tuple(args.image_mean) if args.image_mean else None,
+        image_std=tuple(args.image_std) if args.image_std else None,
+        image_interpolation=args.image_interpolation,
+        image_resize_mode=args.image_resize_mode,
     )
     cfg = model.cfg
     params = model.params

@@ -210,6 +210,17 @@ def parse_args(args=None):
     parser.add_argument("--lock-text-unlocked-layers", type=int, default=0)
     parser.add_argument("--lock-text-freeze-layer-norm", action="store_true", default=False)
     parser.add_argument("--aug-cfg", nargs="*", action=ParseKwargs, default={})
+    # preprocess overrides (reference params.py:444-458)
+    parser.add_argument("--image-mean", type=float, nargs="+", default=None, metavar="MEAN",
+                        help="override the default image mean")
+    parser.add_argument("--image-std", type=float, nargs="+", default=None, metavar="STD",
+                        help="override the default image std")
+    parser.add_argument("--image-interpolation", default=None, type=str,
+                        choices=["bicubic", "bilinear", "random"],
+                        help="override the default resize interpolation")
+    parser.add_argument("--image-resize-mode", default=None, type=str,
+                        choices=["shortest", "longest", "squash"],
+                        help="override the default resize (& crop) mode for eval")
 
     # losses
     parser.add_argument("--siglip", action="store_true", default=False)

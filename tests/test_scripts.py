@@ -234,6 +234,41 @@ class TestClapZeroShotScript:
         assert "audio-zeroshot-top1" in out
 
 
+class TestRecipeScripts:
+    """Every shipped recipe (docs/script_examples/**.sh) must parse in our CLI and
+    reference only models that exist in the registry."""
+
+    def _extract_args(self, path):
+        import shlex
+
+        text = Path(path).read_text()
+        assert "open_clip_tpu.train.main" in text, path
+        cmd = text.split("open_clip_tpu.train.main", 1)[1]
+        lines = []
+        for raw in cmd.splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line:
+                break_after = not raw.rstrip().endswith("\\")
+                if lines and break_after:
+                    break
+                continue
+            cont = line.endswith("\\")
+            lines.append(line.rstrip("\\").strip())
+            if not cont:
+                break
+        return shlex.split(" ".join(lines))
+
+    @pytest.mark.parametrize("sh", sorted(
+        str(p.relative_to(Path(__file__).parent.parent))
+        for p in (Path(__file__).parent.parent / "docs" / "script_examples").rglob("*.sh")))
+    def test_recipe_parses(self, sh):
+        from open_clip_tpu.train.params import parse_args
+
+        argv = self._extract_args(Path(__file__).parent.parent / sh)
+        args = parse_args(argv)
+        assert args.model in oct.list_models(), f"{sh}: unknown model {args.model}"
+
+
 class _StubVariableTokenizer:
     """Deterministic variable-length tokenizer with the TikTokenTokenizer surface."""
 
