@@ -20,6 +20,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import CLIPModelCfg, MultimodalCfg
 from ..ops.layers import layer_norm
@@ -168,6 +169,262 @@ def coca_forward(
 # generation
 # ---------------------------------------------------------------------------
 
+def _qkv_single(p, h, heads, eps):
+    """q, k, v (B, 1, H, hd) from a single-position hidden (B, 1, W), fused or split
+    projections + optional qk-norm — the decode-path twin of ops.attention's
+    projection block (scaled-cosine / NormFormer extras are not used by CoCa)."""
+    b, _, d = h.shape
+    hd = d // heads
+    if "qkv" in p:
+        qkv = jnp.dot(h, p["qkv"]["kernel"].astype(h.dtype))
+        if p["qkv"].get("bias") is not None:
+            qkv = qkv + p["qkv"]["bias"].astype(qkv.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        from ..ops.attention import _proj
+
+        q, k, v = _proj(h, p["q"]), _proj(h, p["k"]), _proj(h, p["v"])
+    q = q.reshape(b, 1, heads, hd)
+    k = k.reshape(b, 1, heads, hd)
+    v = v.reshape(b, 1, heads, hd)
+    if "ln_q" in p:
+        q = layer_norm(q, p["ln_q"]["scale"], p["ln_q"]["bias"], eps=eps)
+        k = layer_norm(k, p["ln_k"]["scale"], p["ln_k"]["bias"], eps=eps)
+    return q, k, v
+
+
+def _attend_cached(q, k_cache, v_cache, k_own, v_own, t_i):
+    """Single-query attention over [cache slots < t_i-1 ; own]; fp32 softmax."""
+    b, _, heads, hd = q.shape
+    L = k_cache.shape[1]
+    k = jnp.concatenate([k_cache, k_own], axis=1)  # (B, L+1, H, hd)
+    v = jnp.concatenate([v_cache, v_own], axis=1)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) / np.sqrt(hd)
+    ok = jnp.concatenate([jnp.arange(L) < (t_i - 1), jnp.ones((1,), bool)])
+    scores = jnp.where(ok[None, None, None, :], scores, jnp.finfo(jnp.float32).min)
+    w = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, v.astype(jnp.float32))
+    return out.reshape(b, 1, heads * hd).astype(q.dtype)
+
+
+def _cached_self_block(p, x, k_cache, v_cache, t_i, *, heads, act, eps):
+    """One standard block (models/blocks.apply_block) on a single decode position with
+    a K/V cache; returns (x, k_own, v_own) — caller writes own K/V into the buffer."""
+    from ..ops.layers import ACT_FNS, linear
+
+    h = layer_norm(x, p["ln_1"]["scale"], p["ln_1"]["bias"], eps=eps)
+    q, k_own, v_own = _qkv_single(p["attn"], h, heads, eps)
+    out = _attend_cached(q, k_cache, v_cache, k_own, v_own, t_i)
+    out = jnp.dot(out, p["attn"]["out"]["kernel"].astype(out.dtype))
+    if p["attn"]["out"].get("bias") is not None:
+        out = out + p["attn"]["out"]["bias"].astype(out.dtype)
+    if "ls_1" in p:
+        out = out * p["ls_1"].astype(out.dtype)
+    x = x + out
+    h = layer_norm(x, p["ln_2"]["scale"], p["ln_2"]["bias"], eps=eps)
+    h = linear(h, p["mlp"]["c_fc"]["kernel"], p["mlp"]["c_fc"].get("bias"))
+    h = ACT_FNS[act](h)
+    h = linear(h, p["mlp"]["c_proj"]["kernel"], p["mlp"]["c_proj"].get("bias"))
+    if "ls_2" in p:
+        h = h * p["ls_2"].astype(h.dtype)
+    return x + h, k_own, v_own
+
+
+def _cross_block_cached(pc, x, k_img, v_img, *, heads, act, eps):
+    """Cross-attention block against precomputed image K/V (B, M, H, hd)."""
+    from ..ops.layers import ACT_FNS, linear
+
+    b, _, d = x.shape
+    hd = d // heads
+    h = layer_norm(x, pc["ln_1"]["scale"], pc["ln_1"]["bias"], eps=eps)
+    if "qkv" in pc["attn"]:
+        wq = pc["attn"]["qkv"]["kernel"][:, :d]
+        bq = None if pc["attn"]["qkv"].get("bias") is None else pc["attn"]["qkv"]["bias"][:d]
+    else:
+        wq = pc["attn"]["q"]["kernel"]
+        bq = pc["attn"]["q"].get("bias")
+    q = jnp.dot(h, wq.astype(h.dtype))
+    if bq is not None:
+        q = q + bq.astype(q.dtype)
+    q = q.reshape(b, 1, heads, hd)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                        k_img.astype(jnp.float32)) / np.sqrt(hd)
+    w = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, v_img.astype(jnp.float32))
+    out = out.reshape(b, 1, d).astype(x.dtype)
+    out = jnp.dot(out, pc["attn"]["out"]["kernel"].astype(out.dtype))
+    if pc["attn"]["out"].get("bias") is not None:
+        out = out + pc["attn"]["out"]["bias"].astype(out.dtype)
+    if "ls_1" in pc:
+        out = out * pc["ls_1"].astype(out.dtype)
+    x = x + out
+    h = layer_norm(x, pc["ln_2"]["scale"], pc["ln_2"]["bias"], eps=eps)
+    h = linear(h, pc["mlp"]["c_fc"]["kernel"], pc["mlp"]["c_fc"].get("bias"))
+    h = ACT_FNS[act](h)
+    h = linear(h, pc["mlp"]["c_proj"]["kernel"], pc["mlp"]["c_proj"].get("bias"))
+    if "ls_2" in pc:
+        h = h * pc["ls_2"].astype(h.dtype)
+    return x + h
+
+
+def generate_cached(
+    params: Dict[str, Any],
+    cfg: CLIPModelCfg,
+    image: jax.Array,
+    rng: Optional[jax.Array] = None,
+    *,
+    seq_len: int = 30,
+    min_seq_len: int = 5,
+    generation_type: str = "greedy",
+    temperature: float = 1.0,
+    top_k: int = 1,
+    top_p: float = 0.1,
+    repetition_penalty: float = 1.0,
+    sot_token_id: int = 49406,
+    eos_token_id: int = 49407,
+    pad_token_id: int = 0,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """KV-cached incremental CoCa decode (the reference forces the HF cache OFF,
+    coca_model.py:353-356, re-encoding the full prefix each step — as does our
+    uncached loop). Per step this processes ONE text position through the text tower
+    and decoder against cached self-attention K/V plus once-precomputed cross-attention
+    image K/V: O(T·(M+T)·D) attention instead of O(T·(M+T)²·D). Token-for-token equal
+    to ``generate`` (tested). Exactness: the text tower is causal and the appended CLS
+    sits after every token, so per-position hiddens never depend on later positions."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    b = image.shape[0]
+    act = "quick_gelu" if cfg.quick_gelu else "gelu"
+    tcfg = cfg.text_cfg
+    mcfg = cfg.multimodal_cfg
+    t_eps, m_eps = tcfg.ln_eps, mcfg.ln_eps
+    t_heads, m_heads = tcfg.heads, mcfg.heads
+    t_width = tcfg.width
+    m_width = mcfg.width
+    t_hd, m_hd = t_width // t_heads, m_width // m_heads
+
+    _, image_embs = vit.apply_vision_tower(
+        params["visual"], cfg.vision_cfg, image, compute_dtype=compute_dtype, act=act,
+    )
+
+    # cross-attention K/V from ln_1_kv(image_embs), once per layer: (depth, B, M, H, hd)
+    def cross_kv(pc):
+        kv = layer_norm(image_embs, pc["ln_1_kv"]["scale"], pc["ln_1_kv"]["bias"], eps=m_eps)
+        if "qkv" in pc["attn"]:
+            wk = pc["attn"]["qkv"]["kernel"][:, m_width:2 * m_width]
+            wv = pc["attn"]["qkv"]["kernel"][:, 2 * m_width:]
+            bk = bv = None
+            if pc["attn"]["qkv"].get("bias") is not None:
+                bk = pc["attn"]["qkv"]["bias"][m_width:2 * m_width]
+                bv = pc["attn"]["qkv"]["bias"][2 * m_width:]
+        else:
+            wk, bk = pc["attn"]["k"]["kernel"], pc["attn"]["k"].get("bias")
+            wv, bv = pc["attn"]["v"]["kernel"], pc["attn"]["v"].get("bias")
+        k = jnp.dot(kv, wk.astype(kv.dtype))
+        v = jnp.dot(kv, wv.astype(kv.dtype))
+        if bk is not None:
+            k = k + bk.astype(k.dtype)
+            v = v + bv.astype(v.dtype)
+        m = image_embs.shape[1]
+        return (k.reshape(b, m, m_heads, m_hd), v.reshape(b, m, m_heads, m_hd))
+
+    k_img, v_img = jax.vmap(cross_kv)(params["text_decoder"]["cross_blocks"])
+
+    ids0 = jnp.full((b, seq_len), pad_token_id, dtype=jnp.int32).at[:, 0].set(sot_token_id)
+    done0 = jnp.zeros((b,), dtype=bool)
+    n_text = tcfg.layers
+    n_dec = mcfg.layers
+    tk0 = jnp.zeros((n_text, b, seq_len, t_heads, t_hd), dtype=compute_dtype)
+    tv0 = jnp.zeros_like(tk0)
+    dk0 = jnp.zeros((n_dec, b, seq_len, m_heads, m_hd), dtype=compute_dtype)
+    dv0 = jnp.zeros_like(dk0)
+
+    def step(t, carry):
+        ids, done, key, tk, tv, dk, dv = carry
+        tok = jax.lax.dynamic_slice(ids, (0, t - 1), (b, 1))
+        x = params["text"]["token_embedding"][tok[:, 0]].astype(compute_dtype)[:, None]
+        pos = jax.lax.dynamic_slice(
+            params["text"]["positional_embedding"], (t - 1, 0), (1, t_width))
+        x = x + pos.astype(compute_dtype)[None]
+
+        def text_body(carry_x, inp):
+            p, kc, vc = inp
+            out, k_own, v_own = _cached_self_block(
+                p, carry_x, kc, vc, t, heads=t_heads, act=act, eps=t_eps)
+            return out, (k_own.astype(compute_dtype), v_own.astype(compute_dtype))
+
+        x, (tk_new, tv_new) = jax.lax.scan(
+            text_body, x, (params["text"]["blocks"], tk, tv), unroll=B.scan_unroll())
+        tk = jax.lax.dynamic_update_slice(tk, tk_new, (0, 0, t - 1, 0, 0))
+        tv = jax.lax.dynamic_update_slice(tv, tv_new, (0, 0, t - 1, 0, 0))
+        # token memory for the decoder is the pre-ln_final block output
+        # (apply_text_tower embed_cls path returns tokens = x[:, :-1])
+
+        def dec_body(carry_x, inp):
+            ps, pc, kc, vc, kc_img, vc_img = inp
+            out, k_own, v_own = _cached_self_block(
+                ps, carry_x, kc, vc, t, heads=m_heads, act=act, eps=m_eps)
+            out = _cross_block_cached(pc, out, kc_img, vc_img, heads=m_heads,
+                                      act=act, eps=m_eps)
+            return out, (k_own.astype(compute_dtype), v_own.astype(compute_dtype))
+
+        x, (dk_new, dv_new) = jax.lax.scan(
+            dec_body, x,
+            (params["text_decoder"]["blocks"], params["text_decoder"]["cross_blocks"],
+             dk, dv, k_img, v_img),
+            unroll=B.scan_unroll())
+        dk = jax.lax.dynamic_update_slice(dk, dk_new, (0, 0, t - 1, 0, 0))
+        dv = jax.lax.dynamic_update_slice(dv, dv_new, (0, 0, t - 1, 0, 0))
+
+        h = layer_norm(x, params["text_decoder"]["ln_final"]["scale"],
+                       params["text_decoder"]["ln_final"]["bias"], eps=m_eps)
+        step_logits = jnp.dot(
+            h[:, 0], params["text_decoder"]["text_projection"].astype(h.dtype)
+        ).astype(jnp.float32)
+
+        if repetition_penalty != 1.0:
+            seen = jax.nn.one_hot(ids, step_logits.shape[-1], dtype=bool)
+            seen = seen & (jnp.arange(seq_len) < t)[None, :, None]
+            seen = seen.any(axis=1)
+            penal = jnp.where(step_logits > 0, step_logits / repetition_penalty,
+                              step_logits * repetition_penalty)
+            step_logits = jnp.where(seen, penal, step_logits)
+
+        neg = jnp.finfo(jnp.float32).min
+        step_logits = jnp.where(
+            (t < min_seq_len) & (jnp.arange(step_logits.shape[-1]) == eos_token_id)[None, :],
+            neg, step_logits,
+        )
+
+        if generation_type == "greedy":
+            nxt = jnp.argmax(step_logits, axis=-1)
+        else:
+            step_logits = step_logits / max(temperature, 1e-6)
+            if generation_type == "top_k":
+                kth = jax.lax.top_k(step_logits, max(top_k, 1))[0][:, -1:]
+                step_logits = jnp.where(step_logits < kth, neg, step_logits)
+            elif generation_type == "top_p":
+                sorted_logits = jnp.sort(step_logits, axis=-1)[:, ::-1]
+                probs = jax.nn.softmax(sorted_logits, axis=-1)
+                cum = jnp.cumsum(probs, axis=-1)
+                cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)
+                cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+                step_logits = jnp.where(step_logits < cutoff, neg, step_logits)
+            key, sub = jax.random.split(key)
+            nxt = jax.random.categorical(sub, step_logits, axis=-1)
+
+        nxt = jnp.where(done, pad_token_id, nxt).astype(jnp.int32)
+        ids = jax.lax.dynamic_update_slice(ids, nxt[:, None], (0, t))
+        done = done | (nxt == eos_token_id)
+        return ids, done, key, tk, tv, dk, dv
+
+    ids, _, _, _, _, _, _ = jax.lax.fori_loop(
+        1, seq_len, step, (ids0, done0, rng, tk0, tv0, dk0, dv0))
+    return ids
+
+
 def generate(
     params: Dict[str, Any],
     cfg: CLIPModelCfg,
@@ -185,13 +442,24 @@ def generate(
     eos_token_id: int = 49407,
     pad_token_id: int = 0,
     compute_dtype=jnp.float32,
+    kv_cache: bool = True,
 ) -> jax.Array:
     """Caption images: returns (B, seq_len) token ids, eos-terminated then padded.
 
-    Single jit, fixed shapes: the ids buffer has static length ``seq_len``; each decode
-    step re-encodes the (right-padded) prefix and reads the logits at the current
-    position. Temperature/top-k/top-p semantics match the reference's HF-generate paths.
+    Single jit, fixed shapes: the ids buffer has static length ``seq_len``.
+    ``kv_cache=True`` (default) decodes incrementally against cached text/decoder K/V
+    and once-precomputed cross-attention image K/V (generate_cached);
+    ``kv_cache=False`` re-encodes the right-padded prefix each step (the reference's
+    cache-forced-off scheme, kept for parity testing). Temperature/top-k/top-p
+    semantics match the reference's HF-generate paths.
     """
+    if kv_cache:
+        return generate_cached(
+            params, cfg, image, rng, seq_len=seq_len, min_seq_len=min_seq_len,
+            generation_type=generation_type, temperature=temperature, top_k=top_k,
+            top_p=top_p, repetition_penalty=repetition_penalty,
+            sot_token_id=sot_token_id, eos_token_id=eos_token_id,
+            pad_token_id=pad_token_id, compute_dtype=compute_dtype)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     b = image.shape[0]
