@@ -268,6 +268,87 @@ def _cross_block_cached(pc, x, k_img, v_img, *, heads, act, eps):
     return x + h
 
 
+def _cross_kv_all_layers(params, cfg: CLIPModelCfg, image_embs: jax.Array):
+    """Cross-attention K/V from ln_1_kv(image_embs) for every decoder layer, computed
+    once per image: each (depth, N, M, H, hd)."""
+    mcfg = cfg.multimodal_cfg
+    m_width, m_heads = mcfg.width, mcfg.heads
+    m_hd = m_width // m_heads
+    n, m = image_embs.shape[:2]
+
+    def one(pc):
+        kv = layer_norm(image_embs, pc["ln_1_kv"]["scale"], pc["ln_1_kv"]["bias"],
+                        eps=mcfg.ln_eps)
+        if "qkv" in pc["attn"]:
+            wk = pc["attn"]["qkv"]["kernel"][:, m_width:2 * m_width]
+            wv = pc["attn"]["qkv"]["kernel"][:, 2 * m_width:]
+            bk = bv = None
+            if pc["attn"]["qkv"].get("bias") is not None:
+                bk = pc["attn"]["qkv"]["bias"][m_width:2 * m_width]
+                bv = pc["attn"]["qkv"]["bias"][2 * m_width:]
+        else:
+            wk, bk = pc["attn"]["k"]["kernel"], pc["attn"]["k"].get("bias")
+            wv, bv = pc["attn"]["v"]["kernel"], pc["attn"]["v"].get("bias")
+        k = jnp.dot(kv, wk.astype(kv.dtype))
+        v = jnp.dot(kv, wv.astype(kv.dtype))
+        if bk is not None:
+            k = k + bk.astype(k.dtype)
+            v = v + bv.astype(v.dtype)
+        return (k.reshape(n, m, m_heads, m_hd), v.reshape(n, m, m_heads, m_hd))
+
+    return jax.vmap(one)(params["text_decoder"]["cross_blocks"])
+
+
+def _cached_decode_logits(params, cfg: CLIPModelCfg, tok, t, tk, tv, dk, dv,
+                          k_img, v_img, *, act, compute_dtype):
+    """One decode position (token ids ``tok`` (N, 1) at position t-1) through the text
+    tower and decoder with K/V caches; returns (logits (N, V) fp32, updated caches)."""
+    tcfg, mcfg = cfg.text_cfg, cfg.multimodal_cfg
+    t_eps, m_eps = tcfg.ln_eps, mcfg.ln_eps
+    t_heads, m_heads = tcfg.heads, mcfg.heads
+
+    x = params["text"]["token_embedding"][tok[:, 0]].astype(compute_dtype)[:, None]
+    pos = jax.lax.dynamic_slice(
+        params["text"]["positional_embedding"], (t - 1, 0), (1, tcfg.width))
+    x = x + pos.astype(compute_dtype)[None]
+
+    def text_body(carry_x, inp):
+        p, kc, vc = inp
+        out, k_own, v_own = _cached_self_block(
+            p, carry_x, kc, vc, t, heads=t_heads, act=act, eps=t_eps)
+        return out, (k_own.astype(compute_dtype), v_own.astype(compute_dtype))
+
+    x, (tk_new, tv_new) = jax.lax.scan(
+        text_body, x, (params["text"]["blocks"], tk, tv), unroll=B.scan_unroll())
+    tk = jax.lax.dynamic_update_slice(tk, tk_new, (0, 0, t - 1, 0, 0))
+    tv = jax.lax.dynamic_update_slice(tv, tv_new, (0, 0, t - 1, 0, 0))
+    # token memory for the decoder is the pre-ln_final block output
+    # (apply_text_tower embed_cls path returns tokens = x[:, :-1])
+
+    def dec_body(carry_x, inp):
+        ps, pc, kc, vc, kc_img, vc_img = inp
+        out, k_own, v_own = _cached_self_block(
+            ps, carry_x, kc, vc, t, heads=m_heads, act=act, eps=m_eps)
+        out = _cross_block_cached(pc, out, kc_img, vc_img, heads=m_heads,
+                                  act=act, eps=m_eps)
+        return out, (k_own.astype(compute_dtype), v_own.astype(compute_dtype))
+
+    x, (dk_new, dv_new) = jax.lax.scan(
+        dec_body, x,
+        (params["text_decoder"]["blocks"], params["text_decoder"]["cross_blocks"],
+         dk, dv, k_img, v_img),
+        unroll=B.scan_unroll())
+    dk = jax.lax.dynamic_update_slice(dk, dk_new, (0, 0, t - 1, 0, 0))
+    dv = jax.lax.dynamic_update_slice(dv, dv_new, (0, 0, t - 1, 0, 0))
+
+    h = layer_norm(x, params["text_decoder"]["ln_final"]["scale"],
+                   params["text_decoder"]["ln_final"]["bias"], eps=m_eps)
+    step_logits = jnp.dot(
+        h[:, 0], params["text_decoder"]["text_projection"].astype(h.dtype)
+    ).astype(jnp.float32)
+    return step_logits, tk, tv, dk, dv
+
+
 def generate_cached(
     params: Dict[str, Any],
     cfg: CLIPModelCfg,
@@ -299,38 +380,13 @@ def generate_cached(
     act = "quick_gelu" if cfg.quick_gelu else "gelu"
     tcfg = cfg.text_cfg
     mcfg = cfg.multimodal_cfg
-    t_eps, m_eps = tcfg.ln_eps, mcfg.ln_eps
     t_heads, m_heads = tcfg.heads, mcfg.heads
-    t_width = tcfg.width
-    m_width = mcfg.width
-    t_hd, m_hd = t_width // t_heads, m_width // m_heads
+    t_hd, m_hd = tcfg.width // t_heads, mcfg.width // m_heads
 
     _, image_embs = vit.apply_vision_tower(
         params["visual"], cfg.vision_cfg, image, compute_dtype=compute_dtype, act=act,
     )
-
-    # cross-attention K/V from ln_1_kv(image_embs), once per layer: (depth, B, M, H, hd)
-    def cross_kv(pc):
-        kv = layer_norm(image_embs, pc["ln_1_kv"]["scale"], pc["ln_1_kv"]["bias"], eps=m_eps)
-        if "qkv" in pc["attn"]:
-            wk = pc["attn"]["qkv"]["kernel"][:, m_width:2 * m_width]
-            wv = pc["attn"]["qkv"]["kernel"][:, 2 * m_width:]
-            bk = bv = None
-            if pc["attn"]["qkv"].get("bias") is not None:
-                bk = pc["attn"]["qkv"]["bias"][m_width:2 * m_width]
-                bv = pc["attn"]["qkv"]["bias"][2 * m_width:]
-        else:
-            wk, bk = pc["attn"]["k"]["kernel"], pc["attn"]["k"].get("bias")
-            wv, bv = pc["attn"]["v"]["kernel"], pc["attn"]["v"].get("bias")
-        k = jnp.dot(kv, wk.astype(kv.dtype))
-        v = jnp.dot(kv, wv.astype(kv.dtype))
-        if bk is not None:
-            k = k + bk.astype(k.dtype)
-            v = v + bv.astype(v.dtype)
-        m = image_embs.shape[1]
-        return (k.reshape(b, m, m_heads, m_hd), v.reshape(b, m, m_heads, m_hd))
-
-    k_img, v_img = jax.vmap(cross_kv)(params["text_decoder"]["cross_blocks"])
+    k_img, v_img = _cross_kv_all_layers(params, cfg, image_embs)
 
     ids0 = jnp.full((b, seq_len), pad_token_id, dtype=jnp.int32).at[:, 0].set(sot_token_id)
     done0 = jnp.zeros((b,), dtype=bool)
@@ -344,45 +400,9 @@ def generate_cached(
     def step(t, carry):
         ids, done, key, tk, tv, dk, dv = carry
         tok = jax.lax.dynamic_slice(ids, (0, t - 1), (b, 1))
-        x = params["text"]["token_embedding"][tok[:, 0]].astype(compute_dtype)[:, None]
-        pos = jax.lax.dynamic_slice(
-            params["text"]["positional_embedding"], (t - 1, 0), (1, t_width))
-        x = x + pos.astype(compute_dtype)[None]
-
-        def text_body(carry_x, inp):
-            p, kc, vc = inp
-            out, k_own, v_own = _cached_self_block(
-                p, carry_x, kc, vc, t, heads=t_heads, act=act, eps=t_eps)
-            return out, (k_own.astype(compute_dtype), v_own.astype(compute_dtype))
-
-        x, (tk_new, tv_new) = jax.lax.scan(
-            text_body, x, (params["text"]["blocks"], tk, tv), unroll=B.scan_unroll())
-        tk = jax.lax.dynamic_update_slice(tk, tk_new, (0, 0, t - 1, 0, 0))
-        tv = jax.lax.dynamic_update_slice(tv, tv_new, (0, 0, t - 1, 0, 0))
-        # token memory for the decoder is the pre-ln_final block output
-        # (apply_text_tower embed_cls path returns tokens = x[:, :-1])
-
-        def dec_body(carry_x, inp):
-            ps, pc, kc, vc, kc_img, vc_img = inp
-            out, k_own, v_own = _cached_self_block(
-                ps, carry_x, kc, vc, t, heads=m_heads, act=act, eps=m_eps)
-            out = _cross_block_cached(pc, out, kc_img, vc_img, heads=m_heads,
-                                      act=act, eps=m_eps)
-            return out, (k_own.astype(compute_dtype), v_own.astype(compute_dtype))
-
-        x, (dk_new, dv_new) = jax.lax.scan(
-            dec_body, x,
-            (params["text_decoder"]["blocks"], params["text_decoder"]["cross_blocks"],
-             dk, dv, k_img, v_img),
-            unroll=B.scan_unroll())
-        dk = jax.lax.dynamic_update_slice(dk, dk_new, (0, 0, t - 1, 0, 0))
-        dv = jax.lax.dynamic_update_slice(dv, dv_new, (0, 0, t - 1, 0, 0))
-
-        h = layer_norm(x, params["text_decoder"]["ln_final"]["scale"],
-                       params["text_decoder"]["ln_final"]["bias"], eps=m_eps)
-        step_logits = jnp.dot(
-            h[:, 0], params["text_decoder"]["text_projection"].astype(h.dtype)
-        ).astype(jnp.float32)
+        step_logits, tk, tv, dk, dv = _cached_decode_logits(
+            params, cfg, tok, t, tk, tv, dk, dv, k_img, v_img,
+            act=act, compute_dtype=compute_dtype)
 
         if repetition_penalty != 1.0:
             seen = jax.nn.one_hot(ids, step_logits.shape[-1], dtype=bool)
@@ -572,12 +592,16 @@ def generate_beam(
     pad_token_id: int = 0,
     length_penalty: float = 1.0,
     compute_dtype=jnp.float32,
+    kv_cache: bool = True,
 ) -> jax.Array:
     """Beam-search captioning (the reference's default generation_type,
     coca_model.py:300-320 via HF beam search) as a single jitted fixed-shape program:
     beams ride a (B*num_beams) batch axis; each step scores vocab continuations for all
     beams and keeps the top ``num_beams`` by cumulative log-prob. Finished beams
     (eos emitted) are frozen with their final score (length-penalized, HF convention).
+    ``kv_cache=True`` (default) decodes each step incrementally against cached K/V,
+    re-gathered along the beam axis after every beam reorder — token-identical to the
+    re-encode path (kept for parity testing).
 
     Returns the best beam per image, (B, seq_len), eos-terminated then padded.
     """
@@ -599,19 +623,19 @@ def generate_beam(
     done0 = jnp.zeros((b, k), bool)
 
     vocab = params["text"]["token_embedding"].shape[0]
+    tcfg, mcfg = cfg.text_cfg, cfg.multimodal_cfg
 
-    def step(t, carry):
-        ids, scores, done = carry
-        flat_ids = ids.reshape(b * k, seq_len)
-        _, token_embs = text_mod.apply_text_tower(
-            params["text"], cfg.text_cfg, flat_ids, compute_dtype=compute_dtype, act=act,
-        )
-        logits = apply_multimodal_decoder(
-            params["text_decoder"], cfg.multimodal_cfg, image_embs_k, token_embs, act=act,
-        )
-        step_logits = jnp.take_along_axis(
-            logits, jnp.full((b * k, 1, 1), t - 1, jnp.int32), axis=1
-        )[:, 0].astype(jnp.float32)  # (B*K, V)
+    if kv_cache:
+        k_img, v_img = _cross_kv_all_layers(params, cfg, image_embs_k)
+        tk0 = jnp.zeros((tcfg.layers, b * k, seq_len, tcfg.heads,
+                         tcfg.width // tcfg.heads), dtype=compute_dtype)
+        tv0 = jnp.zeros_like(tk0)
+        dk0 = jnp.zeros((mcfg.layers, b * k, seq_len, mcfg.heads,
+                         mcfg.width // mcfg.heads), dtype=compute_dtype)
+        dv0 = jnp.zeros_like(dk0)
+
+    def _select(t, ids, scores, done, step_logits):
+        """Shared beam bookkeeping: score continuations, keep the top K per image."""
         logp = jax.nn.log_softmax(step_logits, axis=-1).reshape(b, k, vocab)
 
         # block eos before min_seq_len
@@ -633,9 +657,42 @@ def generate_beam(
         tok_idx = jnp.where(done, pad_token_id, tok_idx)
         ids = ids.at[:, :, t].set(tok_idx)
         done = done | (tok_idx == eos_token_id)
-        return ids, top_scores, done
+        return ids, top_scores, done, beam_idx
 
-    ids, scores, done = jax.lax.fori_loop(1, seq_len, step, (ids0, scores0, done0))
+    def step_uncached(t, carry):
+        ids, scores, done = carry
+        flat_ids = ids.reshape(b * k, seq_len)
+        _, token_embs = text_mod.apply_text_tower(
+            params["text"], cfg.text_cfg, flat_ids, compute_dtype=compute_dtype, act=act,
+        )
+        logits = apply_multimodal_decoder(
+            params["text_decoder"], cfg.multimodal_cfg, image_embs_k, token_embs, act=act,
+        )
+        step_logits = jnp.take_along_axis(
+            logits, jnp.full((b * k, 1, 1), t - 1, jnp.int32), axis=1
+        )[:, 0].astype(jnp.float32)  # (B*K, V)
+        ids, scores, done, _ = _select(t, ids, scores, done, step_logits)
+        return ids, scores, done
+
+    def step_cached(t, carry):
+        ids, scores, done, tk, tv, dk, dv = carry
+        tok = jax.lax.dynamic_slice(ids, (0, 0, t - 1), (b, k, 1)).reshape(b * k, 1)
+        step_logits, tk, tv, dk, dv = _cached_decode_logits(
+            params, cfg, tok, t, tk, tv, dk, dv, k_img, v_img,
+            act=act, compute_dtype=compute_dtype)
+        ids, scores, done, beam_idx = _select(t, ids, scores, done, step_logits)
+        # caches hold per-beam prefixes: re-gather them along the beam axis so
+        # slot order matches the surviving beams
+        flat_idx = (jnp.arange(b)[:, None] * k + beam_idx).reshape(b * k)
+        tk, tv, dk, dv = (jnp.take(c, flat_idx, axis=1) for c in (tk, tv, dk, dv))
+        return ids, scores, done, tk, tv, dk, dv
+
+    if kv_cache:
+        ids, scores, done, _, _, _, _ = jax.lax.fori_loop(
+            1, seq_len, step_cached, (ids0, scores0, done0, tk0, tv0, dk0, dv0))
+    else:
+        ids, scores, done = jax.lax.fori_loop(
+            1, seq_len, step_uncached, (ids0, scores0, done0))
 
     if length_penalty != 1.0:
         lengths = (ids != pad_token_id).sum(axis=-1).astype(jnp.float32)

@@ -67,6 +67,19 @@ def test_cached_matches_uncached(model, gen_type, kw):
     np.testing.assert_array_equal(fast, slow)
 
 
+@pytest.mark.parametrize("length_penalty", [1.0, 0.7])
+def test_cached_beam_matches_uncached(model, length_penalty):
+    cfg, params = model
+    image = _images(2, seed=9)
+    slow = np.asarray(coca.generate_beam(
+        params, cfg, image, seq_len=9, min_seq_len=3, num_beams=3,
+        length_penalty=length_penalty, kv_cache=False, **GEN_KW))
+    fast = np.asarray(coca.generate_beam(
+        params, cfg, image, seq_len=9, min_seq_len=3, num_beams=3,
+        length_penalty=length_penalty, kv_cache=True, **GEN_KW))
+    np.testing.assert_array_equal(fast, slow)
+
+
 def test_eos_then_pad(model):
     cfg, params = model
     image = _images(2, seed=4)
