@@ -392,6 +392,88 @@ def bench_inference(bs=None):
     return out
 
 
+def bench_generation(bs=None):
+    """Captioning decode throughput (serving path): KV-cached fixed-shape decode
+    loops for CoCa (greedy + beam-6, the reference's default generation type) and
+    GenLIP (greedy over a 256-token NaFlex prefix). Reports captions/s/chip and the
+    measured speedup over the reference-style re-encode-each-step loop (which is
+    what the torch reference always does — it forces the HF cache off,
+    coca_model.py:353-356)."""
+    jax = _setup_jax()
+    import functools
+
+    import jax.numpy as jnp
+
+    out = {"metric": "caption_generation_captions_per_sec_per_chip",
+           "unit": "captions/sec/chip (bf16, jitted single-program decode)"}
+
+    def _time(fn, *a, iters=5):
+        fn(*a).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = fn(*a)
+        r.block_until_ready()
+        return (time.perf_counter() - t0) / iters
+
+    # --- CoCa-B/32 ---------------------------------------------------------------
+    from open_clip_tpu.config import parse_model_cfg
+    from open_clip_tpu.convert import convert_params_dtype
+    from open_clip_tpu.models import coca
+    from open_clip_tpu.models.clip import init_clip
+
+    cfg = parse_model_cfg("coca_ViT-B-32")
+    params = convert_params_dtype(init_clip(jax.random.PRNGKey(0), cfg), jnp.bfloat16)
+    bs_c = bs or 64
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.standard_normal((bs_c, 224, 224, 3)), dtype=jnp.bfloat16)
+    seq = 30
+
+    greedy = jax.jit(functools.partial(
+        coca.generate, params, cfg, seq_len=seq, kv_cache=True,
+        compute_dtype=jnp.bfloat16))
+    greedy_slow = jax.jit(functools.partial(
+        coca.generate, params, cfg, seq_len=seq, kv_cache=False,
+        compute_dtype=jnp.bfloat16))
+    beam = jax.jit(functools.partial(
+        coca.generate_beam, params, cfg, seq_len=seq, num_beams=6, kv_cache=True,
+        compute_dtype=jnp.bfloat16))
+    dt_fast = _time(greedy, image)
+    dt_slow = _time(greedy_slow, image, iters=2)
+    dt_beam = _time(beam, image, iters=2)
+    out["coca_b32_greedy"] = {
+        "value": round(bs_c / dt_fast, 1), "batch": bs_c, "seq_len": seq,
+        "speedup_vs_reencode": round(dt_slow / dt_fast, 2)}
+    out["coca_b32_beam6"] = {"value": round(bs_c / dt_beam, 1), "batch": bs_c,
+                             "seq_len": seq}
+
+    # --- GenLIP-B/16 -------------------------------------------------------------
+    from open_clip_tpu.models import genlip as G
+
+    from open_clip_tpu.config import get_model_config
+
+    gcfg = G.GenLipModelCfg.from_dict(get_model_config("naflexgenlip_b16"))
+    gparams = convert_params_dtype(G.init_genlip(jax.random.PRNGKey(0), gcfg), jnp.bfloat16)
+    bs_g = max(1, (bs or 64) // 4)
+    ni = 256
+    pdim = 16 * 16 * 3
+    coord = np.stack([np.arange(ni) // 16, np.arange(ni) % 16], -1).astype(np.int32)
+    gimage = {
+        "patches": jnp.asarray(rng.standard_normal((bs_g, ni, pdim)) * 0.1, jnp.bfloat16),
+        "patch_coord": jnp.asarray(np.broadcast_to(coord, (bs_g, ni, 2))),
+        "patch_valid": jnp.asarray(np.ones((bs_g, ni), bool)),
+    }
+    g_fast = jax.jit(functools.partial(
+        G.generate, gparams, gcfg, seq_len=32, kv_cache=True, compute_dtype=jnp.bfloat16))
+    g_slow = jax.jit(functools.partial(
+        G.generate, gparams, gcfg, seq_len=32, kv_cache=False, compute_dtype=jnp.bfloat16))
+    dtg_fast = _time(g_fast, gimage)
+    dtg_slow = _time(g_slow, gimage, iters=2)
+    out["genlip_b16_greedy"] = {
+        "value": round(bs_g / dtg_fast, 1), "batch": bs_g, "seq_len": 32,
+        "image_tokens": ni, "speedup_vs_reencode": round(dtg_slow / dtg_fast, 2)}
+    return out
+
+
 def _make_bench_shards(root, n_shards=4, per_shard=1024, side=256, quality=85):
     """Synthetic webdataset tar shards: distinct JPEG photos (noise + gradient so
     JPEG entropy is realistic) + distinct captions. Cached across bench runs."""
@@ -568,6 +650,7 @@ SUITE = {
     "genlip_b16": bench_genlip,
     "clap_htsat": bench_clap,
     "inference": bench_inference,
+    "generation": bench_generation,
 }
 
 
