@@ -26,7 +26,8 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
-__all__ = ["export_encoders", "save_exported", "load_exported", "LoadedCLIP"]
+__all__ = ["export_encoders", "export_captioner", "save_exported", "load_exported",
+           "LoadedCLIP"]
 
 
 def export_encoders(model, *, normalize: bool = True, static_batch: Optional[int] = None):
@@ -79,10 +80,91 @@ def export_encoders(model, *, normalize: bool = True, static_batch: Optional[int
     }
 
 
+def export_captioner(model, *, seq_len: int = 30, min_seq_len: int = 5,
+                     generation_type: str = "beam", num_beams: int = 6,
+                     temperature: float = 1.0, top_k: int = 1, top_p: float = 0.1,
+                     static_batch: Optional[int] = None,
+                     image_tokens: Optional[int] = None, **gen_kw):
+    """Export the KV-cached caption decoder as one StableHLO program: the whole
+    fixed-shape decode loop (vision tower + cached text/decoder steps + sampling)
+    compiles into a single artifact callable as ``ids = exported.call(image, seed)``.
+
+    Works for CoCa models (standard image input) and GenLIP models (NaFlex patch
+    dict; pass ``image_tokens`` to pin the patch-sequence length). ``seed`` feeds the
+    sampled generation types and is ignored by greedy/beam."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    cfg = model.cfg
+    params = model.params
+    compute_dtype = model.compute_dtype
+
+    if static_batch is not None:
+        b = int(static_batch)
+    else:
+        (b,) = jexport.symbolic_shape("b")
+
+    if getattr(cfg, "multimodal_cfg", None) is not None:  # CoCa
+        from .models import coca
+
+        size = cfg.vision_cfg.image_size
+        h, w = (int(size[0]), int(size[1])) if isinstance(size, (tuple, list)) \
+            else (int(size), int(size))
+
+        def fn(image, seed):
+            rng = jax.random.PRNGKey(seed)
+            if generation_type == "beam":
+                return coca.generate_beam(
+                    params, cfg, image, seq_len=seq_len, min_seq_len=min_seq_len,
+                    num_beams=num_beams, compute_dtype=compute_dtype, **gen_kw)
+            return coca.generate(
+                params, cfg, image, rng, seq_len=seq_len, min_seq_len=min_seq_len,
+                generation_type=generation_type, temperature=temperature,
+                top_k=top_k, top_p=top_p, compute_dtype=compute_dtype, **gen_kw)
+
+        specs = (jax.ShapeDtypeStruct((b, h, w, 3), jnp.float32),
+                 jax.ShapeDtypeStruct((), jnp.uint32))
+        return jexport.export(jax.jit(fn))(*specs)
+
+    if hasattr(cfg, "trunk_cfg"):  # GenLIP
+        from .models import genlip as G
+
+        if image_tokens is None:
+            raise ValueError("GenLIP captioner export needs image_tokens "
+                             "(the NaFlex patch-sequence length to serve)")
+        pdim = cfg.vision_cfg.patch_size * cfg.vision_cfg.patch_size * 3
+
+        def gfn(patches, patch_coord, patch_valid, seed):
+            rng = jax.random.PRNGKey(seed)
+            image = {"patches": patches, "patch_coord": patch_coord,
+                     "patch_valid": patch_valid}
+            return G.generate(
+                params, cfg, image, rng, seq_len=seq_len, min_seq_len=min_seq_len,
+                generation_type="greedy" if generation_type == "beam" else generation_type,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                compute_dtype=compute_dtype, **gen_kw)
+
+        ni = int(image_tokens)
+        specs = (jax.ShapeDtypeStruct((b, ni, pdim), jnp.float32),
+                 jax.ShapeDtypeStruct((b, ni, 2), jnp.int32),
+                 jax.ShapeDtypeStruct((b, ni), jnp.bool_),
+                 jax.ShapeDtypeStruct((), jnp.uint32))
+        return jexport.export(jax.jit(gfn))(*specs)
+
+    raise ValueError("export_captioner supports CoCa and GenLIP models")
+
+
 def save_exported(model, path: str, *, normalize: bool = True,
                   static_batch: Optional[int] = None,
-                  preprocess_cfg: Optional[Dict[str, Any]] = None) -> str:
-    """Export ``model``'s encoders and write the serving artifact directory."""
+                  preprocess_cfg: Optional[Dict[str, Any]] = None,
+                  captioner: Optional[Dict[str, Any]] = None) -> str:
+    """Export ``model``'s encoders and write the serving artifact directory.
+
+    For CoCa models a ``captioner.jaxexp`` (the whole KV-cached decode loop as one
+    StableHLO program) is written as well; ``captioner`` passes options through to
+    :func:`export_captioner` (e.g. ``{"seq_len": 30, "generation_type": "beam"}``) —
+    pass ``{}``/None for the defaults or ``{"skip": True}`` to omit it."""
     import jax
 
     exported = export_encoders(model, normalize=normalize, static_batch=static_batch)
@@ -90,6 +172,19 @@ def save_exported(model, path: str, *, normalize: bool = True,
     for name, exp in (("image_encoder", exported["image"]), ("text_encoder", exported["text"])):
         with open(os.path.join(path, f"{name}.jaxexp"), "wb") as fh:
             fh.write(bytes(exp.serialize()))
+
+    captioner_meta = None
+    if getattr(model.cfg, "multimodal_cfg", None) is not None and \
+            not (captioner or {}).get("skip"):
+        cap_kw = dict(captioner or {})
+        cap_kw.pop("skip", None)
+        cap_kw.setdefault("static_batch", static_batch)
+        cap = export_captioner(model, **cap_kw)
+        with open(os.path.join(path, "captioner.jaxexp"), "wb") as fh:
+            fh.write(bytes(cap.serialize()))
+        captioner_meta = {"seq_len": cap_kw.get("seq_len", 30),
+                          "generation_type": cap_kw.get("generation_type", "beam"),
+                          "num_beams": cap_kw.get("num_beams", 6)}
 
     pc = preprocess_cfg
     if pc is None and getattr(model, "_preprocess_cfg", None) is not None:
@@ -105,6 +200,7 @@ def save_exported(model, path: str, *, normalize: bool = True,
         "static_batch": static_batch,
         "logit_scale": float(np.exp(np.asarray(model.params["logit_scale"], np.float32))),
         "preprocess_cfg": pc,
+        "captioner": captioner_meta,
         "jax_version": jax.__version__,
     }
     with open(os.path.join(path, "export_config.json"), "w") as fh:
@@ -116,9 +212,10 @@ class LoadedCLIP:
     """Deserialized serving artifact: ``encode_image`` / ``encode_text`` /
     ``get_logits`` over the exported StableHLO modules — no model code involved."""
 
-    def __init__(self, image_exp, text_exp, meta: Dict[str, Any]):
+    def __init__(self, image_exp, text_exp, meta: Dict[str, Any], captioner_exp=None):
         self._image = image_exp
         self._text = text_exp
+        self._captioner = captioner_exp
         self.meta = meta
         self.logit_scale = float(meta.get("logit_scale", 1.0))
 
@@ -140,6 +237,15 @@ class LoadedCLIP:
         logits = self.logit_scale * fi @ ft.T
         return logits, logits.T
 
+    def generate(self, image, seed: int = 0):
+        """Caption a batch through the exported decode loop (CoCa artifacts)."""
+        if self._captioner is None:
+            raise ValueError("artifact has no captioner.jaxexp (not a CoCa export?)")
+        import jax.numpy as jnp
+
+        return self._captioner.call(jnp.asarray(image, jnp.float32),
+                                    jnp.uint32(seed))
+
 
 def load_exported(path: str) -> LoadedCLIP:
     from jax import export as jexport
@@ -150,4 +256,9 @@ def load_exported(path: str) -> LoadedCLIP:
     for name in ("image_encoder", "text_encoder"):
         with open(os.path.join(path, f"{name}.jaxexp"), "rb") as fh:
             exps[name] = jexport.deserialize(bytearray(fh.read()))
-    return LoadedCLIP(exps["image_encoder"], exps["text_encoder"], meta)
+    cap = None
+    cap_path = os.path.join(path, "captioner.jaxexp")
+    if os.path.exists(cap_path):
+        with open(cap_path, "rb") as fh:
+            cap = jexport.deserialize(bytearray(fh.read()))
+    return LoadedCLIP(exps["image_encoder"], exps["text_encoder"], meta, cap)
