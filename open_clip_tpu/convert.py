@@ -253,6 +253,94 @@ def _convert_timm_vit_trunk(sd: Mapping[str, Any]) -> Dict[str, Any]:
     return vis
 
 
+def _convert_timm_naflexvit_trunk(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Convert a timm-NaFlexVit trunk (``visual.trunk.*`` keys of a reference
+    SigLIP2-naflex / naflex-family torch checkpoint, built via timm NaFlexVit in
+    reference timm_model.py) into the native NaFlex tower layout
+    (models/naflex_vit.init_naflex_vit tree).
+
+    timm's NaFlex patchifier flattens patches channels-last ``(py, px, c)`` — the
+    same order data/naflex.NaFlexTransform produces — so the linear patch-embed
+    kernel transposes directly with no column permutation."""
+
+    def t(k):
+        v = sd[k]
+        return np.asarray(v.detach().cpu().numpy().copy() if hasattr(v, "detach") else v)
+
+    def ln(prefix):
+        return {"scale": t(f"{prefix}.weight"), "bias": t(f"{prefix}.bias")}
+
+    def lin(prefix):
+        p = {"kernel": t(f"{prefix}.weight").T}
+        if f"{prefix}.bias" in sd:
+            p["bias"] = t(f"{prefix}.bias")
+        return p
+
+    n_layers = 1 + max(
+        int(k.split(".")[3]) for k in sd if k.startswith("visual.trunk.blocks.")
+    )
+    blocks = {}
+    for i in range(n_layers):
+        b = f"visual.trunk.blocks.{i}"
+        blk = {
+            "ln_1": ln(f"{b}.norm1"),
+            "attn": {"qkv": lin(f"{b}.attn.qkv"), "out": lin(f"{b}.attn.proj")},
+            "ln_2": ln(f"{b}.norm2"),
+        }
+        if f"{b}.mlp.fc1_g.weight" in sd:  # timm SwiGLU: fc1_g (gate) + fc1_x
+            g, x_ = t(f"{b}.mlp.fc1_g.weight"), t(f"{b}.mlp.fc1_x.weight")
+            w12 = {"kernel": np.concatenate([x_.T, g.T], axis=1)}
+            if f"{b}.mlp.fc1_g.bias" in sd:
+                w12["bias"] = np.concatenate([t(f"{b}.mlp.fc1_x.bias"), t(f"{b}.mlp.fc1_g.bias")])
+            blk["mlp"] = {"w12": w12, "w3": lin(f"{b}.mlp.fc2")}
+        else:
+            blk["mlp"] = {"c_fc": lin(f"{b}.mlp.fc1"), "c_proj": lin(f"{b}.mlp.fc2")}
+        if f"{b}.ls1.gamma" in sd:
+            blk["ls_1"] = t(f"{b}.ls1.gamma")
+            blk["ls_2"] = t(f"{b}.ls2.gamma")
+        blocks[i] = blk
+
+    pos = t("visual.trunk.pos_embed")  # (1, gh, gw, W)
+    vis: Dict[str, Any] = {
+        "patch_embed": lin("visual.trunk.patch_embed.proj"),
+        "pos_embed": pos.reshape(pos.shape[-3], pos.shape[-2], pos.shape[-1]),
+        "norm": ln("visual.trunk.norm") if "visual.trunk.norm.weight" in sd
+        else ln("visual.trunk.fc_norm"),
+        "blocks": _stack_blocks(blocks),
+    }
+    if "visual.trunk.norm_pre.weight" in sd:
+        vis["norm_pre"] = ln("visual.trunk.norm_pre")
+    if "visual.trunk.cls_token" in sd:
+        vis["cls_token"] = t("visual.trunk.cls_token").reshape(-1)
+    if "visual.trunk.reg_token" in sd:
+        vis["reg_tokens"] = t("visual.trunk.reg_token").reshape(
+            -1, t("visual.trunk.reg_token").shape[-1])
+    if "visual.trunk.attn_pool.latent" in sd:
+        ap = "visual.trunk.attn_pool"
+        vis["attn_pool"] = {
+            "latent": t(f"{ap}.latent").reshape(-1),
+            "q": lin(f"{ap}.q"),
+            "kv": lin(f"{ap}.kv"),
+            "proj": lin(f"{ap}.proj"),
+            "norm": ln(f"{ap}.norm"),
+            "mlp": {"c_fc": lin(f"{ap}.mlp.fc1"), "c_proj": lin(f"{ap}.mlp.fc2")},
+        }
+    # projection head: open_clip TimmModel head (visual.head.proj), trunk classifier
+    # head, or none (timm_proj='none': identity — embed_dim == trunk width)
+    if "visual.head.proj.weight" in sd:
+        vis["head"] = {"kernel": t("visual.head.proj.weight").T}
+        if "visual.head.proj.bias" in sd:
+            vis["head"]["bias"] = t("visual.head.proj.bias")
+    elif "visual.trunk.head.weight" in sd:
+        vis["head"] = {"kernel": t("visual.trunk.head.weight").T}
+        if "visual.trunk.head.bias" in sd:
+            vis["head"]["bias"] = t("visual.trunk.head.bias")
+    else:
+        width = vis["norm"]["scale"].shape[0]
+        vis["head"] = {"kernel": np.eye(width, dtype=np.float32)}
+    return vis
+
+
 def convert_params_dtype(params, dtype):
     """Cast linear/conv kernels+biases and bare projection leaves to ``dtype``,
     keeping norm affine params (scale/bias pairs), embeddings, and logit scales in
@@ -392,6 +480,17 @@ def torch_clip_to_params(sd: Mapping[str, Any], cfg: Optional[CLIPModelCfg] = No
         assert cfg is not None, "convnext conversion needs the model cfg"
         tree = convnext.torch_convnext_clip_to_params(sd, cfg.vision_cfg)
         rest_sd = {k: v for k, v in sd.items() if not k.startswith("visual.")}
+        rest = torch_clip_to_params(rest_sd, cfg) if rest_sd else {}
+        rest["visual"] = tree
+        return rest
+    if (cfg is not None and cfg.vision_cfg is not None
+            and (cfg.vision_cfg.timm_model_name or "").startswith("naflexvit")
+            and any(k.startswith("visual.trunk.") for k in sd)):
+        # timm NaFlexVit trunks (SigLIP2-naflex and friends) convert into the native
+        # NaFlex tower layout, not the fixed-grid ViT one
+        tree = _convert_timm_naflexvit_trunk(sd)
+        rest_sd = {k: v for k, v in sd.items()
+                   if not k.startswith(("visual.trunk.", "visual.head."))}
         rest = torch_clip_to_params(rest_sd, cfg) if rest_sd else {}
         rest["visual"] = tree
         return rest

@@ -68,6 +68,10 @@ class NaFlexVitCfg:
     norm_eps: float = 1e-6
     ls_init_value: Optional[float] = None
     proj_bias: bool = True
+    # timm naflexvit defaults to NO pre-block norm (norm_pre = Identity); only
+    # native-ViT-converted configs carry one (reference naflex_convert.py:101 sets
+    # pre_norm=True exactly because native CLIP ViTs have ln_pre)
+    pre_norm: bool = False
 
 
 def parse_naflex_cfg(vision_cfg: CLIPVisionCfg) -> NaFlexVitCfg:
@@ -97,6 +101,8 @@ def parse_naflex_cfg(vision_cfg: CLIPVisionCfg) -> NaFlexVitCfg:
         swiglu_mlp=kw.get("swiglu_mlp", False),
         attn_pool_mlp_ratio=kw.get("attn_pool_mlp_ratio", 4.0),
         reg_tokens=kw.get("reg_tokens", int(reg.group(1)) if reg else 0),
+        class_token=kw.get("class_token", False),
+        pre_norm=kw.get("pre_norm", False),
     )
     return cfg
 
@@ -117,9 +123,10 @@ def init_naflex_vit(key, cfg: NaFlexVitCfg, embed_dim: int) -> Dict[str, Any]:
             "bias": jnp.zeros((width,)),
         },
         "pos_embed": B.normal_init(ks[1], (*cfg.pos_grid, width), 0.02),
-        "norm_pre": B._ln_params(width),
         "norm": B._ln_params(width),
     }
+    if cfg.pre_norm:
+        p["norm_pre"] = B._ln_params(width)
     if cfg.class_token:
         p["cls_token"] = B.normal_init(ks[2], (width,), 1e-6)
     if cfg.reg_tokens:
@@ -267,7 +274,8 @@ def apply_naflex_vit(
         key_valid = jnp.concatenate([jnp.ones((b, 1), bool), key_valid], axis=1)
         num_prefix += 1
 
-    x = layer_norm(x, params["norm_pre"]["scale"], params["norm_pre"]["bias"], eps=eps)
+    if "norm_pre" in params:
+        x = layer_norm(x, params["norm_pre"]["scale"], params["norm_pre"]["bias"], eps=eps)
 
     # key padding rides as a (B, L) validity vector so the flash kernel can mask
     # in-kernel at long bucket lengths; the xla path folds it into a bias itself

@@ -111,7 +111,7 @@ def test_vit_to_naflex_folding():
     nf_params = naflex_vit.vit_params_to_naflex(params, grid=(4, 4))
     ncfg = naflex_vit.NaFlexVitCfg(
         width=64, layers=2, heads=2, patch_size=16, pos_grid=(4, 4),
-        pool="tok", class_token=True, norm_eps=1e-5, proj_bias=False,
+        pool="tok", class_token=True, norm_eps=1e-5, proj_bias=False, pre_norm=True,
     )
     patches = vit_mod.patchify(jnp.asarray(img), 16)  # (1, 16, 768)
     ys, xs = np.meshgrid(np.arange(4), np.arange(4), indexing="ij")

@@ -185,3 +185,83 @@ def test_mobileclip_b_factory():
     x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 224, 224, 3)), jnp.float32)
     out = model.encode_image(x, normalize=True)
     assert out.shape == (1, 512)
+
+
+class TimmNaFlexViT(nn.Module):
+    """timm NaFlexVit with timm's key names: Linear patch embed over channels-last
+    (py, px, c) patches, learned (1, gh, gw, W) pos grid, no pre-norm, MAP pool —
+    the trunk layout of SigLIP2-naflex checkpoints."""
+
+    def __init__(self, w=768, layers=12, heads=12, patch=16, grid=(16, 16)):
+        super().__init__()
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Linear(patch * patch * 3, w)
+        self.pos_embed = nn.Parameter(torch.randn(1, grid[0], grid[1], w) * 0.02)
+        self.blocks = nn.ModuleList(TimmBlock(w, heads) for _ in range(layers))
+        self.norm = nn.LayerNorm(w, eps=1e-6)
+        ap = nn.Module()
+        ap.latent = nn.Parameter(torch.randn(1, 1, w) * 0.02)
+        ap.q = nn.Linear(w, w)
+        ap.kv = nn.Linear(w, 2 * w)
+        ap.proj = nn.Linear(w, w)
+        ap.norm = nn.LayerNorm(w, eps=1e-6)
+        ap.mlp = nn.Module()
+        ap.mlp.fc1 = nn.Linear(w, 4 * w)
+        ap.mlp.fc2 = nn.Linear(4 * w, w)
+        self.attn_pool = ap
+        self.heads = heads
+        self.grid = grid
+
+    def forward(self, patches):  # (B, N, p*p*3) at the FULL pos grid (identity sample)
+        x = self.patch_embed.proj(patches)
+        x = x + self.pos_embed.reshape(1, -1, x.shape[-1])
+        for blk in self.blocks:
+            x = blk(x)
+        x = self.norm(x)
+        ap, (b, n, w) = self.attn_pool, x.shape
+        hd = w // self.heads
+        q = ap.q(ap.latent.expand(b, -1, -1)).reshape(b, 1, self.heads, hd).transpose(1, 2)
+        kv = ap.kv(x).reshape(b, n, 2, self.heads, hd).permute(2, 0, 3, 1, 4)
+        k, v = kv.unbind(0)
+        a = torch.softmax(q @ k.transpose(-2, -1) * hd**-0.5, dim=-1)
+        out = ap.proj((a @ v).transpose(1, 2).reshape(b, 1, w))
+        out = out + ap.mlp.fc2(torch.nn.functional.gelu(ap.mlp.fc1(ap.norm(out))))
+        return out[:, 0]
+
+
+def test_siglip2_naflex_torch_trunk_parity():
+    """Converted SigLIP2-naflex trunk matches the torch oracle on a full-grid patch
+    batch (pos-embed sampling reduces to an exact gather there)."""
+    torch.manual_seed(1)
+    grid = (16, 16)
+    trunk = TimmNaFlexViT(grid=grid).eval()
+    with torch.no_grad():
+        for p in trunk.parameters():
+            if p.ndim > 1:
+                p.normal_(0, 0.02)
+    sd = {f"visual.trunk.{k}": v for k, v in trunk.state_dict().items()}
+
+    cfg = parse_model_cfg("ViT-B-16-SigLIP2-naflex")
+    params = torch_clip_to_params(sd, cfg)
+    params["logit_scale"] = jnp.asarray(0.0)
+    # timm_proj='none': converter installs the identity head
+    assert np.allclose(np.asarray(params["visual"]["head"]["kernel"]), np.eye(768))
+    assert "norm_pre" not in params["visual"]  # timm naflexvit has no pre-norm
+
+    n = grid[0] * grid[1]
+    rng = np.random.default_rng(3)
+    patches = (rng.standard_normal((2, n, 768)) * 0.5).astype(np.float32)
+    ys, xs = np.meshgrid(np.arange(grid[0]), np.arange(grid[1]), indexing="ij")
+    coords = np.broadcast_to(
+        np.stack([ys.reshape(-1), xs.reshape(-1)], -1), (2, n, 2)).astype(np.int32)
+    batch = {
+        "patches": jnp.asarray(patches),
+        "patch_coord": jnp.asarray(coords),
+        "patch_valid": jnp.ones((2, n), bool),
+    }
+    with torch.no_grad():
+        ref = trunk(torch.from_numpy(patches)).numpy()
+    got = np.asarray(encode_image(params, cfg, batch))
+    cos = (ref * got).sum(-1) / (np.linalg.norm(ref, axis=-1) * np.linalg.norm(got, axis=-1))
+    assert cos.min() > 1 - 1e-5, cos
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
