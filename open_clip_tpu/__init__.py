@@ -28,7 +28,8 @@ from .factory import (
     get_tokenizer,
     load_checkpoint,
 )
-from .loss import ClipLoss, CoCaLoss, DistillClipLoss, SigLipLoss, create_loss
+from .config import CLIPAudioCfg
+from .loss import ClipLoss, CoCaLoss, DistillClipLoss, GenLipLoss, SigLipLoss, create_loss
 from .models.clip import (
     CLIPModel,
     clamp_logit_scale,
@@ -73,8 +74,23 @@ from .zero_shot_metadata import (
     SIMPLE_IMAGENET_TEMPLATES,
 )
 
+# Reference model-class names (reference __init__.py:3-5,28): in this functional
+# design the CLIPModel facade serves CoCa and CLAP configs (dispatch happens on the
+# model config), and GenLIP/GenLAP have dedicated facades.
+from .models.genlip import GenLipModel as NaFlexGenLip
+from .models.genlap import GenLapModel as NaFlexGenLap
+
+CoCa = CLIPModel
+CLAP = CLIPModel
+
 __all__ = [
     "__version__",
+    "GenLipLoss",
+    "CLIPAudioCfg",
+    "NaFlexGenLip",
+    "NaFlexGenLap",
+    "CoCa",
+    "CLAP",
     "CLIPModelCfg",
     "CLIPTextCfg",
     "CLIPVisionCfg",

@@ -375,6 +375,27 @@ class DistillClipLoss(ClipLoss):
         return closs, dloss
 
 
+class GenLipLoss:
+    """Pure autoregressive LM loss for GenLIP (reference loss.py:542-561): next-token
+    cross-entropy over already-shifted caption logits/labels, ``ignore_index`` masking
+    image-prefix and padding positions. Training prefers the model's built-in fused
+    path (ops/fused_ce.py, no full-vocab logits); this is the standalone
+    logits-based variant."""
+
+    def __init__(self, ignore_index: int = -100):
+        self.ignore_index = ignore_index
+
+    def __call__(self, logits, labels, output_dict: bool = False):
+        logits = logits.reshape(-1, logits.shape[-1]).astype(jnp.float32)
+        labels = labels.reshape(-1)
+        keep = labels != self.ignore_index
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        tok = jnp.take_along_axis(
+            lp, jnp.clip(labels, 0)[:, None].astype(jnp.int32), axis=-1)[:, 0]
+        loss = -(tok * keep).sum() / jnp.clip(keep.sum(), 1, None)
+        return {"caption_loss": loss} if output_dict else loss
+
+
 def create_loss(args) -> Any:
     """Loss factory keyed on task/model flags (reference factory.py:930-972).
     ``args`` can be an argparse.Namespace or dict with the reference's flag names."""
