@@ -306,6 +306,17 @@ class GenLapModel:
         audio = {k: jnp.asarray(v) for k, v in audio.items()}
         return prefix_cache(self.params, self.cfg, audio, compute_dtype=self.compute_dtype)
 
+    def generate(self, audio, **kw):
+        """Caption audio clips: KV-cached incremental decode against the audio
+        prefix (superset — the reference exposes generation only for CoCa). Same
+        sampler surface as genlip.generate_cached (greedy/top_k/top_p)."""
+        from .genlip import generate_cached
+
+        audio = {k: jnp.asarray(v) for k, v in audio.items()}
+        cache = prefix_cache(self.params, self.cfg, audio, compute_dtype=self.compute_dtype)
+        return generate_cached(self.params, self.cfg, audio,
+                               compute_dtype=self.compute_dtype, cache=cache, **kw)
+
     def score_captions(self, cache, text, text_valid=None):
         """Length-normalized log P(caption | cached audio prefix), (B,)."""
         from .genlip import score_captions

@@ -693,12 +693,16 @@ def generate_cached(
     top_k: int = 1,
     top_p: float = 0.1,
     compute_dtype=jnp.float32,
+    cache: Optional[Dict[str, jax.Array]] = None,
 ) -> jax.Array:
     """KV-cached incremental decode: the image prefix runs through the trunk ONCE
     (prefix_cache) and each step processes a single text position against the cached
     prefix + text K/V. O(T·(Ni+T)·D) attention vs the uncached loop's
     O(T·(Ni+T)²·D) — token-for-token identical to ``generate`` (greedy), tested.
-    The reference has no cache at all (generation.py:27 forces it off)."""
+    The reference has no cache at all (generation.py:27 forces it off).
+
+    Pass a prebuilt ``cache`` (e.g. genlap.prefix_cache for an audio prefix) to decode
+    against a non-image prefix; ``image`` is then only read for the batch size."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     tc, t = cfg.text_cfg, cfg.trunk_cfg
@@ -706,7 +710,8 @@ def generate_cached(
     heads = t.num_heads
     hd = t.width // heads
 
-    cache = prefix_cache(params, cfg, image, compute_dtype=compute_dtype)
+    if cache is None:
+        cache = prefix_cache(params, cfg, image, compute_dtype=compute_dtype)
     pv = cache["patch_valid"]
     ni = pv.shape[1]
 

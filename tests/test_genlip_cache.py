@@ -124,6 +124,46 @@ def test_genlap_cached_scoring_matches_joint(name):
     np.testing.assert_allclose(cached, direct, rtol=1e-4, atol=1e-4)
 
 
+def test_genlap_cached_generate_matches_joint_loop():
+    """GenLAP audio captioning (cached decode) must match a step-by-step greedy loop
+    over the joint forward."""
+    from open_clip_tpu.models import genlap as GL
+
+    raw = oct.get_model_config("naflexgenlap_test_2d")
+    cfg = GL.GenLapModelCfg.from_dict(raw)
+    params = GL.init_genlap(jax.random.PRNGKey(1), cfg)
+    model = GL.GenLapModel(cfg, params)
+    rng = np.random.default_rng(11)
+    ni = 10
+    freq_tokens = max(cfg.audio_cfg.freq_tokens, 1)
+    coord = np.stack([np.arange(ni) % freq_tokens, np.arange(ni) // freq_tokens],
+                     axis=-1).astype(np.int32)
+    audio = {
+        "patches": (rng.normal(size=(2, ni, cfg.audio_cfg.patch_dim)) * 0.1).astype(np.float32),
+        "patch_coord": np.broadcast_to(coord, (2, ni, 2)).copy(),
+        "patch_valid": np.broadcast_to(np.arange(ni) < 8, (2, ni)).copy(),
+    }
+    tc = cfg.text_cfg
+    T = 6
+    fast = np.asarray(model.generate(audio, seq_len=T, min_seq_len=1))
+
+    # greedy oracle: re-run the joint forward each step
+    ids = np.full((2, T), tc.pad_id, np.int32)
+    ids[:, 0] = tc.bos_id
+    done = np.zeros(2, bool)
+    for t in range(1, T):
+        tv = (np.arange(T) < t)[None].repeat(2, 0)
+        out = GL.genlap_forward(params, cfg, {k: jnp.asarray(v) for k, v in audio.items()},
+                                jnp.asarray(ids), text_valid=jnp.asarray(tv))
+        nia = out["audio_seq_len"]
+        logits = np.asarray(out["logits"])[:, nia + t - 1].astype(np.float64)
+        nxt = logits.argmax(-1)
+        nxt = np.where(done, tc.pad_id, nxt).astype(np.int32)
+        ids[:, t] = nxt
+        done |= nxt == tc.eos_id
+    np.testing.assert_array_equal(fast, ids)
+
+
 def test_cached_scoring_batched_images(model):
     """One cache row per caption row (Bc == B) also matches."""
     cfg, params = model
