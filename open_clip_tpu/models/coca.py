@@ -213,6 +213,12 @@ def _cached_self_block(p, x, k_cache, v_cache, t_i, *, heads, act, eps):
     a K/V cache; returns (x, k_own, v_own) — caller writes own K/V into the buffer."""
     from ..ops.layers import ACT_FNS, linear
 
+    exotic = {"logit_scale", "head_scale", "ln_inner"} & set(p["attn"])
+    if exotic:
+        raise NotImplementedError(
+            f"cached decode does not implement {sorted(exotic)} attention variants; "
+            "generate(..., kv_cache=False) still works")
+
     h = layer_norm(x, p["ln_1"]["scale"], p["ln_1"]["bias"], eps=eps)
     q, k_own, v_own = _qkv_single(p["attn"], h, heads, eps)
     out = _attend_cached(q, k_cache, v_cache, k_own, v_own, t_i)

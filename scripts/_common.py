@@ -67,8 +67,9 @@ def load_trained_weights(model, path: str, use_ema: bool = False) -> None:
 
         tree = load_native(path)
         if isinstance(tree, dict) and ("params" in tree or "ema_params" in tree):
-            if use_ema and tree.get("ema_params") is not None:
-                tree = tree["ema_params"]
+            ema = tree.get("ema_params")
+            if use_ema and ema:  # None / empty node when the run had no EMA
+                tree = ema
             else:
                 tree = tree["params"]
         model.params = jax.tree.map(jnp.asarray, tree)
