@@ -84,3 +84,35 @@ def test_merge_params_unexpected_keys_strict():
     # unexpected keys are dropped, never grow the tree
     assert set(merged["a"]) == {"kernel"}
     np.testing.assert_array_equal(np.asarray(merged["a"]["kernel"]), np.ones((2, 2)))
+
+
+def test_preprocess_override_flags_reach_transforms():
+    """--image-mean/--image-std/--image-interpolation/--image-resize-mode
+    (reference params.py:444-458) flow through create_model_and_transforms."""
+    import open_clip_tpu as oct
+
+    if "tiny-ppov-vit" not in oct.list_models():
+        oct.add_model_config({
+            "embed_dim": 16,
+            "vision_cfg": {"image_size": 32, "layers": 1, "width": 32, "patch_size": 16,
+                           "head_width": 16},
+            "text_cfg": {"context_length": 8, "vocab_size": 64, "width": 16, "heads": 2,
+                         "layers": 1},
+        }, name="tiny-ppov-vit")
+    _, _, tv = oct.create_model_and_transforms(
+        "tiny-ppov-vit", load_weights=False,
+        image_mean=(0.5, 0.5, 0.5), image_std=(0.25, 0.25, 0.25),
+        image_interpolation="bilinear", image_resize_mode="squash")
+    assert tuple(tv.cfg.mean) == (0.5, 0.5, 0.5)
+    assert tuple(tv.cfg.std) == (0.25, 0.25, 0.25)
+    assert tv.cfg.interpolation == "bilinear"
+    assert tv.cfg.resize_mode == "squash"
+
+    from open_clip_tpu.train.params import parse_args
+
+    args = parse_args(["--model", "tiny-ppov-vit", "--image-mean", "0.5", "0.5", "0.5",
+                       "--image-std", "0.25", "0.25", "0.25",
+                       "--image-interpolation", "bilinear",
+                       "--image-resize-mode", "squash"])
+    assert args.image_mean == [0.5, 0.5, 0.5]
+    assert args.image_resize_mode == "squash"
