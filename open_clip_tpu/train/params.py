@@ -161,7 +161,8 @@ def parse_args(args=None):
     parser.add_argument("--accum-freq", type=int, default=1)
     parser.add_argument("--grad-clip-norm", type=float, default=None)
     parser.add_argument("--layer-decay", type=float, default=None)
-    parser.add_argument("--image-layer-decay", type=float, default=None,
+    parser.add_argument("--image-layer-decay", "--visual-layer-decay",
+                        dest="image_layer_decay", type=float, default=None,
                         help="per-tower LLRD override (falls back to --layer-decay)")
     parser.add_argument("--text-layer-decay", type=float, default=None)
     parser.add_argument("--opt-kwargs", nargs="*", action=ParseKwargs, default={})
