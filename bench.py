@@ -65,14 +65,20 @@ def _require_device(timeout_s: int = 240):
     return out["devices"]
 
 
-def _train_step(cfg, loss_type="clip", remat=True):
+def _train_step(cfg, loss_type="clip", remat=True, policy="none", unroll=1):
     import jax.numpy as jnp
 
+    from open_clip_tpu.models import blocks
     from open_clip_tpu.train.optim import OptimizerCfg, create_optimizer
     from open_clip_tpu.train.scheduler import const_lr
     from open_clip_tpu.train.train_step import create_train_state, jit_train_step, make_train_step
     from open_clip_tpu.models.clip import init_clip
     import jax
+
+    # set the remat/unroll globals explicitly per entry so suite runs are
+    # order-independent (an earlier entry's policy must not leak into this one)
+    blocks.REMAT_POLICY = policy
+    blocks.SCAN_UNROLL = unroll
 
     params = init_clip(jax.random.PRNGKey(0), cfg)
     opt = create_optimizer(OptimizerCfg(lr=5e-4, wd=0.2, grad_clip_norm=1.0), params, const_lr(5e-4, 0))
@@ -136,12 +142,13 @@ def bench_flagship(bs=None):
     from open_clip_tpu.config import parse_model_cfg
     from open_clip_tpu.models import blocks
 
-    blocks.SCAN_UNROLL = 2  # sweep result: unroll 2 edges out 1
+    # selective remat ("names": save tagged block-matmul inputs) at batch 256/chip:
+    # the round-3 sweep frontier winner (~1900 vs 1827 full-remat / 1585 batch-1024;
+    # scripts/bench_sweep.py: names plateaus 1874-1912 across batch 128-256, full
+    # remat 1810-1827, dots 1859-1888, no-remat compiler-OOMs at 256). Batch 256 is
+    # also the reference recipe's per-device batch (32768 global / 128 GPUs).
     cfg = parse_model_cfg("ViT-B-32")
-    state, step = _train_step(cfg)
-    # batch 256/chip: the round-3 remat/batch sweep frontier winner (1810 vs 1585
-    # img/s at 1024; scripts/bench_sweep.py + docs/ROUND3.md), and exactly the
-    # reference recipe's per-device batch (32768 global / 128 GPUs)
+    state, step = _train_step(cfg, policy="names")
     bs = bs or 256
     batch = _image_text_batch(jnp, bs, 224, 77, 49408)
     dt = _run_steps(state, step, batch, iters=20)
@@ -150,10 +157,14 @@ def bench_flagship(bs=None):
     return {
         "metric": "vit_b32_clip_train_images_per_sec_per_chip",
         "value": round(img_per_sec, 1),
-        "unit": "images/sec/chip (bf16, batch 256/chip as in the reference 32k/128-GPU recipe, incl. text tower + optimizer)",
+        "unit": "images/sec/chip (bf16, batch 256/chip as in the reference 32k/128-GPU recipe, "
+                "selective remat, incl. text tower + optimizer)",
         "vs_baseline": round(img_per_sec / A100_ANCHOR_IMG_PER_SEC, 3),
         "mfu": round(gflops * 3 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
-        "hfu": round(gflops * 4 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
+        # hardware busy-ness: selective remat recomputes less than a full forward,
+        # so the honest HFU multiplier sits in (3, 4); 4x (full-remat convention)
+        # is reported as an upper bound
+        "hfu_upper_bound": round(gflops * 4 * bs / dt / 1e3 / V5E_PEAK_TFLOPS, 3),
     }
 
 
@@ -536,7 +547,8 @@ def bench_input_pipeline():
     def _prog(msg):
         print(f"# input_pipeline: {msg}", file=_sys.stderr, flush=True)
 
-    blocks.SCAN_UNROLL = 2
+    blocks.REMAT_POLICY = "names"  # flagship frontier config (see bench_flagship)
+    blocks.SCAN_UNROLL = 1
     urls = _make_bench_shards("/root/repo/.bench_data", n_shards=8)
     _prog("shards ready")
     cfg = parse_model_cfg("ViT-B-32")

@@ -403,6 +403,11 @@ def main(args=None):
 
                 start_epoch = int(broadcast_scalar_from_primary(start_epoch))
 
+        from ..models import blocks
+
+        blocks.REMAT_POLICY = args.remat_policy
+        blocks.SCAN_UNROLL = args.scan_unroll
+
         # loss/family dispatch (reference create_task, factory.py:975: every model
         # family — incl. GenLIP/GenLAP — is trainable from the CLI)
         if args.distill_model:

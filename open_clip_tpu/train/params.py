@@ -181,6 +181,16 @@ def parse_args(args=None):
     parser.add_argument("--precision", type=str, default="amp_bf16",
                         choices=["amp", "amp_bf16", "bf16", "pure_bf16", "fp16", "fp32"])
     parser.add_argument("--grad-checkpointing", action="store_true", default=False)
+    parser.add_argument("--remat-policy", type=str, default="none",
+                        choices=["none", "names", "dots", "dots_no_batch"],
+                        help="what jax.checkpoint saves under --grad-checkpointing: "
+                             "'none' = full remat (save nothing; lowest memory), "
+                             "'names' = save tagged block-matmul inputs (the ViT-B-32 "
+                             "frontier winner on v5e: ~4%% faster than full remat at "
+                             "batch 256, scripts/bench_sweep.py), 'dots'/'dots_no_batch' "
+                             "= XLA dot-output policies (highest memory)")
+    parser.add_argument("--scan-unroll", type=int, default=1,
+                        help="lax.scan unroll factor for the stacked transformer blocks")
 
     # mesh / parallelism (TPU equivalents of --ddp/--fsdp flags)
     parser.add_argument("--mesh-data", type=int, default=-1, help="data-parallel axis size (-1: all devices)")

@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_one(model: str, loss: str, ctx: int, vocab: int, batch_size: int,
-            unroll: int, iters: int) -> float:
+            unroll: int, iters: int, policy: str = "none") -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -36,6 +36,7 @@ def run_one(model: str, loss: str, ctx: int, vocab: int, batch_size: int,
     from open_clip_tpu.train.train_step import create_train_state, jit_train_step, make_train_step
 
     blocks.SCAN_UNROLL = unroll
+    blocks.REMAT_POLICY = policy
     cfg = parse_model_cfg(model)
     params = init_clip(jax.random.PRNGKey(0), cfg)
     opt = create_optimizer(OptimizerCfg(lr=5e-4, wd=0.2, grad_clip_norm=1.0), params, const_lr(5e-4, 0))
@@ -68,7 +69,8 @@ if __name__ == "__main__":
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    kw = {"model": "ViT-L-14", "loss": "clip", "ctx": 77, "vocab": 49408, "iters": 5}
+    kw = {"model": "ViT-L-14", "loss": "clip", "ctx": 77, "vocab": 49408, "iters": 5,
+          "policy": "none"}
     combos = []
     for arg in sys.argv[1:]:
         if "=" in arg:
@@ -98,8 +100,10 @@ if __name__ == "__main__":
         bs, unroll = (combo.split(":") + ["1"])[:2]
         t0 = time.perf_counter()
         try:
-            ips = run_one(kw["model"], kw["loss"], kw["ctx"], kw["vocab"], int(bs), int(unroll), kw["iters"])
-            print(json.dumps({"model": kw["model"], "batch": int(bs), "unroll": int(unroll),
+            ips = run_one(kw["model"], kw["loss"], kw["ctx"], kw["vocab"], int(bs), int(unroll),
+                          kw["iters"], kw["policy"])
+            print(json.dumps({"model": kw["model"], "policy": kw["policy"],
+                              "batch": int(bs), "unroll": int(unroll),
                               "img_per_sec": round(ips, 1),
                               "wall_incl_compile_s": round(time.perf_counter() - t0, 1)}), flush=True)
         except Exception as e:  # noqa: BLE001 — keep sweeping past compiler OOMs

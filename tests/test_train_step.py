@@ -390,3 +390,47 @@ def test_distill_accum_matches_simple(tiny, rng):
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-5)
     for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+@pytest.mark.parametrize("policy", ["names", "dots"])
+def test_remat_policy_matches_full_remat(tiny, rng, policy):
+    """Selective remat policies change what the backward saves, never the math:
+    the updated weights must match full remat exactly. The 'names' policy is the
+    flagship bench frontier config (scripts/bench_sweep.py, docs/ROUND3.md)."""
+    from open_clip_tpu.models import blocks
+
+    cfg, params = tiny
+    batch = _batch(rng, n=8)
+    key = jax.random.PRNGKey(3)
+    prev = blocks.REMAT_POLICY
+    try:
+        blocks.REMAT_POLICY = "none"
+        opt = _optimizer(params)
+        s_full = create_train_state(params, opt)
+        s_full, m_full = make_train_step(cfg, opt, compute_dtype=jnp.float32,
+                                         remat=True)(s_full, batch, key)
+
+        blocks.REMAT_POLICY = policy
+        opt = _optimizer(params)
+        s_sel = create_train_state(params, opt)
+        s_sel, m_sel = make_train_step(cfg, opt, compute_dtype=jnp.float32,
+                                       remat=True)(s_sel, batch, key)
+    finally:
+        blocks.REMAT_POLICY = prev
+
+    np.testing.assert_allclose(float(m_full["loss"]), float(m_sel["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_full.params),
+                    jax.tree_util.tree_leaves(s_sel.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_remat_policy_cli_flag():
+    """--remat-policy/--scan-unroll parse and are applied by main before the step
+    is built (reference --grad-checkpointing, params.py:183 — the policy knob is a
+    TPU-native extension)."""
+    from open_clip_tpu.train.params import parse_args
+
+    args = parse_args(["--train-data", "x", "--remat-policy", "names", "--scan-unroll", "2"])
+    assert args.remat_policy == "names" and args.scan_unroll == 2
+    args = parse_args(["--train-data", "x"])
+    assert args.remat_policy == "none" and args.scan_unroll == 1
