@@ -16,6 +16,7 @@ counts the remat re-forward (4x fwd) and so reflects hardware busy-ness, not mod
 """
 
 import json
+import os
 import sys
 import time
 
@@ -76,8 +77,9 @@ def _train_step(cfg, loss_type="clip", remat=True, policy="none", unroll=1):
     import jax
 
     # set the remat/unroll globals explicitly per entry so suite runs are
-    # order-independent (an earlier entry's policy must not leak into this one)
-    blocks.REMAT_POLICY = policy
+    # order-independent (an earlier entry's policy must not leak into this one);
+    # OCT_BENCH_REMAT_POLICY overrides for frontier probing (scripts/bench_frontier.py)
+    blocks.REMAT_POLICY = os.environ.get("OCT_BENCH_REMAT_POLICY", policy)
     blocks.SCAN_UNROLL = unroll
 
     params = init_clip(jax.random.PRNGKey(0), cfg)
@@ -175,9 +177,10 @@ def bench_vit_l14(bs=None):
     from open_clip_tpu.config import parse_model_cfg
 
     cfg = parse_model_cfg("ViT-L-14")
-    state, step = _train_step(cfg)
     # batch 64/chip: round-3 frontier probe winner (171 vs 166 img/s at 256;
-    # scripts/bench_frontier.py — 32:162, 64:171, 96:169, 128:168, 256:166, 512 OOM)
+    # scripts/bench_frontier.py — 32:162, 64:171, 96:169, 128:168, 256:166, 512 OOM);
+    # selective remat adds +4.4% (181 vs 173 img/s; 96 OOMs under names)
+    state, step = _train_step(cfg, policy="names")
     bs = bs or 64
     batch = _image_text_batch(jnp, bs, 224, 77, 49408)
     dt = _run_steps(state, step, batch, iters=10)
@@ -202,6 +205,10 @@ def bench_vit_h14(bs=None):
     from open_clip_tpu.train.scheduler import const_lr
     from open_clip_tpu.train.train_step import create_train_state, jit_train_step, make_train_step
 
+    from open_clip_tpu.models import blocks
+
+    blocks.REMAT_POLICY = os.environ.get("OCT_BENCH_REMAT_POLICY", "none")
+    blocks.SCAN_UNROLL = 1
     cfg = parse_model_cfg("ViT-H-14")
     # 986M params cannot carry fp32 params + fp32 AdamW m/v + fp32 grads on a 16G
     # chip (measured: the fp32-AdamW step OOMs at compile while an SGD step runs).
@@ -315,6 +322,10 @@ def bench_genlip(bs=None):
     from open_clip_tpu.train.scheduler import const_lr
     from open_clip_tpu.train.train_step import create_train_state, jit_train_step, make_train_step
 
+    from open_clip_tpu.models import blocks
+
+    blocks.REMAT_POLICY = os.environ.get("OCT_BENCH_REMAT_POLICY", "none")
+    blocks.SCAN_UNROLL = 1
     m = create_model("naflexgenlip_b16", load_weights=False)
     cfg, params = m.cfg, m.params
     opt = create_optimizer(OptimizerCfg(lr=1e-4, wd=0.1, grad_clip_norm=1.0),
