@@ -546,13 +546,18 @@ def device_prefetch(iterable: Iterable, depth: int = 2, sharding=None) -> "Prefe
     thread only dispatches compiled steps on already-device-resident batches
     (overlaps host decode AND transfer with the device step; the uint8 tier keeps
     the copied bytes 4x smaller than float32). ``sharding`` places batches directly
-    onto a mesh sharding (avoids a second on-device reshard under SPMD)."""
+    onto a mesh sharding (avoids a second on-device reshard under SPMD). Under
+    multi-process (a real pod) each host's local batch is its rank's slice of the
+    global batch, assembled via ``put_global_batch`` →
+    ``jax.make_array_from_process_local_data`` (``device_put`` onto a sharding
+    spanning non-addressable devices is invalid there)."""
     import jax
 
+    from ..parallel.mesh import put_global_batch
+
     def to_device(batch):
-        return jax.tree.map(
-            lambda a: jax.device_put(a, sharding) if sharding is not None else jax.device_put(a),
-            batch,
-        )
+        if sharding is None:
+            return jax.tree.map(jax.device_put, batch)
+        return put_global_batch(batch, sharding)
 
     return PrefetchIterator(iterable, depth=depth, transfer=to_device)

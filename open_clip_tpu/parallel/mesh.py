@@ -165,10 +165,32 @@ def place_on_mesh(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(fix, tree)
 
 
+def put_global_batch(batch: Any, sharding: NamedSharding) -> Any:
+    """Place a process-local host batch as a global array on ``sharding``.
+
+    Single-process: a plain ``device_put`` (the sharding's devices are all
+    addressable). Multi-process (a real pod): ``device_put`` onto a sharding that
+    spans non-addressable devices is invalid — each host only holds its rank's
+    slice of the global batch, so the global array must be assembled with
+    ``jax.make_array_from_process_local_data``, which stitches the per-process
+    slices into one global jax.Array without any cross-host transfer. This is the
+    TPU-native analogue of the reference's rank-split sampler contract
+    (reference src/open_clip_train/data.py:694-948): every process feeds its own
+    shard and the mesh sees the concatenated global batch.
+    """
+    if jax.process_count() > 1:
+        import numpy as _np
+
+        return jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(sharding, _np.asarray(a)),
+            batch,
+        )
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Place a host batch with the leading axis split over the data axis."""
-    s = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    return put_global_batch(batch, NamedSharding(mesh, P(DATA_AXIS)))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
