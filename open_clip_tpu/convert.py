@@ -494,6 +494,37 @@ def torch_clip_to_params(sd: Mapping[str, Any], cfg: Optional[CLIPModelCfg] = No
         rest = torch_clip_to_params(rest_sd, cfg) if rest_sd else {}
         rest["visual"] = tree
         return rest
+    if any(k.startswith("visual.trunk.layers.") and ".attn.relative_position_bias_table" in k
+           for k in sd):
+        # timm Swin trunk (reference timm_model.py:25 with swin_* configs)
+        from .models.swin import torch_swin_to_params
+
+        assert cfg is not None, "swin conversion needs the model cfg"
+        trunk_sd = {k[len("visual.trunk."):]: v for k, v in sd.items()
+                    if k.startswith("visual.trunk.")}
+        for hk in ("head.proj.weight", "head.proj.bias"):
+            if "visual." + hk in sd:  # TimmModel adapter projection
+                trunk_sd[hk] = sd["visual." + hk]
+        tree = torch_swin_to_params(trunk_sd, cfg.vision_cfg)
+        rest_sd = {k: v for k, v in sd.items() if not k.startswith("visual.")}
+        rest = torch_clip_to_params(rest_sd, cfg) if rest_sd else {}
+        rest["visual"] = tree
+        return rest
+    if any(k.startswith("visual.trunk.blocks.") and ".attn.rel_pos.mlp." in k for k in sd):
+        # timm relpos-ViT trunk — must dispatch before the generic timm-ViT branch
+        from .models.relpos_vit import torch_relpos_to_params
+
+        assert cfg is not None, "relpos-ViT conversion needs the model cfg"
+        trunk_sd = {k[len("visual.trunk."):]: v for k, v in sd.items()
+                    if k.startswith("visual.trunk.")}
+        for hk in ("head.proj.weight", "head.proj.bias"):
+            if "visual." + hk in sd:
+                trunk_sd[hk] = sd["visual." + hk]
+        tree = torch_relpos_to_params(trunk_sd, cfg.vision_cfg)
+        rest_sd = {k: v for k, v in sd.items() if not k.startswith("visual.")}
+        rest = torch_clip_to_params(rest_sd, cfg) if rest_sd else {}
+        rest["visual"] = tree
+        return rest
     if any(k.startswith("visual.trunk.blocks.") for k in sd):
         if cfg is not None and cfg.vision_cfg is not None:
             from .models.eva import is_eva, timm_eva_to_params

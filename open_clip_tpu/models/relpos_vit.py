@@ -113,9 +113,11 @@ def init_relpos_vit(key, vision_cfg: CLIPVisionCfg, embed_dim: int) -> Dict[str,
 def _rel_bias(attn_p, coords: jax.Array, heads: int, num_prefix: int) -> jax.Array:
     """(heads, P+N, P+N) bias: MLP(log-coords) for patch pairs, zero for the class
     token's row/column (timm RelPosMlp mode='cls')."""
-    h = linear(coords, attn_p["rel_mlp"]["fc1"]["kernel"], attn_p["rel_mlp"]["fc1"]["bias"])
+    h = linear(coords, attn_p["rel_mlp"]["fc1"]["kernel"], attn_p["rel_mlp"]["fc1"].get("bias"))
     h = jax.nn.relu(h)
-    bias = linear(h, attn_p["rel_mlp"]["fc2"]["kernel"], attn_p["rel_mlp"]["fc2"]["bias"])
+    # timm RelPosMlp builds its Mlp with bias=(True, False): fc2 has no bias in
+    # real checkpoints (seed-inits here carry a zero bias, which is equivalent)
+    bias = linear(h, attn_p["rel_mlp"]["fc2"]["kernel"], attn_p["rel_mlp"]["fc2"].get("bias"))
     bias = bias.transpose(2, 0, 1)  # (heads, N, N)
     if num_prefix:
         n = bias.shape[-1]
@@ -181,4 +183,67 @@ def apply_relpos_vit(
         x = body(bp, x)
     x = layer_norm(x, params["norm"]["scale"], params["norm"]["bias"])
     pooled = x[:, 0] if num_prefix else x.mean(axis=1)  # '_cls' variant pools the token
-    return jnp.dot(pooled, params["head"]["proj"]["kernel"].astype(pooled.dtype))
+    out = jnp.dot(pooled, params["head"]["proj"]["kernel"].astype(pooled.dtype))
+    if "bias" in params["head"]["proj"]:
+        out = out + params["head"]["proj"]["bias"].astype(out.dtype)
+    return out
+
+
+def torch_relpos_to_params(sd: Dict[str, Any], vision_cfg: CLIPVisionCfg) -> Dict[str, Any]:
+    """timm relpos-ViT trunk state dict -> native param tree.
+
+    Key layout per timm ``vision_transformer_relpos.py`` (the reference serves
+    this tower via ``src/open_clip/timm_model.py:25``): ``patch_embed.proj``,
+    ``cls_token``, ``blocks.{i}.{norm1,attn.qkv,attn.rel_pos.mlp.fc1/fc2,
+    attn.proj,norm2,mlp.fc1/fc2}``, top-level ``norm``; the open_clip TimmModel
+    adapter projection arrives as ``head.proj`` (``visual.head.proj.weight``,
+    bias-free for the registry config's ``timm_proj='linear'``/
+    ``proj_bias=False``). Buffers (``rel_coords_log``,
+    ``relative_position_index``) are recomputed natively and skipped here.
+    qkv / rel-MLP fc2 biases are optional (timm relpos variants use
+    ``qkv_bias=False`` and ``Mlp(bias=(True, False))``).
+    """
+    rc = _cfg(vision_cfg)
+
+    def t(v):
+        return jnp.asarray(np.asarray(v))
+
+    def lin(prefix: str) -> Dict[str, Any]:
+        out = {"kernel": t(sd[prefix + ".weight"]).T}
+        if prefix + ".bias" in sd:
+            out["bias"] = t(sd[prefix + ".bias"])
+        return out
+
+    def ln(prefix: str) -> Dict[str, Any]:
+        return {"scale": t(sd[prefix + ".weight"]), "bias": t(sd[prefix + ".bias"])}
+
+    p: Dict[str, Any] = {
+        "patch_embed": {
+            "proj": {"kernel": t(sd["patch_embed.proj.weight"]).transpose(2, 3, 1, 0),
+                     "bias": t(sd["patch_embed.proj.bias"])},
+        },
+        "blocks": [],
+        "norm": ln("norm") if "norm.weight" in sd else ln("fc_norm"),
+    }
+    if "cls_token" in sd:
+        p["cls_token"] = t(sd["cls_token"]).reshape(-1)
+    for i in range(rc["depth"]):
+        b = f"blocks.{i}"
+        p["blocks"].append({
+            "norm1": ln(f"{b}.norm1"),
+            "attn": {
+                "qkv": lin(f"{b}.attn.qkv"),
+                "proj": lin(f"{b}.attn.proj"),
+                "rel_mlp": {
+                    "fc1": lin(f"{b}.attn.rel_pos.mlp.fc1"),
+                    "fc2": lin(f"{b}.attn.rel_pos.mlp.fc2"),
+                },
+            },
+            "norm2": ln(f"{b}.norm2"),
+            "mlp": {"fc1": lin(f"{b}.mlp.fc1"), "fc2": lin(f"{b}.mlp.fc2")},
+        })
+    if "head.proj.weight" in sd:
+        p["head"] = {"proj": lin("head.proj")}
+    elif "head.weight" in sd:  # trunk classifier head as projection (timm_proj none)
+        p["head"] = {"proj": lin("head")}
+    return p

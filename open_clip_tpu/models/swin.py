@@ -145,8 +145,24 @@ def apply_swin(
 
 
 def torch_swin_to_params(sd: Dict[str, Any], vision_cfg: CLIPVisionCfg) -> Dict[str, Any]:
-    """timm Swin state dict (visual tower slice) -> native param tree."""
+    """timm Swin state dict (visual tower slice) -> native param tree.
+
+    Handles both patch-merging placements: the original / old-timm layout keeps
+    ``layers.{i}.downsample`` at the END of stage ``i`` (exactly the native
+    layout), while current timm's ``SwinTransformerStage`` applies it at the
+    stage INPUT, so checkpoint keys shift by one (``layers.{i+1}.downsample``
+    holds the merge that ends stage ``i``). Both norm-then-reduction orders and
+    weight shapes are identical, only the key index differs. Buffers
+    (``attn.relative_position_index``, ``attn_mask``) are recomputed natively
+    and skipped. The open_clip TimmModel adapter projection arrives as
+    ``head.proj`` (bias-free for the registry config's ``timm_proj='linear'``/
+    ``proj_bias=False``); a trunk classifier head (``head.fc``,
+    ``timm_proj='none'``) is accepted too.
+    """
     sc = _cfg(vision_cfg)
+    # current-timm layout: merge that ends stage i is stored on stage i+1
+    new_layout = ("layers.1.downsample.reduction.weight" in sd
+                  and "layers.0.downsample.reduction.weight" not in sd)
 
     def t(v):
         return jnp.asarray(np.asarray(v))
@@ -183,14 +199,18 @@ def torch_swin_to_params(sd: Dict[str, Any], vision_cfg: CLIPVisionCfg) -> Dict[
                             "bias": t(sd[bpre + "mlp.fc2.bias"])},
                 },
             })
-        if f"{pre}downsample.reduction.weight" in sd:
+        ds = f"layers.{li + 1}.downsample." if new_layout else f"{pre}downsample."
+        if f"{ds}reduction.weight" in sd:
             layer["downsample"] = {
-                "norm": {"scale": t(sd[pre + "downsample.norm.weight"]),
-                         "bias": t(sd[pre + "downsample.norm.bias"])},
-                "reduction": {"kernel": t(sd[pre + "downsample.reduction.weight"]).T},
+                "norm": {"scale": t(sd[ds + "norm.weight"]),
+                         "bias": t(sd[ds + "norm.bias"])},
+                "reduction": {"kernel": t(sd[ds + "reduction.weight"]).T},
             }
         p["layers"].append(layer)
-    if "head.proj.weight" in sd:
-        p["head"] = {"proj": {"kernel": t(sd["head.proj.weight"]).T,
-                              "bias": t(sd.get("head.proj.bias", np.zeros(1)))}}
+    head_key = "head.proj" if "head.proj.weight" in sd else (
+        "head.fc" if "head.fc.weight" in sd else None)
+    if head_key is not None:
+        p["head"] = {"proj": {"kernel": t(sd[head_key + ".weight"]).T}}
+        if head_key + ".bias" in sd:
+            p["head"]["proj"]["bias"] = t(sd[head_key + ".bias"])
     return p
