@@ -53,6 +53,8 @@ class CsvDataset:
         shuffle: bool = False,
         seed: int = 0,
         partial_batches: bool = False,
+        world_size: int = 1,
+        rank: int = 0,
     ):
         with open(input_filename, newline="") as fh:
             reader = csv.DictReader(fh, delimiter=sep)
@@ -60,6 +62,8 @@ class CsvDataset:
         if not rows:
             raise ValueError(f"no rows in {input_filename}")
         self.rows = rows
+        self.world_size = max(1, world_size)
+        self.rank = rank
         self.root = os.path.dirname(os.path.abspath(input_filename))
         self.preprocess = preprocess
         self.tokenizer = tokenizer
@@ -80,29 +84,43 @@ class CsvDataset:
 
         order = list(range(len(self.rows)))
         if self.shuffle:
+            # train: rank split AFTER the (seed-shared) shuffle — every rank
+            # agrees on the permutation and takes a disjoint stride slice,
+            # DistributedSampler semantics (reference data.py:1004-1010)
             random.Random(self.seed + self.epoch).shuffle(order)
-        images: List[np.ndarray] = []
-        captions: List[str] = []
-        for i in order:
-            path, caption = self.rows[i]
-            if not os.path.isabs(path):
-                path = os.path.join(self.root, path)
-            with Image.open(path) as img:
-                images.append(self.preprocess(img.convert("RGB")))
-            captions.append(caption)
-            if len(images) == self.batch_size:
-                yield {
-                    "image": np.stack(images),
-                    "text": np.asarray(self.tokenizer(captions), dtype=np.int32),
-                }
-                images, captions = [], []
-        if images and self.partial_batches:
-            # eval must see the tail: torch's val DataLoader keeps the last
-            # partial batch (reference data.py get_csv_dataset, drop_last=False)
-            yield {
+            if self.world_size > 1:
+                order = order[self.rank :: self.world_size]
+        chunks = [order[i : i + self.batch_size]
+                  for i in range(0, len(order), self.batch_size)]
+        if chunks and len(chunks[-1]) < self.batch_size and not self.partial_batches:
+            # torch's val DataLoader keeps the last partial batch
+            # (reference get_csv_dataset, drop_last=False); train drops it
+            chunks = chunks[:-1]
+        if not self.shuffle and self.world_size > 1:
+            # eval: split at BATCH granularity (round-robin whole batches) so
+            # every batch has exactly the single-process composition — the
+            # contrastive val loss is batch-composition-dependent, so this is
+            # what makes rank-split eval metrics match a 1-process run exactly.
+            # "index" carries each row's global dataset position for feature
+            # reassembly (parallel.distributed.host_gather_by_index).
+            chunks = chunks[self.rank :: self.world_size]
+        for chunk in chunks:
+            images: List[np.ndarray] = []
+            captions: List[str] = []
+            for i in chunk:
+                path, caption = self.rows[i]
+                if not os.path.isabs(path):
+                    path = os.path.join(self.root, path)
+                with Image.open(path) as img:
+                    images.append(self.preprocess(img.convert("RGB")))
+                captions.append(caption)
+            batch = {
                 "image": np.stack(images),
                 "text": np.asarray(self.tokenizer(captions), dtype=np.int32),
             }
+            if not self.shuffle and self.world_size > 1:
+                batch["index"] = np.asarray(chunk, dtype=np.int64)
+            yield batch
 
 
 class SyntheticDataset:
@@ -199,7 +217,8 @@ def get_data(
             ds = make_wds_audio_pipeline(cfg, pp, tokenizer,
                                          audio_ext=get("audio_ext", None))
             n = get("train_num_samples") or 0
-            return DataInfo(ds, num_samples=n, num_batches=n // batch_size if n else 0)
+            gbs = batch_size * (get("world_size", 1) or 1)
+            return DataInfo(ds, num_samples=n, num_batches=n // gbs if n else 0)
         if dstype == "synthetic-naflex":
             from .naflex import NaFlexDataConfig, SyntheticNaFlexDataset
 
@@ -258,6 +277,8 @@ def get_data(
         if dstype == "auto":
             dstype = _infer_dataset_type(split_path)
         if dstype == "csv":
+            world = get("world_size", 1) or 1
+            rank = get("rank", 0) or 0
             ds = CsvDataset(
                 split_path, pp, tokenizer,
                 img_key=get("csv_img_key", "filepath"),
@@ -267,15 +288,23 @@ def get_data(
                 shuffle=is_train,
                 seed=get("seed", 0),
                 partial_batches=not is_train,
+                world_size=world,
+                rank=rank,
             )
-            nb = (len(ds) // batch_size) if is_train else math.ceil(len(ds) / batch_size)
+            if is_train:  # sample-stride split, partial batch dropped
+                nb = len(range(rank, len(ds), world)) // batch_size
+            else:  # whole-batch round-robin split, tail kept
+                nb = len(range(rank, math.ceil(len(ds) / batch_size), world))
             return DataInfo(ds, num_samples=len(ds), num_batches=nb)
         if dstype == "webdataset":
             num_samples = get("train_num_samples") if is_train else get("val_num_samples")
             if not num_samples:
                 num_samples, _ = get_dataset_size(split_path)
                 num_samples = num_samples or 0
-            num_batches = num_samples // batch_size if num_samples else 0
+            # per-rank steps per epoch count against the GLOBAL batch
+            # (batch_size is per-host, reference data.py:773 global_batch_size)
+            gbs = batch_size * (get("world_size", 1) or 1)
+            num_batches = num_samples // gbs if num_samples else 0
             cfg = WdsConfig(
                 urls=split_path,
                 weights=get("train_data_upsampling_factors") if is_train else None,
@@ -303,15 +332,24 @@ def get_data(
     if get("val_data"):
         data["val"] = build(get("val_data"), is_train=False)
     if get("imagenet_val"):
-        data["imagenet-val"] = make_imagenet_val(get("imagenet_val"), pp_val, get("batch_size", 64))
+        data["imagenet-val"] = make_imagenet_val(
+            get("imagenet_val"), pp_val, get("batch_size", 64),
+            world_size=get("world_size", 1) or 1, rank=get("rank", 0) or 0)
     if get("imagenet_v2"):
-        data["imagenet-v2"] = make_imagenet_val(get("imagenet_v2"), pp_val, get("batch_size", 64))
+        data["imagenet-v2"] = make_imagenet_val(
+            get("imagenet_v2"), pp_val, get("batch_size", 64),
+            world_size=get("world_size", 1) or 1, rank=get("rank", 0) or 0)
     return data
 
 
-def make_imagenet_val(root: str, preprocess: Callable, batch_size: int) -> DataInfo:
+def make_imagenet_val(root: str, preprocess: Callable, batch_size: int,
+                      world_size: int = 1, rank: int = 0) -> DataInfo:
     """ImageFolder-style ImageNet val loader (reference get_imagenet, data.py:208-268).
-    Expects root/<class_dir>/<image files> with class dirs sorted -> label ids."""
+    Expects root/<class_dir>/<image files> with class dirs sorted -> label ids.
+    Multi-host: each process decodes only its stride slice (``rank::world_size``)
+    of the sorted item list; ``zero_shot.run_zero_shot_classifier`` sums the
+    per-host top-k counts across processes (reference splits via sampler,
+    src/open_clip_train/zero_shot.py:77-109)."""
 
     class _Folder:
         def __init__(self):
@@ -321,6 +359,8 @@ def make_imagenet_val(root: str, preprocess: Callable, batch_size: int) -> DataI
                 cdir = os.path.join(root, c)
                 for f in sorted(os.listdir(cdir)):
                     self.items.append((os.path.join(cdir, f), li))
+            if world_size > 1:
+                self.items = self.items[rank::world_size]
 
         def set_epoch(self, epoch):
             pass

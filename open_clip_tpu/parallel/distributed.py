@@ -89,6 +89,91 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def host_psum(values) -> "np.ndarray":
+    """Sum a small host-side float vector across processes (eval counts, loss
+    sums). Single-process: identity. The reference reduces eval counters with
+    ``torch.distributed.all_reduce`` on rank-split loaders
+    (reference src/open_clip_train/zero_shot.py:54-109 drives via samplers);
+    here every process contributes its local partial sums once per eval."""
+    import numpy as np
+
+    vals = np.asarray(values, np.float64)
+    if jax.process_count() == 1:
+        return vals
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(vals)).sum(axis=0)
+
+
+def _allgather_ragged(arr) -> "np.ndarray":
+    """All processes' rows concatenated in rank order; handles ragged per-rank
+    row counts by padding to the max before the (shape-uniform) allgather."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    counts = np.asarray(
+        multihost_utils.process_allgather(np.asarray([arr.shape[0]], np.int64))
+    ).reshape(-1)
+    m = int(counts.max())
+    if arr.shape[0] < m:
+        pad = np.zeros((m - arr.shape[0],) + arr.shape[1:], arr.dtype)
+        arr = np.concatenate([arr, pad], axis=0)
+    stacked = np.asarray(multihost_utils.process_allgather(arr))  # (W, m, ...)
+    return np.concatenate(
+        [stacked[r, : int(counts[r])] for r in range(len(counts))], axis=0)
+
+
+def host_gather_by_index(arr, index) -> "np.ndarray":
+    """Gather per-process row blocks onto every process and scatter them to
+    their global positions: ``index`` gives each local row's global row id.
+
+    Used by rank-split evaluation to reassemble the full val-set feature matrix
+    for retrieval metrics — the result is identical to a single process having
+    computed every row in order, for ANY split scheme (the csv eval loader uses
+    whole-batch round-robin so the contrastive loss also matches exactly).
+    Single-process: returns ``arr`` ordered by ``index``.
+    """
+    import numpy as np
+
+    arr = np.asarray(arr)
+    idx = np.asarray(index, np.int64).reshape(-1)
+    if jax.process_count() > 1:
+        arr = _allgather_ragged(arr)
+        idx = _allgather_ragged(idx)
+    out = np.zeros_like(arr)
+    out[idx] = arr
+    return out
+
+
+def host_gather_stride(arr) -> "np.ndarray":
+    """Gather per-process row blocks onto every process, restoring the global
+    order of a stride split (process ``r`` holds global rows ``r, r+W, ...``).
+    Fallback for loaders that don't carry explicit ``index`` arrays.
+    Single-process: identity.
+    """
+    import numpy as np
+
+    arr = np.asarray(arr)
+    world = jax.process_count()
+    if world == 1:
+        return arr
+    from jax.experimental import multihost_utils
+
+    counts = np.asarray(
+        multihost_utils.process_allgather(np.asarray([arr.shape[0]], np.int64))
+    ).reshape(-1)
+    m = int(counts.max())
+    padded = arr
+    if arr.shape[0] < m:
+        pad = np.zeros((m - arr.shape[0],) + arr.shape[1:], arr.dtype)
+        padded = np.concatenate([arr, pad], axis=0)
+    stacked = np.asarray(multihost_utils.process_allgather(padded))  # (W, m, ...)
+    out = np.zeros((int(counts.sum()),) + arr.shape[1:], arr.dtype)
+    for r in range(world):
+        out[r::world] = stacked[r, : int(counts[r])]
+    return out
+
+
 def broadcast_scalar_from_primary(value: float) -> float:
     """Agree on a host-side scalar across processes (resume step, early-stop flags):
     the reference broadcasts via torch.distributed; here a tiny jitted psum over the

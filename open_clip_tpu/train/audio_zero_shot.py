@@ -34,6 +34,9 @@ def run_audio_zero_shot(model, classifier, dataloader) -> Dict[str, float]:
         top1 += a1
         top5 += a5
         n += logits.shape[0]
+    from ..parallel.distributed import host_psum
+
+    top1, top5, n = host_psum([top1, top5, n])  # rank-split loaders on a pod
     return {"top1": top1 / max(n, 1), "top5": top5 / max(n, 1)}
 
 

@@ -192,9 +192,12 @@ def evaluate(
                 bs = _batch_size(batch)
                 loss_sum += float(np.asarray(gen_step(model.params, _to_device(batch)))) * bs
                 n += bs
+            from ..parallel.distributed import host_psum
+
+            loss_sum, n = host_psum([loss_sum, n])
             if n:
                 metrics["val_generative_loss"] = loss_sum / n
-                metrics["num_samples"] = n
+                metrics["num_samples"] = int(n)
         metrics["epoch"] = epoch
         if metrics and writer is not None:
             writer.log({f"val/{k}": v for k, v in metrics.items()}, step=epoch)
@@ -206,7 +209,7 @@ def evaluate(
 
     if "val" in data:
         eval_step = make_eval_step(model.cfg, compute_dtype=getattr(model, "compute_dtype", jnp.bfloat16))
-        all_imf, all_txf = [], []
+        all_imf, all_txf, all_idx = [], [], []
         loss_sum = gen_sum = 0.0
         n = gen_n = 0
         primary_key = "image"
@@ -216,11 +219,13 @@ def evaluate(
         pending = []
         PIPELINE_DEPTH = 2
 
-        def _drain(res, bs):
+        def _drain(res, bs, idx):
             nonlocal loss_sum, gen_sum, n, gen_n
             if res.get("primary_features") is not None:
                 all_imf.append(np.asarray(res["primary_features"], dtype=np.float32))
                 all_txf.append(np.asarray(res["text_features"], dtype=np.float32))
+                if idx is not None:
+                    all_idx.append(idx)
                 loss_sum += float(np.asarray(res["loss"])) * bs
             if "gen_loss" in res:
                 gen_sum += float(np.asarray(res["gen_loss"])) * bs
@@ -230,20 +235,38 @@ def evaluate(
         for batch in data["val"].dataloader:
             if "audio" in batch:
                 primary_key = "audio"
+            # global row ids from rank-split loaders stay host-side for feature
+            # reassembly; everything else goes to the chip
+            idx = batch.pop("index", None)
             res = eval_step(model.params, _to_device(batch))
-            pending.append((res, _batch_size(batch)))
+            pending.append((res, _batch_size(batch), idx))
             if len(pending) > PIPELINE_DEPTH:
                 _drain(*pending.pop(0))
-        for res, bs in pending:
-            _drain(res, bs)
+        for res, bs, idx in pending:
+            _drain(res, bs, idx)
+        # multi-host: the val loader is rank-split (stride), so reduce the scalar
+        # sums and reassemble the full paired feature matrices in global order
+        # before retrieval ranking (reference instead replicates eval on every
+        # rank, zero_shot.py:77-109 — this does 1/W the per-host work)
+        from ..parallel.distributed import (
+            host_gather_by_index, host_gather_stride, host_psum)
+
+        loss_sum, n, gen_sum, gen_n = host_psum([loss_sum, n, gen_sum, gen_n])
         if n and all_imf:
+            if all_idx:
+                gidx = np.concatenate(all_idx)
+                imf = host_gather_by_index(np.concatenate(all_imf, axis=0), gidx)
+                txf = host_gather_by_index(np.concatenate(all_txf, axis=0), gidx)
+            else:
+                imf = host_gather_stride(np.concatenate(all_imf, axis=0))
+                txf = host_gather_stride(np.concatenate(all_txf, axis=0))
             loss_key = "clip_val_loss" if primary_key == "image" else f"{primary_key}_val_loss"
             metrics[loss_key] = loss_sum / n
             metrics.update(
-                get_clip_metrics(all_imf, all_txf, float(np.exp(np.asarray(model.params["logit_scale"]))),
+                get_clip_metrics([imf], [txf], float(np.exp(np.asarray(model.params["logit_scale"]))),
                                  chunk_size=getattr(args, "val_retrieval_chunk_size", None) or 4096)
             )
-            metrics["num_samples"] = n
+            metrics["num_samples"] = int(n)
         if gen_n:
             metrics["val_generative_loss"] = gen_sum / gen_n
 

@@ -31,7 +31,12 @@ def accuracy(logits: np.ndarray, labels: np.ndarray, topk=(1,)):
 
 def run_zero_shot_classifier(model, classifier, dataloader) -> Dict[str, float]:
     """Per-batch encode_image -> 100 * feat @ classifier -> top1/top5
-    (reference zero_shot.py:54-109)."""
+    (reference zero_shot.py:54-109). Multi-host: the loader is rank-split
+    (``make_imagenet_val``), so each process scores only its slice; the top-k
+    counts are then summed across processes — every host reports the same
+    global accuracy at 1/W of the decode+encode work."""
+    from ..parallel.distributed import host_psum
+
     clf = jnp.asarray(classifier)
     top1 = top5 = n = 0.0
     for batch in dataloader:
@@ -41,6 +46,7 @@ def run_zero_shot_classifier(model, classifier, dataloader) -> Dict[str, float]:
         top1 += a1
         top5 += a5
         n += logits.shape[0]
+    top1, top5, n = host_psum([top1, top5, n])
     return {"top1": top1 / max(n, 1), "top5": top5 / max(n, 1)}
 
 
