@@ -480,11 +480,11 @@ def forward_intermediates(
         tp = params["text"]
         b, seq_len = text.shape
         x = tp["token_embedding"][text].astype(compute_dtype)
-        bias = text_mod._build_bias(tcfg, text, seq_len)
+        bias, txt_causal = text_mod._build_bias(tcfg, text, seq_len)
         x = x + tp["positional_embedding"][:seq_len].astype(compute_dtype)
         x, feats = apply_transformer_intermediates(
-            tp["blocks"], x, heads=tcfg.heads, act=act, bias=bias, norm_eps=tcfg.ln_eps,
-            take_indices=text_indices,
+            tp["blocks"], x, heads=tcfg.heads, act=act, bias=bias, causal=txt_causal,
+            norm_eps=tcfg.ln_eps, take_indices=text_indices,
         )
         ln_f = lambda y: layer_norm(y, tp["ln_final"]["scale"], tp["ln_final"]["bias"], eps=tcfg.ln_eps)
         if normalize_intermediates:
