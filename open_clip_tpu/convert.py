@@ -557,6 +557,22 @@ def torch_clip_to_params(sd: Mapping[str, Any], cfg: Optional[CLIPModelCfg] = No
             {k[len("text_decoder."):]: v for k, v in sd.items() if k.startswith("text_decoder.")}
         )
         return tree
+    if (cfg is not None and cfg.text_cfg is not None
+            and (cfg.text_cfg.hf_model_name or cfg.text_cfg.hf_model_config)
+            and any(k.startswith("text.transformer.") for k in sd)):
+        # CustomTextCLIP with an HF text tower (reference hf_model.py HFTextEncoder:
+        # keys under text.transformer.* / text.proj.*); vision converts as usual.
+        # Gated on the cfg's hf fields: the reference CLASSIC tower also nests
+        # under text.transformer. (resblocks), and must take the block path below.
+        from .models.hf_text import torch_hf_text_to_params
+
+        vis_sd = {k: v for k, v in sd.items() if not k.startswith("text.")}
+        tree = torch_clip_to_params(vis_sd, cfg) if vis_sd else {}
+        tree["text"] = torch_hf_text_to_params(
+            {k[len("text."):]: v for k, v in sd.items() if k.startswith("text.")},
+            cfg.text_cfg)
+        return tree
+
     if any(k.startswith("text.blocks.") for k in sd):
         # ModernTextTransformer text side; visual side handled by the standard path
         vis_sd = {k: v for k, v in sd.items() if not k.startswith("text.")}

@@ -42,6 +42,8 @@ import numpy as np
 
 NATIVE_BERT_TYPES = ("bert", "roberta", "xlm-roberta", "camembert", "clap")
 NATIVE_T5_TYPES = ("t5", "mt5")
+NATIVE_M2M_TYPES = ("m2m_100", "nllb")  # NLLB checkpoints report model_type=m2m_100
+NATIVE_MODERNBERT_TYPES = ("modernbert",)
 
 
 def _cfg(config: Any, name: str, default=None):
@@ -386,4 +388,329 @@ def torch_t5_to_layout(sd: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
         for s in parts[:-1]:
             node = node.setdefault(s, {})
         node[leaf] = jnp.asarray(val)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# M2M100 / NLLB encoder
+# ---------------------------------------------------------------------------
+# The NLLB-CLIP configs (nllb-clip-base/-large and the -siglip variants) use the
+# facebook/nllb-200 seq2seq checkpoints as text tower; the reference runs them
+# through torch AutoModel and takes the encoder (src/open_clip/hf_model.py:153-176).
+# Here the encoder forward is native: scaled word embeddings + sinusoidal position
+# table indexed by roberta-style position ids, pre-LN layers, final LayerNorm.
+# Layout mirrors the torch module names (modeling_m2m_100.py M2M100Encoder) with
+# kernel/bias leaves.
+
+
+def _m2m_sinusoid_table(num_positions: int, dim: int, padding_idx: int) -> np.ndarray:
+    """transformers M2M100SinusoidalPositionalEmbedding.get_embedding: half sin,
+    half cos over exp-spaced frequencies; the padding row is zeroed. Static numpy —
+    baked into the jitted program as a constant."""
+    half = dim // 2
+    freq = np.exp(np.arange(half, dtype=np.float64) * -(np.log(10000.0) / (half - 1)))
+    ang = np.arange(num_positions, dtype=np.float64)[:, None] * freq[None, :]
+    emb = np.concatenate([np.sin(ang), np.cos(ang)], axis=1).astype(np.float32)
+    if dim % 2 == 1:
+        emb = np.concatenate([emb, np.zeros((num_positions, 1), np.float32)], axis=1)
+    emb[padding_idx] = 0.0
+    return emb
+
+
+def m2m100_encode(
+    params: Dict[str, Any],
+    config: Any,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    *,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """-> last_hidden_state (B, L, d_model). Matches torch M2M100Encoder eval
+    forward (pre-norm layers, sqrt(d)-scaled embeddings, sinusoidal positions
+    derived from input_ids with the padding offset, final LayerNorm)."""
+    d_model = int(_cfg(config, "d_model"))
+    n_heads = int(_cfg(config, "encoder_attention_heads"))
+    n_layers = int(_cfg(config, "encoder_layers"))
+    pad_id = int(_cfg(config, "pad_token_id", 1))
+    max_pos = int(_cfg(config, "max_position_embeddings", 1024))
+    scale_embedding = bool(_cfg(config, "scale_embedding", True))
+    act = _act(str(_cfg(config, "activation_function", "relu")))
+    eps = 1e-5  # torch nn.LayerNorm default; M2M100 has no eps knob
+
+    B, L = input_ids.shape
+    embed_scale = float(np.sqrt(d_model)) if scale_embedding else 1.0
+    h = (params["embed_tokens"]["embedding"][input_ids] * embed_scale).astype(compute_dtype)
+
+    # roberta-style position ids: pad rows stay at pad_id, others count from pad_id+1
+    inc = jnp.cumsum(attention_mask, axis=1) * attention_mask
+    position_ids = inc + pad_id
+    table = jnp.asarray(_m2m_sinusoid_table(max_pos + 2, d_model, pad_id))
+    h = h + table[position_ids].astype(compute_dtype)
+
+    bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, jnp.float32(-1e10))
+    head_dim = d_model // n_heads
+    scale = 1.0 / np.sqrt(head_dim)
+    for i in range(n_layers):
+        lp = params["layers"][str(i)]
+        res = h
+        x = _layer_norm(h, lp["self_attn_layer_norm"], eps)
+        sa = lp["self_attn"]
+        q = _dense(x, sa["q_proj"]).reshape(B, L, n_heads, head_dim)
+        k = _dense(x, sa["k_proj"]).reshape(B, L, n_heads, head_dim)
+        v = _dense(x, sa["v_proj"]).reshape(B, L, n_heads, head_dim)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale + bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, L, -1)
+        h = res + _dense(ctx, sa["out_proj"])
+        res = h
+        x = _layer_norm(h, lp["final_layer_norm"], eps)
+        x = act(_dense(x, lp["fc1"]).astype(jnp.float32)).astype(compute_dtype)
+        h = res + _dense(x, lp["fc2"])
+    return _layer_norm(h, params["layer_norm"], eps)
+
+
+def init_m2m100_params(key, config: Any) -> Dict[str, Any]:
+    """Random init matching torch M2M100 (normal(init_std=0.02), zero biases)."""
+    D = int(_cfg(config, "d_model"))
+    F = int(_cfg(config, "encoder_ffn_dim"))
+    V = int(_cfg(config, "vocab_size"))
+    n_layers = int(_cfg(config, "encoder_layers"))
+    std = float(_cfg(config, "init_std", 0.02))
+    keys = iter(jax.random.split(key, 2 + 6 * n_layers))
+
+    def nrm(shape):
+        return jax.random.normal(next(keys), shape, jnp.float32) * std
+
+    def dense(din, dout):
+        return {"kernel": nrm((din, dout)), "bias": jnp.zeros((dout,), jnp.float32)}
+
+    def ln():
+        return {"scale": jnp.ones((D,), jnp.float32), "bias": jnp.zeros((D,), jnp.float32)}
+
+    p: Dict[str, Any] = {
+        "embed_tokens": {"embedding": nrm((V, D))},
+        "layers": {},
+        "layer_norm": ln(),
+    }
+    for i in range(n_layers):
+        p["layers"][str(i)] = {
+            "self_attn": {
+                "q_proj": dense(D, D), "k_proj": dense(D, D),
+                "v_proj": dense(D, D), "out_proj": dense(D, D),
+            },
+            "self_attn_layer_norm": ln(),
+            "fc1": dense(D, F),
+            "fc2": dense(F, D),
+            "final_layer_norm": ln(),
+        }
+    return p
+
+
+def torch_m2m100_to_layout(sd: Dict[str, Any], prefix: str = "model.encoder.") -> Dict[str, Any]:
+    """torch M2M100/NLLB encoder state dict -> the tree m2m100_encode reads.
+    ``model.shared.weight`` (tied embeddings) is accepted as the token table when
+    the encoder's own embed_tokens is absent."""
+    def np_(v):
+        return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+    out: Dict[str, Any] = {}
+    shared = None
+    for k, v in sd.items():
+        if k in ("model.shared.weight", "shared.weight"):
+            shared = np_(v)
+        if not k.startswith(prefix):
+            continue
+        parts = k[len(prefix):].split(".")
+        if parts[0] == "embed_positions":  # sinusoidal, rebuilt statically
+            continue
+        if parts[-1] == "weight":
+            if parts[0] == "embed_tokens":
+                parts[-1] = "embedding"
+                val = np_(v)
+            elif "layer_norm" in parts[-2]:
+                parts[-1] = "scale"
+                val = np_(v)
+            else:
+                parts[-1] = "kernel"
+                val = np_(v).T
+        elif parts[-1] == "bias":
+            val = np_(v)
+        else:
+            continue
+        node = out
+        for s in parts[:-1]:
+            node = node.setdefault(s, {})
+        node[parts[-1]] = jnp.asarray(val)
+    if "embed_tokens" not in out and shared is not None:
+        out["embed_tokens"] = {"embedding": jnp.asarray(shared)}
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ModernBERT encoder
+# ---------------------------------------------------------------------------
+# gte-modernbert-base-ViT-B-32-256's text tower. No Flax implementation ever
+# existed upstream; this is a from-scratch JAX forward over the torch module
+# layout (modeling_modernbert.py ModernBertModel): token embeddings + LN,
+# pre-norm layers (layer 0's attn_norm is identity), fused no-bias Wqkv with
+# NeoX-style RoPE (global theta every Nth layer, local theta + sliding-window
+# mask otherwise), GeGLU MLP (Wi -> chunk2 -> act(input)*gate -> Wo), final LN.
+
+
+def _rope_tables(L: int, head_dim: int, theta: float) -> Tuple[np.ndarray, np.ndarray]:
+    inv = 1.0 / theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim)
+    ang = np.arange(L, dtype=np.float64)[:, None] * inv[None, :]  # (L, hd/2)
+    ang = np.concatenate([ang, ang], axis=1)  # NeoX half-split layout
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    # x: (B, L, H, hd); cos/sin (L, hd)
+    half = x.shape[-1] // 2
+    rot = jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+    c = cos[None, :, None, :].astype(x.dtype)
+    s = sin[None, :, None, :].astype(x.dtype)
+    return x * c + rot * s
+
+
+def modernbert_encode(
+    params: Dict[str, Any],
+    config: Any,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    *,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """-> last_hidden_state (B, L, W). Matches torch ModernBertModel eager-eval
+    forward (fp32 softmax; alternating global/sliding-window attention)."""
+    W = int(_cfg(config, "hidden_size"))
+    n_heads = int(_cfg(config, "num_attention_heads"))
+    n_layers = int(_cfg(config, "num_hidden_layers"))
+    eps = float(_cfg(config, "norm_eps", 1e-5))
+    act = _act(_cfg(config, "hidden_activation", "gelu"))
+    g_theta = float(_cfg(config, "global_rope_theta", 160000.0))
+    l_theta_cfg = _cfg(config, "local_rope_theta", 10000.0)
+    l_theta = float(l_theta_cfg) if l_theta_cfg is not None else g_theta
+    window = int(_cfg(config, "local_attention", 128))
+    every = int(_cfg(config, "global_attn_every_n_layers", 3))
+
+    B, L = input_ids.shape
+    head_dim = W // n_heads
+
+    h = params["embeddings"]["tok_embeddings"]["embedding"][input_ids].astype(compute_dtype)
+    h = _layer_norm_maybe_biasless(h, params["embeddings"]["norm"], eps)
+
+    pad_bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, jnp.float32(-1e10))
+    dist = np.abs(np.arange(L)[:, None] - np.arange(L)[None, :])
+    win_bias = jnp.asarray(np.where(dist <= window // 2, 0.0, -1e10), jnp.float32)
+    local_bias = pad_bias + win_bias[None, None]
+    g_cos, g_sin = (jnp.asarray(t) for t in _rope_tables(L, head_dim, g_theta))
+    l_cos, l_sin = (jnp.asarray(t) for t in _rope_tables(L, head_dim, l_theta))
+
+    scale = 1.0 / np.sqrt(head_dim)
+    for i in range(n_layers):
+        lp = params["layers"][str(i)]
+        is_global = i % every == 0
+        x = h if i == 0 else _layer_norm_maybe_biasless(h, lp["attn_norm"], eps)
+        qkv = _dense(x, lp["attn"]["Wqkv"]).reshape(B, L, 3, n_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        cos, sin = (g_cos, g_sin) if is_global else (l_cos, l_sin)
+        q = _apply_rope(q, cos, sin)
+        k = _apply_rope(k, cos, sin)
+        bias = pad_bias if is_global else local_bias
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale + bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, L, -1)
+        h = h + _dense(ctx, lp["attn"]["Wo"])
+        x = _layer_norm_maybe_biasless(h, lp["mlp_norm"], eps)
+        wi = _dense(x, lp["mlp"]["Wi"])
+        inp, gate = jnp.split(wi, 2, axis=-1)
+        y = act(inp.astype(jnp.float32)).astype(compute_dtype) * gate
+        h = h + _dense(y, lp["mlp"]["Wo"])
+    return _layer_norm_maybe_biasless(h, params["final_norm"], eps)
+
+
+def _layer_norm_maybe_biasless(x: jax.Array, p: Dict[str, Any], eps: float) -> jax.Array:
+    if "bias" in p:
+        return _layer_norm(x, p, eps)
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps) * p["scale"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def init_modernbert_params(key, config: Any) -> Dict[str, Any]:
+    """Random init following ModernBERT's scheme (normal with per-module cutoffs
+    is irrelevant for random towers; plain normal(0.02) like the family default)."""
+    W = int(_cfg(config, "hidden_size"))
+    I = int(_cfg(config, "intermediate_size"))
+    V = int(_cfg(config, "vocab_size"))
+    n_layers = int(_cfg(config, "num_hidden_layers"))
+    bias_attn = bool(_cfg(config, "attention_bias", False))
+    bias_mlp = bool(_cfg(config, "mlp_bias", False))
+    bias_norm = bool(_cfg(config, "norm_bias", False))
+    std = float(_cfg(config, "initializer_range", 0.02))
+    keys = iter(jax.random.split(key, 2 + 4 * n_layers))
+
+    def nrm(shape):
+        return jax.random.normal(next(keys), shape, jnp.float32) * std
+
+    def dense(din, dout, bias):
+        p = {"kernel": nrm((din, dout))}
+        if bias:
+            p["bias"] = jnp.zeros((dout,), jnp.float32)
+        return p
+
+    def ln():
+        p = {"scale": jnp.ones((W,), jnp.float32)}
+        if bias_norm:
+            p["bias"] = jnp.zeros((W,), jnp.float32)
+        return p
+
+    p: Dict[str, Any] = {
+        "embeddings": {"tok_embeddings": {"embedding": nrm((V, W))}, "norm": ln()},
+        "layers": {},
+        "final_norm": ln(),
+    }
+    for i in range(n_layers):
+        lp = {
+            "attn": {"Wqkv": dense(W, 3 * W, bias_attn), "Wo": dense(W, W, bias_attn)},
+            "mlp_norm": ln(),
+            "mlp": {"Wi": dense(W, 2 * I, bias_mlp), "Wo": dense(I, W, bias_mlp)},
+        }
+        if i != 0:
+            lp["attn_norm"] = ln()
+        p["layers"][str(i)] = lp
+    return p
+
+
+def torch_modernbert_to_layout(sd: Dict[str, Any], prefix: str = "model.") -> Dict[str, Any]:
+    """torch ModernBertModel state dict -> the tree modernbert_encode reads."""
+    def np_(v):
+        return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+    out: Dict[str, Any] = {}
+    for k, v in sd.items():
+        if not k.startswith(prefix):
+            continue
+        parts = k[len(prefix):].split(".")
+        if parts[-1] == "weight":
+            if parts[-2] in ("norm", "attn_norm", "mlp_norm", "final_norm"):
+                parts[-1] = "scale"
+                val = np_(v)
+            elif parts[-2] == "tok_embeddings":
+                parts[-1] = "embedding"
+                val = np_(v)
+            else:
+                parts[-1] = "kernel"
+                val = np_(v).T
+        elif parts[-1] == "bias":
+            val = np_(v)
+        else:
+            continue
+        node = out
+        for s in parts[:-1]:
+            node = node.setdefault(s, {})
+        node[parts[-1]] = jnp.asarray(val)
     return out

@@ -2,11 +2,12 @@
 
 Equivalent of reference ``src/open_clip/hf_model.py`` (HFTextEncoder): any AutoModel as
 text encoder + pooler registry (mean / cls / max / cls-last-hidden) + linear/MLP
-projection. Where the reference wraps torch AutoModel, the archs with pretrained
-registry tags (bert/roberta/xlm-roberta, t5/mt5) run through our own forward passes
-(``hf_native.py``) over the HF-Flax parameter layout — no torch and no transformers
-model classes in the compute path. Other archs fall back to transformers' Flax
-classes while those still exist upstream (deprecated for removal in v5).
+projection. Where the reference wraps torch AutoModel, every arch with a pretrained
+registry tag (bert/roberta/xlm-roberta, t5/mt5, m2m_100/NLLB, modernbert) runs
+through our own forward passes (``hf_native.py``) — no torch and no transformers
+model classes anywhere in the compute path; transformers is needed only for config
+objects and tokenizers. Unknown archs raise with a pointer to hf_native.py (the
+round-3 fallback to transformers' deprecated Flax classes is gone).
 
 Offline note: ``hf_model_name`` resolution needs hub/cache access for configs; the
 ``hf_model_config`` dict (same field as the reference) builds a local config without
@@ -25,40 +26,41 @@ from ..ops.layers import gelu as _gelu_dtype
 from ..config import CLIPTextCfg
 from . import blocks as B
 
-_ARCH_CLASSES = {
-    "roberta": ("RobertaConfig", "FlaxRobertaModel"),
-    "xlm-roberta": ("XLMRobertaConfig", "FlaxXLMRobertaModel"),
-    "bert": ("BertConfig", "FlaxBertModel"),
-    "mt5": ("MT5Config", "FlaxMT5EncoderModel"),
-    "t5": ("T5Config", "FlaxT5EncoderModel"),
+# every arch here has a NATIVE forward in hf_native.py; the config classes are
+# NOT deprecated upstream (only the Flax model classes were, and nothing here
+# touches those anymore)
+_ARCH_CONFIGS = {
+    "roberta": "RobertaConfig",
+    "xlm-roberta": "XLMRobertaConfig",
+    "camembert": "CamembertConfig",
+    "bert": "BertConfig",
+    "mt5": "MT5Config",
+    "t5": "T5Config",
+    "m2m_100": "M2M100Config",
+    "modernbert": "ModernBertConfig",
 }
 
 
 def _resolve_hf_config(cfg: CLIPTextCfg):
-    """-> (config object, model_type str). Config classes are NOT deprecated
-    upstream — only the Flax model classes are; model_type picks our native
-    forward (hf_native.py) with the Flax classes as fallback for exotic archs."""
+    """-> (config object, model_type str). model_type picks the native forward
+    in hf_native.py; unknown archs raise rather than silently running the wrong
+    architecture (the reference serves any torch AutoModel, hf_model.py:106)."""
     import transformers
 
     if cfg.hf_model_config:
         model_type = cfg.hf_model_config.get("model_type", "roberta")
-        conf_cls_name, _ = _ARCH_CLASSES.get(model_type, _ARCH_CLASSES["roberta"])
-        conf_cls = getattr(transformers, conf_cls_name)
+        if model_type not in _ARCH_CONFIGS:
+            raise ValueError(
+                f"unsupported hf_model_config model_type {model_type!r}: native "
+                f"encoders cover {sorted(_ARCH_CONFIGS)}. Add a forward to "
+                "models/hf_native.py to support a new architecture.")
+        conf_cls = getattr(transformers, _ARCH_CONFIGS[model_type])
         kw = {k: v for k, v in cfg.hf_model_config.items() if k != "model_type"}
         config = conf_cls(**kw)
     else:
         config = transformers.AutoConfig.from_pretrained(cfg.hf_model_name)
         model_type = config.model_type
     return config, model_type
-
-
-def _resolve_flax_model(cfg: CLIPTextCfg):
-    import transformers
-
-    config, model_type = _resolve_hf_config(cfg)
-    _, model_cls_name = _ARCH_CLASSES.get(model_type, _ARCH_CLASSES["roberta"])
-    model_cls = getattr(transformers, model_cls_name)
-    return config, model_cls
 
 
 def init_hf_text_tower(key, cfg: CLIPTextCfg, embed_dim: int) -> Dict[str, Any]:
@@ -71,10 +73,12 @@ def init_hf_text_tower(key, cfg: CLIPTextCfg, embed_dim: int) -> Dict[str, Any]:
         hf_params = hf_native.init_bert_params(ks[2], config)
     elif model_type in hf_native.NATIVE_T5_TYPES:
         hf_params = hf_native.init_t5_params(ks[2], config)
-    else:  # exotic arch: init through the Flax class while it exists
-        _, model_cls = _resolve_flax_model(cfg)
-        flax_model = model_cls(config, seed=int(jax.random.randint(key, (), 0, 2 ** 31 - 1)))
-        hf_params = flax_model.params
+    elif model_type in hf_native.NATIVE_M2M_TYPES:
+        hf_params = hf_native.init_m2m100_params(ks[2], config)
+    elif model_type in hf_native.NATIVE_MODERNBERT_TYPES:
+        hf_params = hf_native.init_modernbert_params(ks[2], config)
+    else:
+        raise ValueError(f"no native encoder for hf model_type {model_type!r}")
     p: Dict[str, Any] = {"hf": hf_params}
     if cfg.hf_proj_type == "linear":
         p["proj"] = {"kernel": B.normal_init(ks[0], (width, embed_dim), width ** -0.5)}
@@ -92,21 +96,6 @@ def init_hf_text_tower(key, cfg: CLIPTextCfg, embed_dim: int) -> Dict[str, Any]:
             "fc2": B.torch_linear_init(ks[1], embed_dim, embed_dim, bias=True),
         }
     return p
-
-
-class _HFApply:
-    """Cache of flax module objects per config (modules are stateless; params live in
-    our tree)."""
-
-    _cache: Dict[str, Any] = {}
-
-    @classmethod
-    def get(cls, cfg: CLIPTextCfg):
-        key = repr(sorted((cfg.hf_model_config or {}).items())) + str(cfg.hf_model_name)
-        if key not in cls._cache:
-            config, model_cls = _resolve_flax_model(cfg)
-            cls._cache[key] = model_cls(config, _do_init=False)
-        return cls._cache[key]
 
 
 def apply_hf_text_tower(
@@ -140,13 +129,12 @@ def apply_hf_text_tower(
             params["hf"], config, text, attention_mask, position_ids=position_ids)
     elif config is not None and model_type in hf_native.NATIVE_T5_TYPES:
         hidden = hf_native.t5_encode(params["hf"], config, text, attention_mask)
-    else:  # exotic arch: transformers Flax class fallback
-        flax_model = _HFApply.get(cfg)
-        out = flax_model.module.apply(
-            {"params": params["hf"]}, input_ids=text, attention_mask=attention_mask,
-        )
-        hidden = out.last_hidden_state
-        pooler_output = getattr(out, "pooler_output", None)
+    elif config is not None and model_type in hf_native.NATIVE_M2M_TYPES:
+        hidden = hf_native.m2m100_encode(params["hf"], config, text, attention_mask)
+    elif config is not None and model_type in hf_native.NATIVE_MODERNBERT_TYPES:
+        hidden = hf_native.modernbert_encode(params["hf"], config, text, attention_mask)
+    else:
+        raise ValueError(f"no native encoder for hf model_type {model_type!r}")
 
     pooler = cfg.hf_pooler_type
     mask = attention_mask.astype(jnp.float32)[..., None]
@@ -180,3 +168,47 @@ def apply_hf_text_tower(
             if proj["fc2"].get("bias") is not None:
                 pooled = pooled + proj["fc2"]["bias"].astype(pooled.dtype)
     return pooled, hidden
+
+
+def torch_hf_text_to_params(sd: Dict[str, Any], cfg: CLIPTextCfg) -> Dict[str, Any]:
+    """Reference HFTextEncoder state dict (keys under ``transformer.`` /
+    ``proj.``, the ``text.`` prefix already stripped) -> our param tree
+    ``{"hf": <native layout>, "proj": ...}``.
+
+    The reference stores encoder-decoder towers as their bare encoder
+    (hf_model.py:153-176), so NLLB keys arrive as ``transformer.layers.<i>...``
+    and mT5 as ``transformer.block.<i>...`` with no ``encoder.`` level.
+    """
+    from . import hf_native
+
+    _, model_type = _resolve_hf_config(cfg)
+    if model_type in hf_native.NATIVE_BERT_TYPES:
+        hf = hf_native.torch_bert_to_layout(sd, prefix="transformer.")
+    elif model_type in hf_native.NATIVE_T5_TYPES:
+        lay = hf_native.torch_t5_to_layout(sd, prefix="transformer.")
+        shared = lay.pop("shared")
+        hf = {"shared": shared, "encoder": lay}
+    elif model_type in hf_native.NATIVE_M2M_TYPES:
+        hf = hf_native.torch_m2m100_to_layout(sd, prefix="transformer.")
+    elif model_type in hf_native.NATIVE_MODERNBERT_TYPES:
+        hf = hf_native.torch_modernbert_to_layout(sd, prefix="transformer.")
+    else:
+        raise ValueError(f"no native converter for hf model_type {model_type!r}")
+
+    def _np(v):
+        import numpy as np
+
+        return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+    p: Dict[str, Any] = {"hf": hf}
+    if "proj.weight" in sd:  # linear proj, bias=False (hf_model.py:186)
+        p["proj"] = {"kernel": jnp.asarray(_np(sd["proj.weight"]).T)}
+    elif "proj.0.weight" in sd:  # mlp / clap_mlp Sequential
+        fc1 = {"kernel": jnp.asarray(_np(sd["proj.0.weight"]).T)}
+        fc2 = {"kernel": jnp.asarray(_np(sd["proj.2.weight"]).T)}
+        if "proj.0.bias" in sd:
+            fc1["bias"] = jnp.asarray(_np(sd["proj.0.bias"]))
+        if "proj.2.bias" in sd:
+            fc2["bias"] = jnp.asarray(_np(sd["proj.2.bias"]))
+        p["proj"] = {"fc1": fc1, "fc2": fc2}
+    return p
