@@ -137,6 +137,23 @@ def _fwd_gflops(model_name, default):
     return _profile_gflops(model_name, default)
 
 
+def _mfu_fields(fwd_fn, fwd_args, dt, *, count=1.0):
+    """mfu/hfu for a bench entry from XLA-counted forward FLOPs at the ENTRY'S
+    exact shapes (docs/model_profile.csv rows use the profiler's shapes, which
+    differ for the token-budget/audio entries). 3x-fwd = standard MFU convention
+    (remat recompute is not useful work); 4x = full-remat hardware-busy bound."""
+    from open_clip_tpu.train.profiler import _flops_of
+
+    flops = _flops_of(fwd_fn, *fwd_args)
+    if not flops:
+        return {}
+    per_step = flops * count
+    return {
+        "mfu": round(3 * per_step / dt / 1e12 / V5E_PEAK_TFLOPS, 3),
+        "hfu_upper_bound": round(4 * per_step / dt / 1e12 / V5E_PEAK_TFLOPS, 3),
+    }
+
+
 def bench_flagship(bs=None):
     jax = _setup_jax()
     import jax.numpy as jnp
@@ -144,13 +161,14 @@ def bench_flagship(bs=None):
     from open_clip_tpu.config import parse_model_cfg
     from open_clip_tpu.models import blocks
 
-    # selective remat ("names": save tagged block-matmul inputs) at batch 256/chip:
-    # the round-3 sweep frontier winner (~1900 vs 1827 full-remat / 1585 batch-1024;
-    # scripts/bench_sweep.py: names plateaus 1874-1912 across batch 128-256, full
-    # remat 1810-1827, dots 1859-1888, no-remat compiler-OOMs at 256). Batch 256 is
+    # selective remat "names_mm" (save the block-matmul OUTPUTS — fused qkv +
+    # fc1 pre-activation + attn context — so the backward recomputes no dense
+    # matmul at all) at batch 256/chip: the round-4 frontier winner. Measured
+    # ladder at this point: full remat 1827, names (save matmul inputs) 1994,
+    # names_mm 2108 img/s; no-remat still compiler-OOMs at 256. Batch 256 is
     # also the reference recipe's per-device batch (32768 global / 128 GPUs).
     cfg = parse_model_cfg("ViT-B-32")
-    state, step = _train_step(cfg, policy="names")
+    state, step = _train_step(cfg, policy="names_mm")
     bs = bs or 256
     batch = _image_text_batch(jnp, bs, 224, 77, 49408)
     dt = _run_steps(state, step, batch, iters=20)
@@ -304,10 +322,17 @@ def bench_naflex(bs=None):
              "text": jnp.asarray(rng.integers(0, 49407, size=(bs, 77)), jnp.int32)}
     dt = _run_steps(state, step, batch, iters=5)
     toks_per_sec = bs * seq / dt
+
+    from open_clip_tpu.models.clip import clip_forward
+
+    def fwd(params, b):
+        return clip_forward(params, cfg, b["image"], b["text"], compute_dtype=jnp.bfloat16)
+
     return {
         "metric": "naflex_b16_train_image_tokens_per_sec_per_chip",
         "value": round(toks_per_sec, 0),
         "unit": "image tokens/sec/chip (bf16, 16384-token budget bucket, seq 1024)",
+        **_mfu_fields(fwd, (state.params, batch), dt),
     }
 
 
@@ -346,10 +371,18 @@ def bench_genlip(bs=None):
     }
     dt = _run_steps(state, step, batch, iters=5)
     toks = bs * (ni + lt)
+
+    from open_clip_tpu.models.genlip import genlip_forward
+
+    def fwd(params, b):
+        return genlip_forward(params, cfg, b["image"], b["text"], compute_loss=True,
+                              compute_dtype=jnp.bfloat16)["loss"]
+
     return {
         "metric": "genlip_b16_train_tokens_per_sec_per_chip",
         "value": round(toks / dt, 0),
         "unit": "tokens/sec/chip (bf16, 1024 image + 128 text tokens, prefix-LM + fused CE)",
+        **_mfu_fields(fwd, (state.params, batch), dt),
     }
 
 
@@ -369,10 +402,17 @@ def bench_clap(bs=None):
         "text": jnp.asarray(rng.integers(0, 49407, size=(bs, 77)), jnp.int32),
     }
     dt = _run_steps(state, step, batch, iters=5)
+
+    from open_clip_tpu.models.clip import clip_forward
+
+    def fwd(params, b):
+        return clip_forward(params, cfg, b["audio"], b["text"], compute_dtype=jnp.bfloat16)
+
     return {
         "metric": "clap_htsat_tiny_train_clips_per_sec_per_chip",
         "value": round(bs / dt, 1),
         "unit": f"10s clips/sec/chip (bf16, batch {bs}, on-device log-mel + train step)",
+        **_mfu_fields(fwd, (state.params, batch), dt),
     }
 
 

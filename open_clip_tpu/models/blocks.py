@@ -192,6 +192,7 @@ def apply_block(
     h = layer_norm(x, p["ln_2"]["scale"], p["ln_2"]["bias"], eps=norm_eps)
     h = checkpoint_name(h, "remat_ln2")
     h = _mlp_linear(h, p["mlp"]["c_fc"])
+    h = checkpoint_name(h, "remat_fc1")
     h = act_fn(h)
     if "ln" in p["mlp"]:
         h = layer_norm(h, p["mlp"]["ln"]["scale"], p["mlp"]["ln"]["bias"], eps=norm_eps)
@@ -234,8 +235,17 @@ SCAN_UNROLL: int = 1
 # fewer train FLOPs than full remat at a bounded, explicit memory cost.
 REMAT_POLICY: str = "none"
 
-# which named intermediates the "names" policy keeps (see apply_block tags)
-REMAT_SAVE_NAMES: tuple = ("remat_ln1", "remat_attn_ctx", "remat_ln2", "remat_act")
+# which named intermediates each "names*" policy keeps (see apply_block /
+# multi_head_attention tags). "names" saves the matmul INPUTS (LN outputs);
+# "names_mm" saves the block-matmul OUTPUTS (fused qkv, fc1 pre-activation)
+# instead, so the backward skips recomputing those matmuls entirely — more
+# memory per token (qkv is 3x width) but ~2 fewer matmul recomputes per layer;
+# the LN forwards and the activation are recomputed on the VPU, which is cheap.
+REMAT_NAME_PRESETS: dict = {
+    "names": ("remat_ln1", "remat_attn_ctx", "remat_ln2", "remat_act"),
+    "names_mm": ("remat_qkv", "remat_attn_ctx", "remat_fc1"),
+}
+REMAT_SAVE_NAMES: tuple = REMAT_NAME_PRESETS["names"]
 
 
 def remat_policy():
@@ -243,7 +253,10 @@ def remat_policy():
         return jax.checkpoint_policies.checkpoint_dots
     if REMAT_POLICY == "dots_no_batch":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-    if REMAT_POLICY == "names":
+    if REMAT_POLICY in REMAT_NAME_PRESETS:
+        return jax.checkpoint_policies.save_only_these_names(
+            *REMAT_NAME_PRESETS[REMAT_POLICY])
+    if REMAT_POLICY == "names_custom":
         return jax.checkpoint_policies.save_only_these_names(*REMAT_SAVE_NAMES)
     return None
 

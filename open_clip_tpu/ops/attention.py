@@ -116,9 +116,14 @@ def multi_head_attention(
     hd = d // num_heads
 
     if kv is None and "qkv" in params:
+        from jax.ad_checkpoint import checkpoint_name
+
         qkv = jnp.dot(x, params["qkv"]["kernel"].astype(x.dtype))
         if params["qkv"].get("bias") is not None:
             qkv = qkv + params["qkv"]["bias"].astype(qkv.dtype)
+        # under the "names_mm" remat preset the fused projection is SAVED, so the
+        # backward reads it instead of recomputing the (D, 3D) matmul per layer
+        qkv = checkpoint_name(qkv, "remat_qkv")
         q, k, v = jnp.split(qkv, 3, axis=-1)
     else:
         kv = x if kv is None else kv

@@ -182,7 +182,7 @@ def parse_args(args=None):
                         choices=["amp", "amp_bf16", "bf16", "pure_bf16", "fp16", "fp32"])
     parser.add_argument("--grad-checkpointing", action="store_true", default=False)
     parser.add_argument("--remat-policy", type=str, default="none",
-                        choices=["none", "names", "dots", "dots_no_batch"],
+                        choices=["none", "names", "names_mm", "dots", "dots_no_batch"],
                         help="what jax.checkpoint saves under --grad-checkpointing: "
                              "'none' = full remat (save nothing; lowest memory), "
                              "'names' = save tagged block-matmul inputs (the ViT-B-32 "

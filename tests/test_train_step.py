@@ -392,7 +392,7 @@ def test_distill_accum_matches_simple(tiny, rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
-@pytest.mark.parametrize("policy", ["names", "dots"])
+@pytest.mark.parametrize("policy", ["names", "names_mm", "dots"])
 def test_remat_policy_matches_full_remat(tiny, rng, policy):
     """Selective remat policies change what the backward saves, never the math:
     the updated weights must match full remat exactly. The 'names' policy is the
