@@ -47,7 +47,8 @@ _QUICK_MODULES = {
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        if item.module.__name__.rsplit(".", 1)[-1] in _QUICK_MODULES:
+        if (item.module.__name__.rsplit(".", 1)[-1] in _QUICK_MODULES
+                and item.get_closest_marker("slow") is None):
             item.add_marker(pytest.mark.quick)
 
 

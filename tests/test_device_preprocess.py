@@ -106,6 +106,7 @@ def test_device_rrc_weights_are_row_stochastic():
     np.testing.assert_allclose(out, 128 / 255.0, atol=1e-5)
 
 
+@pytest.mark.slow  # ~75 s on a 1-core box — excluded from the quick tier
 def test_train_step_with_device_preprocess(rng):
     """uint8 batches through the fused step: loss decreases, dtype stays uint8 on host."""
     import optax

@@ -9,7 +9,9 @@ import pytest
 
 import open_clip_tpu as oct
 
-pytestmark = pytest.mark.quick
+# NOT in the quick tier: the jax.export round-trips are ~100 s of compiles on a
+# 1-core box (measured via --durations); serving-export regressions are caught
+# by the full suite
 
 TINY = {
     "embed_dim": 32,
