@@ -190,6 +190,23 @@ def _qkv_single(p, h, heads, eps):
     if "ln_q" in p:
         q = layer_norm(q, p["ln_q"]["scale"], p["ln_q"]["bias"], eps=eps)
         k = layer_norm(k, p["ln_k"]["scale"], p["ln_k"]["bias"], eps=eps)
+    if "logit_scale" in p:
+        # scaled-cosine attention (ops/attention.py:148-161): per-position cosine
+        # normalization composes with the cache because it depends only on the
+        # position's own vector — cached K rows are stored normalized, and the
+        # clamped per-head scale folds into q against the 1/sqrt(hd) in
+        # _attend_cached exactly as in the batch path.
+        import math as _math
+
+        q32 = q.astype(jnp.float32)
+        k32 = k.astype(jnp.float32)
+        q32 = q32 / jnp.maximum(jnp.linalg.norm(q32, axis=-1, keepdims=True), 1e-12)
+        k32 = k32 / jnp.maximum(jnp.linalg.norm(k32, axis=-1, keepdims=True), 1e-12)
+        ls = jnp.exp(jnp.minimum(p["logit_scale"].reshape(-1).astype(jnp.float32),
+                                 _math.log(1.0 / 0.01)))
+        q32 = q32 * (ls[None, None, :, None] * (hd ** 0.5))
+        q = q32.astype(q.dtype)
+        k = k32.astype(k.dtype)
     return q, k, v
 
 
@@ -213,15 +230,17 @@ def _cached_self_block(p, x, k_cache, v_cache, t_i, *, heads, act, eps):
     a K/V cache; returns (x, k_own, v_own) — caller writes own K/V into the buffer."""
     from ..ops.layers import ACT_FNS, linear
 
-    exotic = {"logit_scale", "head_scale", "ln_inner"} & set(p["attn"])
-    if exotic:
-        raise NotImplementedError(
-            f"cached decode does not implement {sorted(exotic)} attention variants; "
-            "generate(..., kv_cache=False) still works")
-
     h = layer_norm(x, p["ln_1"]["scale"], p["ln_1"]["bias"], eps=eps)
     q, k_own, v_own = _qkv_single(p["attn"], h, heads, eps)
     out = _attend_cached(q, k_cache, v_cache, k_own, v_own, t_i)
+    if "head_scale" in p["attn"]:  # NormFormer per-head scale (attention.py:166-167)
+        b_, _, w_ = out.shape
+        out = (out.reshape(b_, 1, heads, w_ // heads)
+               * p["attn"]["head_scale"].astype(out.dtype)[None, None, :, None]
+               ).reshape(b_, 1, w_)
+    if "ln_inner" in p["attn"]:  # Sub-LN before the out-proj (attention.py:170-172)
+        out = layer_norm(out, p["attn"]["ln_inner"]["scale"],
+                         p["attn"]["ln_inner"]["bias"], eps=eps)
     out = jnp.dot(out, p["attn"]["out"]["kernel"].astype(out.dtype))
     if p["attn"]["out"].get("bias") is not None:
         out = out + p["attn"]["out"]["bias"].astype(out.dtype)

@@ -89,3 +89,34 @@ def test_eos_then_pad(model):
         eos = np.where(row == 61)[0]
         if eos.size:
             assert (row[eos[0] + 1:] == 0).all()
+
+
+@pytest.mark.parametrize("variant", [
+    {"scaled_cosine_attn": True},
+    {"scale_heads": True},
+    {"scale_attn_inner": True},
+    {"qk_norm": True, "scale_heads": True, "scale_attn_inner": True},
+])
+def test_cached_matches_uncached_exotic_attention(variant):
+    """Round-4: the cached decode path supports the CustomResidualAttentionBlock
+    variants (scaled-cosine / NormFormer head-scale / Sub-LN inner norm) that
+    round 3 gated behind NotImplementedError."""
+    # the variants live on the TEXT tower (reference CustomTextCLIP custom blocks;
+    # the multimodal decoder is plain ResidualAttentionBlocks in the reference
+    # too, coca_model.py:97-101) — the cached decode loop runs the text tower
+    # incrementally, which is where the round-3 gate fired
+    cfg_dict = dict(TINY_COCA)
+    cfg_dict["text_cfg"] = {**TINY_COCA["text_cfg"], **variant}
+    name = "tiny-cache-coca-" + "-".join(sorted(variant))
+    if name not in oct.list_models():
+        oct.add_model_config(cfg_dict, name=name)
+    cfg = parse_model_cfg(name)
+    params = init_clip(jax.random.PRNGKey(5), cfg)
+
+    imgs = _images(3, seed=4)
+    rng = jax.random.PRNGKey(7)
+    slow = coca.generate(params, cfg, imgs, rng, seq_len=8,
+                         generation_type="greedy", kv_cache=False, **GEN_KW)
+    fast = coca.generate(params, cfg, imgs, rng, seq_len=8,
+                         generation_type="greedy", kv_cache=True, **GEN_KW)
+    np.testing.assert_array_equal(np.asarray(slow), np.asarray(fast))
