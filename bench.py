@@ -197,8 +197,8 @@ def bench_vit_l14(bs=None):
     cfg = parse_model_cfg("ViT-L-14")
     # batch 64/chip: round-3 frontier probe winner (171 vs 166 img/s at 256;
     # scripts/bench_frontier.py — 32:162, 64:171, 96:169, 128:168, 256:166, 512 OOM);
-    # selective remat adds +4.4% (181 vs 173 img/s; 96 OOMs under names)
-    state, step = _train_step(cfg, policy="names")
+    # round-4: names_mm (save matmul outputs) 187.9 vs names 181.5 img/s
+    state, step = _train_step(cfg, policy="names_mm")
     bs = bs or 64
     batch = _image_text_batch(jnp, bs, 224, 77, 49408)
     dt = _run_steps(state, step, batch, iters=10)
@@ -263,9 +263,10 @@ def bench_siglip(bs=None):
     from open_clip_tpu.config import parse_model_cfg
 
     cfg = parse_model_cfg("ViT-B-16-SigLIP")
-    state, step = _train_step(cfg, loss_type="siglip")
     # batch 256/chip: round-3 frontier probe winner (625 vs 617 img/s at 512;
-    # scripts/bench_frontier.py — 128:612, 256:625, 512:617, 1024:590)
+    # scripts/bench_frontier.py — 128:612, 256:625, 512:617, 1024:590);
+    # round-4: names_mm 684.3 vs full remat 628.0 img/s
+    state, step = _train_step(cfg, loss_type="siglip", policy="names_mm")
     bs = bs or 256
     batch = _image_text_batch(jnp, bs, 224, 64, 32000)
     dt = _run_steps(state, step, batch, iters=10)
@@ -286,7 +287,8 @@ def bench_coca(bs=None):
     from open_clip_tpu.config import parse_model_cfg
 
     cfg = parse_model_cfg("coca_ViT-B-32")
-    state, step = _train_step(cfg, loss_type="coca")
+    # round-4 probe at 256: names_mm 704.1 vs full remat 699.6, names 679.7
+    state, step = _train_step(cfg, loss_type="coca", policy="names_mm")
     bs = bs or 256  # round-3 probe: 698 samples/s vs 613 at 512 (matches the flagship frontier)
     batch = _image_text_batch(jnp, bs, 224, 76, 49408)
     dt = _run_steps(state, step, batch, iters=10)
@@ -755,6 +757,11 @@ def main():
             res = SUITE[name]()
         except Exception as e:  # noqa: BLE001 — a broken config shouldn't kill the suite
             res = {"metric": name, "error": repr(e)[:300]}
+            if name in results and "error" not in results[name]:
+                # keep the last good measurement; record the failure alongside it
+                results[name]["stale_error"] = res["error"]
+                print(json.dumps(res), flush=True)
+                continue
         results[name] = res
         print(json.dumps(res), flush=True)
     try:
