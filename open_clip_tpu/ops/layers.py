@@ -15,12 +15,27 @@ import jax
 import jax.numpy as jnp
 
 
+# Opt-in: route LayerNorm through the Pallas fused backward (ops/fused_ln.py).
+# Measured OFF-better in the full flagship step (2126 -> 1848 img/s) despite a
+# 1.5x isolated-microbench win: the custom_vjp pins x/scale residuals, which
+# defeats the names_mm remat policy (LN inputs on the residual stream get saved
+# instead of recomputed) and blocks XLA's LN-fwd fusion into matmul epilogues.
+# Kept for A/B on other shapes/policies; see docs/ROUND4.md.
+FUSED_LN_BWD = False
+
+
 def layer_norm(x: jax.Array, scale: jax.Array, bias: Optional[jax.Array], eps: float = 1e-5) -> jax.Array:
     """LayerNorm with fp32 statistics and affine, output in x.dtype.
 
     Matches reference ``LayerNormFp32`` (layers.py:11) when compute dtype is bf16/fp16 and
-    plain ``LayerNorm`` (layers.py:20) when fp32 — both agree in fp32.
+    plain ``LayerNorm`` (layers.py:20) when fp32 — both agree in fp32. With
+    ``FUSED_LN_BWD`` the backward runs the one-pass Pallas kernel (ops/fused_ln.py)
+    for qualifying shapes on TPU (off by default — see the flag comment).
     """
+    if FUSED_LN_BWD:
+        from .fused_ln import layer_norm_fused_bwd
+
+        return layer_norm_fused_bwd(x, scale, bias, eps)
     dtype = x.dtype
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
