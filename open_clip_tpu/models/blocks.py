@@ -224,6 +224,10 @@ def _mlp_linear(h: jax.Array, pp: Dict[str, Any]) -> jax.Array:
 # full unroll so XLA cost analysis counts every layer (a scan body is counted once).
 SCAN_UNROLL: int = 1
 
+# Split the transposed (backward) scan into a separate loop so XLA can overlap the
+# saved-activation reads of layer i with the gradient math of layer i+1. A/B knob.
+SCAN_SPLIT_TRANSPOSE: bool = False
+
 # Rematerialization policy for checkpointed blocks. "none" (full remat, save nothing)
 # is the default: saving dot outputs ("dots") keeps every attention-logit/MLP
 # intermediate alive and blows HBM at production batch sizes on v5e (verified: the
@@ -289,7 +293,8 @@ def apply_transformer(
 
     if remat:
         body = jax.checkpoint(body, prevent_cse=False, policy=remat_policy())
-    x, _ = jax.lax.scan(body, x, stacked, unroll=scan_unroll())
+    x, _ = jax.lax.scan(body, x, stacked, unroll=scan_unroll(),
+                        _split_transpose=SCAN_SPLIT_TRANSPOSE)
     return x
 
 

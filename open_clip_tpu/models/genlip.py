@@ -322,6 +322,8 @@ def _apply_trunk_block(p, x, *, t: GenLipTrunkCfg, bias, cos, sin, drop_path_rng
     keys/values ahead of this call's own — ``bias`` must then cover the extended key
     axis ``(B, 1, S, S_cache + S)``. ``return_kv`` additionally returns this call's
     post-RoPE (k, v) for caching (prefix-LM: image K/V are text-independent)."""
+    from jax.ad_checkpoint import checkpoint_name
+
     from ..ops.attention import dot_product_attention
 
     nt, eps = t.norm_type, t.layer_norm_eps
@@ -330,14 +332,22 @@ def _apply_trunk_block(p, x, *, t: GenLipTrunkCfg, bias, cos, sin, drop_path_rng
     hd = width // heads
 
     h = _norm(x, p["layer_norm1"], norm_type=nt, eps=eps)
-    qg = linear(h, p["attn"]["q_proj"]["kernel"], p["attn"]["q_proj"].get("bias"))
+    # remat tags mirror blocks.py/ops.attention: the "names*" policies save the
+    # block-matmul outputs so the checkpointed backward skips recomputing them
+    qg = checkpoint_name(
+        linear(h, p["attn"]["q_proj"]["kernel"], p["attn"]["q_proj"].get("bias")),
+        "remat_qkv")
     if t.gated_attention:
         q, gate = jnp.split(qg, 2, axis=-1)
         gate = gate.reshape(b, s, heads, hd)
     else:
         q = qg
-    k = linear(h, p["attn"]["k_proj"]["kernel"], p["attn"]["k_proj"].get("bias"))
-    v = linear(h, p["attn"]["v_proj"]["kernel"], p["attn"]["v_proj"].get("bias"))
+    k = checkpoint_name(
+        linear(h, p["attn"]["k_proj"]["kernel"], p["attn"]["k_proj"].get("bias")),
+        "remat_qkv")
+    v = checkpoint_name(
+        linear(h, p["attn"]["v_proj"]["kernel"], p["attn"]["v_proj"].get("bias")),
+        "remat_qkv")
     q = q.reshape(b, s, heads, hd)
     k = k.reshape(b, s, heads, hd)
     v = v.reshape(b, s, heads, hd)
@@ -361,6 +371,7 @@ def _apply_trunk_block(p, x, *, t: GenLipTrunkCfg, bias, cos, sin, drop_path_rng
                               prefix_len=prefix_len, key_valid=key_valid)
     else:
         out = dot_product_attention(q, k, v, bias=bias, impl="xla")
+    out = checkpoint_name(out, "remat_attn_ctx")
     if t.gated_attention:
         out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
     out = out.reshape(b, s, width)
@@ -375,18 +386,25 @@ def _apply_trunk_block(p, x, *, t: GenLipTrunkCfg, bias, cos, sin, drop_path_rng
 
 
 def _apply_trunk_block_mlp(p, x, *, t: GenLipTrunkCfg, drop_path_rng=None, train=False):
+    from jax.ad_checkpoint import checkpoint_name
+
     nt, eps = t.norm_type, t.layer_norm_eps
     h = _norm(x, p["layer_norm2"], norm_type=nt, eps=eps)
     act = _ACT[t.hidden_act]
     if t.use_swiglu_ffn:
-        h = linear(
-            act(linear(h, p["mlp"]["gate_fc"]["kernel"], p["mlp"]["gate_fc"].get("bias")))
-            * linear(h, p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"].get("bias")),
-            p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"].get("bias"),
-        )
-    else:
-        h = linear(act(linear(h, p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"].get("bias"))),
+        gate_pre = checkpoint_name(
+            linear(h, p["mlp"]["gate_fc"]["kernel"], p["mlp"]["gate_fc"].get("bias")),
+            "remat_fc1")
+        up = checkpoint_name(
+            linear(h, p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"].get("bias")),
+            "remat_fc1")
+        h = linear(act(gate_pre) * up,
                    p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"].get("bias"))
+    else:
+        fc1_pre = checkpoint_name(
+            linear(h, p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"].get("bias")),
+            "remat_fc1")
+        h = linear(act(fc1_pre), p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"].get("bias"))
     if "ls2" in p:
         h = h * p["ls2"].astype(h.dtype)
     h = _drop_path(h, t.drop_path_rate, drop_path_rng, train, salt=1)
@@ -420,7 +438,9 @@ def apply_trunk(params, t: GenLipTrunkCfg, x, bias, cos, sin, *, remat=False, tr
                                   drop_path_rng=r, train=train), None
 
     if remat:
-        body = jax.checkpoint(body, prevent_cse=False)
+        # honors blocks.REMAT_POLICY ("none" -> full remat, "names*" -> save the
+        # tagged matmul outputs; see _apply_trunk_block's checkpoint_name tags)
+        body = jax.checkpoint(body, prevent_cse=False, policy=B.remat_policy())
     x, _ = jax.lax.scan(body, x, (params["blocks"], jnp.arange(t.depth)), unroll=B.scan_unroll())
     return _norm(x, params["ln_post"], norm_type=t.norm_type, eps=t.layer_norm_eps)
 

@@ -160,6 +160,22 @@ def main():
                       os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    # a wedged TPU tunnel blocks jax.devices() in C forever (see bench._require_device);
+    # fail fast with retries instead of hanging the whole A/B
+    from bench import _require_device
+
+    for attempt in range(3):
+        try:
+            _require_device(180)
+            break
+        except RuntimeError as e:
+            print(f"device probe failed (attempt {attempt + 1}/3): {e}", flush=True)
+            if attempt == 2:
+                os._exit(2)  # the stuck init thread would block a normal exit
+            import time
+
+            time.sleep(60)
+
     train_url, val_url = make_shards("/root/repo/.ab_rrc_data", n_train=args.samples)
     print("shards ready", flush=True)
 
