@@ -66,6 +66,20 @@ def _require_device(timeout_s: int = 240):
     return out["devices"]
 
 
+def _sync(x):
+    """Force completion with a real D2H fetch of ONE element. On the axon tunnel
+    ``block_until_ready()`` returns once the execution is enqueued, not when it
+    finishes — only a device->host copy actually waits (the train benches sync by
+    fetching the loss for the same reason; un-synced timings here once reported an
+    impossible 326k captions/s). A scalar fetch keeps the D2H bytes (~28 MB/s
+    tunnel) out of the measurement."""
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return np.asarray(jnp.ravel(leaf)[0])
+
+
 def _train_step(cfg, loss_type="clip", remat=True, policy="none", unroll=1):
     import jax.numpy as jnp
 
@@ -442,12 +456,12 @@ def bench_inference(bs=None):
         bs_i = bs or batch_size
         rng = np.random.default_rng(0)
         image = jnp.asarray(rng.standard_normal((bs_i, 224, 224, 3)), dtype=jnp.bfloat16)
-        fn(params, image).block_until_ready()
+        _sync(fn(params, image))
         t0 = time.perf_counter()
         iters = 10
         for _ in range(iters):
             r = fn(params, image)
-        r.block_until_ready()
+        _sync(r)
         dt = (time.perf_counter() - t0) / iters
         gf = _profile_gflops(name, ref_gf, column="image GFLOPs")
         key = name.lower().replace("-", "_")
@@ -464,19 +478,17 @@ def bench_generation(bs=None):
     what the torch reference always does — it forces the HF cache off,
     coca_model.py:353-356)."""
     jax = _setup_jax()
-    import functools
-
     import jax.numpy as jnp
 
     out = {"metric": "caption_generation_captions_per_sec_per_chip",
            "unit": "captions/sec/chip (bf16, jitted single-program decode)"}
 
     def _time(fn, *a, iters=5):
-        fn(*a).block_until_ready()
+        _sync(fn(*a))
         t0 = time.perf_counter()
         for _ in range(iters):
             r = fn(*a)
-        r.block_until_ready()
+        _sync(r)
         return (time.perf_counter() - t0) / iters
 
     # --- CoCa-B/32 ---------------------------------------------------------------
@@ -492,18 +504,18 @@ def bench_generation(bs=None):
     image = jnp.asarray(rng.standard_normal((bs_c, 224, 224, 3)), dtype=jnp.bfloat16)
     seq = 30
 
-    greedy = jax.jit(functools.partial(
-        coca.generate, params, cfg, seq_len=seq, kv_cache=True,
+    # params must be a jit ARGUMENT: closing over them bakes 63M weights into the
+    # HLO as literals (~570 MB serialized — the axon tunnel rejects it, HTTP 413)
+    greedy = jax.jit(lambda p, img: coca.generate(
+        p, cfg, img, seq_len=seq, kv_cache=True, compute_dtype=jnp.bfloat16))
+    greedy_slow = jax.jit(lambda p, img: coca.generate(
+        p, cfg, img, seq_len=seq, kv_cache=False, compute_dtype=jnp.bfloat16))
+    beam = jax.jit(lambda p, img: coca.generate_beam(
+        p, cfg, img, seq_len=seq, num_beams=6, kv_cache=True,
         compute_dtype=jnp.bfloat16))
-    greedy_slow = jax.jit(functools.partial(
-        coca.generate, params, cfg, seq_len=seq, kv_cache=False,
-        compute_dtype=jnp.bfloat16))
-    beam = jax.jit(functools.partial(
-        coca.generate_beam, params, cfg, seq_len=seq, num_beams=6, kv_cache=True,
-        compute_dtype=jnp.bfloat16))
-    dt_fast = _time(greedy, image)
-    dt_slow = _time(greedy_slow, image, iters=2)
-    dt_beam = _time(beam, image, iters=2)
+    dt_fast = _time(greedy, params, image)
+    dt_slow = _time(greedy_slow, params, image, iters=2)
+    dt_beam = _time(beam, params, image, iters=2)
     out["coca_b32_greedy"] = {
         "value": round(bs_c / dt_fast, 1), "batch": bs_c, "seq_len": seq,
         "speedup_vs_reencode": round(dt_slow / dt_fast, 2)}
@@ -526,12 +538,12 @@ def bench_generation(bs=None):
         "patch_coord": jnp.asarray(np.broadcast_to(coord, (bs_g, ni, 2))),
         "patch_valid": jnp.asarray(np.ones((bs_g, ni), bool)),
     }
-    g_fast = jax.jit(functools.partial(
-        G.generate, gparams, gcfg, seq_len=32, kv_cache=True, compute_dtype=jnp.bfloat16))
-    g_slow = jax.jit(functools.partial(
-        G.generate, gparams, gcfg, seq_len=32, kv_cache=False, compute_dtype=jnp.bfloat16))
-    dtg_fast = _time(g_fast, gimage)
-    dtg_slow = _time(g_slow, gimage, iters=2)
+    g_fast = jax.jit(lambda p, img: G.generate(
+        p, gcfg, img, seq_len=32, kv_cache=True, compute_dtype=jnp.bfloat16))
+    g_slow = jax.jit(lambda p, img: G.generate(
+        p, gcfg, img, seq_len=32, kv_cache=False, compute_dtype=jnp.bfloat16))
+    dtg_fast = _time(g_fast, gparams, gimage)
+    dtg_slow = _time(g_slow, gparams, gimage, iters=2)
     out["genlip_b16_greedy"] = {
         "value": round(bs_g / dtg_fast, 1), "batch": bs_g, "seq_len": 32,
         "image_tokens": ni, "speedup_vs_reencode": round(dtg_slow / dtg_fast, 2)}
