@@ -8,7 +8,7 @@ CLI — once per tier — on synthetic webdataset shards whose crops carry signa
 (per-sample textures over a gradient), then compares the loss trajectories and
 an image<->text retrieval eval on held-out pairs using the bit-exact val tier.
 
-Usage: python scripts/ab_device_rrc.py [--epochs 8] [--samples 2048]
+Usage: python scripts/ab_device_rrc.py [--epochs 30] [--samples 2048]
 Writes docs/ab_device_rrc.json and prints a table.
 """
 import argparse
@@ -67,24 +67,33 @@ def make_shards(root, n_train=2048, n_val=256, side=320):
     return train_url, val_url
 
 
+MODEL = "ViT-S-32"
+
+
 def run_tier(tag, train_url, n_samples, epochs, logs, device_tier):
     from open_clip_tpu.train.main import main
 
+    # Sized so the loss actually LEAVES chance (a vacuous A/B proves nothing):
+    # ViT-S-32, batch 128 -> 16 steps/epoch x 30 epochs = 480 steps of
+    # memorization on 2048 distinct pairs. A ViT-B-32/batch-256/64-step run was
+    # measured flat at ln(256) with chance retrieval — too short to compare.
     args = [
-        "--model", "ViT-B-32",
+        "--model", MODEL,
         "--train-data", train_url,
         "--dataset-type", "webdataset",
         "--train-num-samples", str(n_samples),
-        "--batch-size", "256",
+        "--batch-size", "128",
         "--workers", "1",
         "--grad-checkpointing", "--remat-policy", "names_mm",
-        # tunnel D2H measures ~28 MiB/s on this box: a 1.7 GiB per-epoch
-        # checkpoint costs ~2 min, so save only the final epoch (main() also
-        # returns the live state, which is what retrieval_eval consumes)
+        # tunnel D2H measures ~28 MiB/s on this box: per-epoch checkpoints cost
+        # minutes, so save only the final epoch (main() also returns the live
+        # state, which is what retrieval_eval consumes)
         "--save-frequency", "999",
-        "--log-every-n-steps", "4",
+        "--log-every-n-steps", "16",
         "--epochs", str(epochs),
-        "--lr", "1e-3", "--warmup", "8",
+        # lr 2e-3 measured to collapse the representation at warmup's end (loss
+        # snaps to exactly ln(B) and freezes); 5e-4 memorizes stably
+        "--lr", "5e-4", "--warmup", "48",
         "--precision", "amp_bf16",
         "--seed", "0",
         "--logs", logs,
@@ -118,7 +127,7 @@ def retrieval_eval(params, val_url, n_val=256):
     from open_clip_tpu.tokenizer import tokenize
     from open_clip_tpu.transform import image_transform_v2, PreprocessCfg
 
-    cfg = parse_model_cfg("ViT-B-32")
+    cfg = parse_model_cfg(MODEL)
     pp = image_transform_v2(PreprocessCfg(size=(224, 224)), is_train=False)
     imgs, caps = [], []
     with tarfile.open(val_url.replace("{00000..00003}", "00000")) as tf:
@@ -149,7 +158,7 @@ def retrieval_eval(params, val_url, n_val=256):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--samples", type=int, default=2048)
     ap.add_argument("--logs", default="/tmp/ab_rrc_logs")
     args = ap.parse_args()
