@@ -345,20 +345,79 @@ def uint8_image_transform_v2(
     return _Uint8ValTransform(cfg)
 
 
+def _resample_kernel(u, kind: str):
+    """Interpolation filter evaluated at (scaled) distance ``u`` from the source
+    center. ``cubic`` is the Keys kernel with a=-0.5 — the convention PIL and
+    torch's ``antialias=True`` resize use — so the device tier's resample quality
+    matches the host PIL tier, not torch's non-AA a=-0.75 variant."""
+    import jax.numpy as jnp
+
+    au = jnp.abs(u)
+    if kind == "linear":
+        return jnp.maximum(0.0, 1.0 - au)
+    if kind != "cubic":
+        raise ValueError(f"unknown resample kernel {kind!r}")
+    a = -0.5
+    au2 = au * au
+    return jnp.where(
+        au <= 1.0,
+        ((a + 2.0) * au - (a + 3.0)) * au2 + 1.0,
+        jnp.where(au < 2.0, a * (((au - 5.0) * au + 8.0) * au - 4.0), 0.0),
+    )
+
+
+def make_crop_resample(s: int, th: int, tw: int, kind: str = "cubic",
+                       antialias: bool = True):
+    """Batched fractional crop-and-resize as two dense matmul contractions.
+
+    Returns ``fn(x, top, left, ch, cw) -> (B, th, tw, C)`` resampling the per-sample
+    box ``(top, left, ch, cw)`` (float, source pixels) of ``x: (B, s, s, C)`` to the
+    target size. Random gathers are TPU-hostile, but a separable resample along an
+    axis is a sparse row-stochastic matrix — materialize it dense per sample and
+    contract on the MXU (two einsums, microseconds of MXU time at B=256/S=256/224px
+    vs ~1 s for the equivalent general gather).
+
+    With ``antialias`` the filter support is widened by the per-sample downscale
+    factor and weights are renormalized over the in-bounds window — the same
+    construction PIL's resize and torch's ``antialias=True`` use, so this matches
+    the host tier's resample quality (PIL bicubic). Without it, ``linear``
+    reproduces torch's non-AA half-pixel-centered 2-tap bilinear."""
+    import jax.numpy as jnp
+
+    def weights(start, extent, t_out):
+        step = extent[:, None] / t_out                       # (B, 1)
+        src = start[:, None] + (jnp.arange(t_out)[None, :] + 0.5) * step - 0.5
+        ss = jnp.maximum(step, 1.0) if antialias else jnp.ones_like(step)
+        grid = jnp.arange(s)[None, None, :]
+        u = (grid - src[:, :, None]) / ss[:, :, None]        # (B, t_out, S)
+        w = _resample_kernel(u, kind)
+        return (w / jnp.sum(w, axis=-1, keepdims=True)).astype(jnp.float32)
+
+    def fn(x, top, left, ch, cw):
+        wy = weights(top, ch, th)
+        wx = weights(left, cw, tw)
+        rows = jnp.einsum("bhs,bswc->bhwc", wy, x)
+        return jnp.einsum("bws,bhsc->bhwc", wx, rows)
+
+    return fn
+
+
 def make_device_train_preprocess(
     cfg: PreprocessCfg,
     aug_cfg: Optional[Union[Dict[str, Any], AugmentationCfg]] = None,
+    antialias: bool = True,
 ):
     """Jittable fused train preprocess: (rng, uint8 (B, S, S, 3)) -> (B, th, tw, 3).
 
     Per-sample RandomResizedCrop (scale/ratio sampled like torchvision
     RandomResizedCrop.get_params; reference transform.py:418-447) implemented as a
-    batched bilinear grid-sample: per-sample source coordinates + four clipped
-    gathers, one XLA program that fuses with the normalize and the model's patchify
-    matmul. The crop source is the host-stage canvas rather than the original photo
-    (documented distribution shift traded for an entirely device-resident
-    augmentation); the crop-to-target downscale ratio is mild (canvas/size ~ 8/7),
-    so skipping the antialias prefilter changes little."""
+    batched separable resample (``make_crop_resample``): one XLA program that fuses
+    with the normalize and the model's patchify matmul. The crop source is the
+    host-stage canvas rather than the original photo (documented distribution shift
+    traded for an entirely device-resident augmentation). The filter matches the
+    host tier's PIL semantics — bicubic (Keys a=-0.5) with antialias — which an A/B
+    (scripts/ab_device_rrc.py) showed matters: the earlier non-AA 2-tap bilinear
+    tier trained to the same loss but markedly worse retrieval."""
     import jax
     import jax.numpy as jnp
 
@@ -382,6 +441,7 @@ def make_device_train_preprocess(
     mean = jnp.asarray(cfg.mean, dtype=jnp.float32)
     std = jnp.asarray(cfg.std, dtype=jnp.float32)
     log_ratio = (float(np.log(ratio_rng[0])), float(np.log(ratio_rng[1])))
+    kind = "linear" if cfg.interpolation == "bilinear" else "cubic"
 
     def fn(rng: "jax.Array", images: "jax.Array") -> "jax.Array":
         x = images.astype(jnp.float32) / 255.0
@@ -395,26 +455,8 @@ def make_device_train_preprocess(
         top = off[:, 0] * (s - ch)
         left = off[:, 1] * (s - cw)
 
-        # Interpolation as matmul: random gathers are TPU-hostile, but a bilinear
-        # resample along an axis is a sparse (2-nonzero) row-stochastic matrix —
-        # materialize it dense per sample and contract on the MXU. Two einsums
-        # (rows then columns) ~ 40 GFLOP at B=256/S=256/224px: microseconds of MXU
-        # time vs ~1 s for the equivalent general gather.
-        def interp_weights(start, extent, t_out):
-            src = start[:, None] + (jnp.arange(t_out)[None, :] + 0.5) * (extent[:, None] / t_out) - 0.5
-            f = jnp.floor(src)
-            t = src - f
-            i0 = jnp.clip(f.astype(jnp.int32), 0, s - 1)
-            i1 = jnp.clip(i0 + 1, 0, s - 1)
-            grid = jnp.arange(s)[None, None, :]
-            w = ((grid == i0[:, :, None]) * (1 - t)[:, :, None]
-                 + (grid == i1[:, :, None]) * t[:, :, None])
-            return w.astype(jnp.float32)  # (B, t_out, S)
-
-        wy = interp_weights(top, ch, th)
-        wx = interp_weights(left, cw, tw)
-        rows = jnp.einsum("bhs,bswc->bhwc", wy, x)
-        out = jnp.einsum("bws,bhsc->bhwc", wx, rows)
+        resample = make_crop_resample(s, th, tw, kind=kind, antialias=antialias)
+        out = resample(x, top, left, ch, cw)
         return (out - mean) / std
 
     return fn

@@ -64,21 +64,65 @@ def test_uint8_train_canvas_shape(rng):
 
 
 def test_device_rrc_full_canvas_matches_bilinear_resize(rng):
-    """With scale=(1,1) ratio=(1,1) the RRC degenerates to a plain bilinear resize of
-    the whole canvas; compare against torch's non-antialiased bilinear (the same
-    half-pixel-centered 2-tap convention)."""
+    """With scale=(1,1) ratio=(1,1) the RRC degenerates to a plain resize of the
+    whole canvas; with antialias off, compare against torch's non-antialiased
+    bilinear (the same half-pixel-centered 2-tap convention)."""
     import torch
     import torch.nn.functional as F
 
     cfg = PreprocessCfg(size=24, mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0),
                         interpolation="bilinear")
-    devpp = make_device_train_preprocess(cfg, AugmentationCfg(scale=(1.0, 1.0), ratio=(1.0, 1.0)))
+    devpp = make_device_train_preprocess(
+        cfg, AugmentationCfg(scale=(1.0, 1.0), ratio=(1.0, 1.0)), antialias=False)
     arr = rng.integers(0, 255, (32, 32, 3), np.uint8)
     out = np.asarray(devpp(jax.random.PRNGKey(0), jnp.asarray(arr)[None]))[0]
     t = torch.from_numpy(arr.astype(np.float32) / 255.0).permute(2, 0, 1)[None]
     ref = F.interpolate(t, size=(24, 24), mode="bilinear", align_corners=False,
                         antialias=False)[0].permute(1, 2, 0).numpy()
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["bicubic", "bilinear"])
+def test_device_rrc_full_canvas_matches_antialiased_resize(rng, mode):
+    """Default tier (antialias on, kernel from cfg.interpolation) against torch's
+    ``antialias=True`` resize — the construction torch implemented to match PIL,
+    which is what the host PIL train tier uses (reference transform.py:418-447)."""
+    import torch
+    import torch.nn.functional as F
+
+    cfg = PreprocessCfg(size=24, mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0),
+                        interpolation=mode)
+    devpp = make_device_train_preprocess(
+        cfg, AugmentationCfg(scale=(1.0, 1.0), ratio=(1.0, 1.0)))
+    arr = rng.integers(0, 255, (32, 32, 3), np.uint8)
+    out = np.asarray(devpp(jax.random.PRNGKey(0), jnp.asarray(arr)[None]))[0]
+    t = torch.from_numpy(arr.astype(np.float32) / 255.0).permute(2, 0, 1)[None]
+    ref = F.interpolate(t, size=(24, 24), mode=mode, align_corners=False,
+                        antialias=True)[0].permute(1, 2, 0).numpy()
+    np.testing.assert_allclose(out, ref, atol=3e-5)
+
+
+def test_crop_resample_integer_box_matches_pil(rng):
+    """Driving the resampler with an exact integer box must equal numpy-crop +
+    PIL bicubic resize (the host tier's RandomResizedCrop inner op). Float-mode
+    PIL sidesteps its uint8 fixed-point quantization; a 3-px output margin
+    excludes the box boundary, where the device tier deliberately differs (its
+    filter taps read the surrounding canvas instead of clamping at the box)."""
+    from open_clip_tpu.transform import make_crop_resample
+
+    arr = rng.integers(0, 255, (48, 48, 3), np.uint8)
+    top, left, ch, cw = 5, 9, 37, 29
+    fn = make_crop_resample(48, 24, 24, kind="cubic", antialias=True)
+    out = np.asarray(fn(
+        jnp.asarray(arr, jnp.float32)[None] / 255.0,
+        jnp.asarray([float(top)]), jnp.asarray([float(left)]),
+        jnp.asarray([float(ch)]), jnp.asarray([float(cw)])))[0]
+    ref = np.stack([
+        np.asarray(Image.fromarray(
+            arr[top:top + ch, left:left + cw, c].astype(np.float32) / 255.0,
+            mode="F").resize((24, 24), Image.BICUBIC))
+        for c in range(3)], axis=-1)
+    assert np.abs(out - ref)[3:-3, 3:-3].max() < 1e-5
 
 
 def test_device_rrc_randomness_and_range(rng):
