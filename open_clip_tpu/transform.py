@@ -80,6 +80,12 @@ def merge_preprocess_dict(base: PreprocessCfg, overlay: Optional[Dict[str, Any]]
     return PreprocessCfg(**d)
 
 
+# per-sample C++ JPEG decode+resize in the uint8 canvas stage (DCT-scaled
+# decode; ~5/255 high-frequency deviation from a full PIL decode on noisy
+# JPEGs). Flip off to force the PIL decode path — scripts/ab_device_rrc.py
+# uses this to isolate the decode stage from the on-device RRC.
+NATIVE_DECODE = True
+
 _PIL_INTERP = {}
 if Image is not None:
     _PIL_INTERP = {
@@ -305,7 +311,8 @@ class _Uint8CanvasTransform:
         # the native (C++/libjpeg) decode stage implements exactly this geometry
         # for bicubic RGB; data/wds.py batch-decodes through it when set
         self.native_canvas = canvas if (
-            cfg.interpolation in ("bicubic",) and cfg.mode == "RGB") else None
+            NATIVE_DECODE and cfg.interpolation in ("bicubic",)
+            and cfg.mode == "RGB") else None
 
     def __call__(self, img) -> np.ndarray:
         s = (self.canvas, self.canvas)
@@ -402,6 +409,59 @@ def make_crop_resample(s: int, th: int, tw: int, kind: str = "cubic",
     return fn
 
 
+def make_crop_param_sampler(s: int, scale_rng: Tuple[float, float],
+                            ratio_rng: Tuple[float, float], attempts: int = 10):
+    """Jittable torchvision ``RandomResizedCrop.get_params`` for a square source.
+
+    Returns ``fn(rng, b) -> (top, left, ch, cw)`` float arrays of shape (B,) with
+    *integer values*, distributed exactly like the host tier's ``_get_crop``
+    (reference transform.py:418-447 semantics): ``attempts`` independent
+    (area, log-aspect) draws per sample, take the FIRST whose rounded crop fits
+    inside the s x s source, else fall back to the ratio-clamped center crop.
+
+    The rejection step matters: with the reference's default scale=(0.9, 1.0) the
+    valid aspect window is narrow, so most draws fail and the fallback (full
+    square) dominates. Clipping each axis to the source instead — the pre-round-4
+    behavior — silently accepts every draw as an anisotropically *stretched* crop;
+    an A/B (scripts/ab_device_rrc.py, docs/ab_device_rrc.json) measured that shift
+    costing ~2x held-out retrieval at equal train loss."""
+    import jax
+    import jax.numpy as jnp
+
+    log_ratio = (float(np.log(ratio_rng[0])), float(np.log(ratio_rng[1])))
+    # static fallback (host _get_crop fallback for a square source): clamp the
+    # source aspect (1.0) into the ratio range, center the crop
+    if 1.0 < ratio_rng[0]:
+        fb_cw, fb_ch = s, int(round(s / ratio_rng[0]))
+    elif 1.0 > ratio_rng[1]:
+        fb_cw, fb_ch = int(round(s * ratio_rng[1])), s
+    else:
+        fb_cw = fb_ch = s
+    fb_left, fb_top = (s - fb_cw) // 2, (s - fb_ch) // 2
+
+    def fn(rng: "jax.Array", b: int):
+        k1, k2, k3 = jax.random.split(rng, 3)
+        area = jax.random.uniform(k1, (b, attempts), minval=scale_rng[0],
+                                  maxval=scale_rng[1]) * (s * s)
+        aspect = jnp.exp(jax.random.uniform(k2, (b, attempts), minval=log_ratio[0],
+                                            maxval=log_ratio[1]))
+        cw = jnp.round(jnp.sqrt(area * aspect))
+        ch = jnp.round(jnp.sqrt(area / aspect))
+        ok = (cw > 0) & (cw <= s) & (ch > 0) & (ch <= s)
+        first = jnp.argmax(ok, axis=1)  # index of the first accepted draw
+        any_ok = jnp.any(ok, axis=1)
+        pick = lambda a: jnp.take_along_axis(a, first[:, None], axis=1)[:, 0]
+        cw_s = jnp.where(any_ok, pick(cw), float(fb_cw))
+        ch_s = jnp.where(any_ok, pick(ch), float(fb_ch))
+        # integer offsets, randint(0, s - c) inclusive like the host tier
+        off = jax.random.uniform(k3, (b, 2))
+        top = jnp.where(any_ok, jnp.floor(off[:, 0] * (s - ch_s + 1.0)), float(fb_top))
+        left = jnp.where(any_ok, jnp.floor(off[:, 1] * (s - cw_s + 1.0)), float(fb_left))
+        return top, left, ch_s, cw_s
+
+    return fn
+
+
 def make_device_train_preprocess(
     cfg: PreprocessCfg,
     aug_cfg: Optional[Union[Dict[str, Any], AugmentationCfg]] = None,
@@ -409,15 +469,18 @@ def make_device_train_preprocess(
 ):
     """Jittable fused train preprocess: (rng, uint8 (B, S, S, 3)) -> (B, th, tw, 3).
 
-    Per-sample RandomResizedCrop (scale/ratio sampled like torchvision
-    RandomResizedCrop.get_params; reference transform.py:418-447) implemented as a
-    batched separable resample (``make_crop_resample``): one XLA program that fuses
-    with the normalize and the model's patchify matmul. The crop source is the
-    host-stage canvas rather than the original photo (documented distribution shift
-    traded for an entirely device-resident augmentation). The filter matches the
-    host tier's PIL semantics — bicubic (Keys a=-0.5) with antialias — which an A/B
-    (scripts/ab_device_rrc.py) showed matters: the earlier non-AA 2-tap bilinear
-    tier trained to the same loss but markedly worse retrieval."""
+    Per-sample RandomResizedCrop with torchvision ``get_params`` semantics —
+    including the 10-attempt rejection loop (``make_crop_param_sampler``; reference
+    transform.py:418-447) — implemented as a batched separable resample
+    (``make_crop_resample``): one XLA program that fuses with the normalize and the
+    model's patchify matmul. The crop source is the host-stage canvas rather than
+    the original photo (documented distribution shift traded for an entirely
+    device-resident augmentation). The A/B (scripts/ab_device_rrc.py,
+    docs/ab_device_rrc.json) pinned the round-3 tier's ~2x held-out retrieval
+    deficit on crop-draw CLIPPING (stretched crops the host tier would reject);
+    with rejection sampling the device tier matches the host tier. The filter
+    matches the host tier's PIL resample semantics (bicubic Keys a=-0.5,
+    antialiased) — the A/B measured that choice alone as neutral at this scale."""
     import jax
     import jax.numpy as jnp
 
@@ -440,20 +503,13 @@ def make_device_train_preprocess(
     th, tw = cfg.size_hw
     mean = jnp.asarray(cfg.mean, dtype=jnp.float32)
     std = jnp.asarray(cfg.std, dtype=jnp.float32)
-    log_ratio = (float(np.log(ratio_rng[0])), float(np.log(ratio_rng[1])))
     kind = "linear" if cfg.interpolation == "bilinear" else "cubic"
 
     def fn(rng: "jax.Array", images: "jax.Array") -> "jax.Array":
         x = images.astype(jnp.float32) / 255.0
         b, s = x.shape[0], x.shape[1]
-        k1, k2, k3 = jax.random.split(rng, 3)
-        area = jax.random.uniform(k1, (b,), minval=scale_rng[0], maxval=scale_rng[1]) * (s * s)
-        aspect = jnp.exp(jax.random.uniform(k2, (b,), minval=log_ratio[0], maxval=log_ratio[1]))
-        cw = jnp.clip(jnp.sqrt(area * aspect), 1.0, s)
-        ch = jnp.clip(jnp.sqrt(area / aspect), 1.0, s)
-        off = jax.random.uniform(k3, (b, 2))
-        top = off[:, 0] * (s - ch)
-        left = off[:, 1] * (s - cw)
+        sample_params = make_crop_param_sampler(s, scale_rng, ratio_rng)
+        top, left, ch, cw = sample_params(rng, b)
 
         resample = make_crop_resample(s, th, tw, kind=kind, antialias=antialias)
         out = resample(x, top, left, ch, cw)

@@ -100,8 +100,13 @@ def run_tier(tag, train_url, n_samples, epochs, logs, device_tier):
         "--name", f"ab-{tag}",
         "--zeroshot-frequency", "1000",
     ]
-    if device_tier:
+    from open_clip_tpu import transform
+
+    transform.NATIVE_DECODE = device_tier != "device_pil"
+    if device_tier == "device":
         args += ["--device-preprocess", "--native-decode-threads", "1"]
+    elif device_tier == "device_pil":  # isolate the native C++ decode stage
+        args += ["--device-preprocess"]
     state = main(args)
     # loss trajectory from the jsonl log
     losses = []
@@ -161,6 +166,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--samples", type=int, default=2048)
     ap.add_argument("--logs", default="/tmp/ab_rrc_logs")
+    ap.add_argument("--tiers", default="host,device",
+                    help="comma list of tiers to (re)run; existing results for "
+                         "other tiers in docs/ab_device_rrc.json are kept")
     args = ap.parse_args()
 
     import jax
@@ -188,8 +196,16 @@ def main():
     train_url, val_url = make_shards("/root/repo/.ab_rrc_data", n_train=args.samples)
     print("shards ready", flush=True)
 
+    out_path = "/root/repo/docs/ab_device_rrc.json"
     results = {}
-    for tag, device_tier in (("host", False), ("device", True)):
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            results = json.load(fh)
+    run = [t.strip() for t in args.tiers.split(",") if t.strip()]
+    for tag in ("host", "device", "device_pil"):
+        device_tier = False if tag == "host" else tag
+        if tag not in run:
+            continue
         losses, ckpt_dir, state = run_tier(tag, train_url, args.samples,
                                            args.epochs, args.logs, device_tier)
         from open_clip_tpu.checkpoint import load_native
@@ -203,7 +219,7 @@ def main():
         results[tag] = {"losses": losses, "retrieval": ret}
         print(tag, "losses:", losses[-6:], "retrieval:", ret, flush=True)
 
-    with open("/root/repo/docs/ab_device_rrc.json", "w") as fh:
+    with open(out_path, "w") as fh:
         json.dump(results, fh, indent=1)
     print(json.dumps(results, indent=1))
 

@@ -125,6 +125,52 @@ def test_crop_resample_integer_box_matches_pil(rng):
     assert np.abs(out - ref)[3:-3, 3:-3].max() < 1e-5
 
 
+def test_crop_param_sampler_matches_host_distribution():
+    """The device crop-param sampler must reproduce torchvision get_params
+    semantics INCLUDING the 10-attempt rejection loop: with the reference default
+    scale=(0.9, 1.0) most aspect draws don't fit and the full-square fallback
+    dominates. The pre-round-4 clipping sampler accepted every draw as a stretched
+    crop — a distribution shift the A/B (docs/ab_device_rrc.json) measured at ~2x
+    held-out retrieval. Compare fallback rate, area and aspect moments against the
+    host-tier sampler on a square source."""
+    from open_clip_tpu.transform import _TrainTransform, make_crop_param_sampler
+
+    s, n = 256, 4096
+    host_t = _TrainTransform(PreprocessCfg(size=224), AugmentationCfg())
+    import random as pyrandom
+
+    pyrandom.seed(3)
+    host = np.array([host_t._get_crop(s, s) for _ in range(n)], dtype=np.float64)
+    h_left, h_top, h_cw, h_ch = host.T
+
+    dev_fn = make_crop_param_sampler(s, (0.9, 1.0), (3.0 / 4.0, 4.0 / 3.0))
+    d_top, d_left, d_ch, d_cw = (np.asarray(a, np.float64)
+                                 for a in dev_fn(jax.random.PRNGKey(5), n))
+
+    # every crop fits — no clipped/stretched boxes
+    assert (d_cw <= s).all() and (d_ch <= s).all() and (d_cw > 0).all()
+    assert (d_top >= 0).all() and (d_top + d_ch <= s).all()
+    assert (d_left >= 0).all() and (d_left + d_cw <= s).all()
+    # integer-valued params like the host tier
+    np.testing.assert_array_equal(d_cw, np.round(d_cw))
+    np.testing.assert_array_equal(d_top, np.round(d_top))
+
+    # fallback (full-square) rate matches: analytically ~86% at scale=(0.9, 1.0)
+    h_fb = ((h_cw == s) & (h_ch == s)).mean()
+    d_fb = ((d_cw == s) & (d_ch == s)).mean()
+    assert abs(h_fb - d_fb) < 0.03, (h_fb, d_fb)
+    # area and aspect moments of the NON-fallback (accepted-draw) crops match
+    h_acc = host[(h_cw < s) | (h_ch < s)]
+    d_acc = np.stack([d_left, d_top, d_cw, d_ch], 1)[(d_cw < s) | (d_ch < s)]
+    for col, tol in ((2, 0.02), (3, 0.02)):  # cw, ch relative mean tolerance
+        hm, dm = h_acc[:, col].mean(), d_acc[:, col].mean()
+        assert abs(hm - dm) / hm < tol, (col, hm, dm)
+    h_aspect = h_acc[:, 2] / h_acc[:, 3]
+    d_aspect = d_acc[:, 2] / d_acc[:, 3]
+    assert abs(h_aspect.mean() - d_aspect.mean()) < 0.02
+    assert abs(h_aspect.std() - d_aspect.std()) < 0.02
+
+
 def test_device_rrc_randomness_and_range(rng):
     cfg = PreprocessCfg(size=16)
     devpp = make_device_train_preprocess(cfg)
