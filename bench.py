@@ -631,7 +631,12 @@ def bench_input_pipeline():
     step = jit_train_step(make_train_step(cfg, opt, compute_dtype=jnp.bfloat16, remat=True,
                                           device_preprocess=devpp))
 
-    bs = 1024
+    # 512, not 1024: the tunnel's remote-compile helper crashes (HTTP 500, subprocess
+    # exit 1) on this step's program at batch 1024 — bisected to batch size alone
+    # (1024 fails with and without the fused device preprocess; 512 compiles and
+    # runs). The e2e number is host-decode-bound on this box, so the device-side
+    # batch does not move it; override via OPEN_CLIP_TPU_BENCH_E2E_BS on real pods.
+    bs = int(os.environ.get("OPEN_CLIP_TPU_BENCH_E2E_BS", "512"))
     default_nw = max(1, min(4, (os.cpu_count() or 1) - 1)) if (os.cpu_count() or 1) > 1 else 1
     nw = int(os.environ.get("OPEN_CLIP_TPU_BENCH_WORKERS", str(default_nw)))
     # native C++ decode stage (in-library threads, no fork/IPC) when it builds;

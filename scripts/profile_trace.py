@@ -20,7 +20,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_step(policy, batch):
+def build_step(policy, batch, model="ViT-B-32"):
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"))
@@ -37,18 +37,23 @@ def build_step(policy, batch):
 
     blocks.REMAT_POLICY = policy
     blocks.SCAN_UNROLL = 1
-    cfg = parse_model_cfg("ViT-B-32")
+    cfg = parse_model_cfg(model)
     params = init_clip(jax.random.PRNGKey(0), cfg)
     opt = create_optimizer(OptimizerCfg(lr=5e-4, wd=0.2, grad_clip_norm=1.0),
                            params, const_lr(5e-4, 0))
     state = create_train_state(params, opt)
-    step = jit_train_step(make_train_step(cfg, opt, loss_type="clip",
+    loss_type = "siglip" if cfg.init_logit_bias is not None else "clip"
+    step = jit_train_step(make_train_step(cfg, opt, loss_type=loss_type,
                                           compute_dtype=jnp.bfloat16, remat=True))
     rng = np.random.default_rng(0)
-    b = {
-        "image": jnp.asarray(rng.standard_normal((batch, 224, 224, 3)), jnp.bfloat16),
-        "text": jnp.asarray(rng.integers(0, 49407, size=(batch, 77)), jnp.int32),
-    }
+    b = {"text": jnp.asarray(rng.integers(0, 49407, size=(batch, 77)), jnp.int32)}
+    if cfg.audio_cfg is not None:
+        b["audio"] = {"waveform": jnp.asarray(
+            rng.standard_normal((batch, 480000)) * 0.1, jnp.float32)}
+    else:
+        sz = cfg.vision_cfg.image_size
+        sz = sz if isinstance(sz, int) else sz[0]
+        b["image"] = jnp.asarray(rng.standard_normal((batch, sz, sz, 3)), jnp.bfloat16)
     return state, step, b
 
 
@@ -163,11 +168,12 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--parse-only", action="store_true")
+    ap.add_argument("--model", default="ViT-B-32")
     args = ap.parse_args()
 
     if not args.parse_only:
         import jax
-        state, step, batch = build_step(args.policy, args.batch)
+        state, step, batch = build_step(args.policy, args.batch, args.model)
         keys = [jax.random.PRNGKey(i) for i in range(4 + args.steps)]
         for i in range(4):  # warmup/compile
             state, m = step(state, batch, keys[i])
