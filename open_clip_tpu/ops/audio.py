@@ -86,6 +86,53 @@ def mel_filter_bank(
 # STFT (jittable)
 # ---------------------------------------------------------------------------
 
+def _hann_window(n_fft: int, win_length: int) -> np.ndarray:
+    """Periodic Hann of ``win_length``, zero-padded centered to ``n_fft``."""
+    window = np.hanning(win_length + 1)[:-1].astype(np.float32)
+    if win_length < n_fft:
+        pad = (n_fft - win_length) // 2
+        window = np.pad(window, (pad, n_fft - win_length - pad))
+    return window
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_basis(n_fft: int, win_length: int) -> np.ndarray:
+    """(n_fft, 2 * n_bins) windowed real-DFT basis: [cos | -sin] columns, so
+    ``frames @ basis`` yields [Re(rfft(frames * window)) | Im(...)].
+
+    The DFT runs as ONE MXU matmul instead of XLA's FFT decomposition: on TPU
+    the FFT lowers to a chain of f32 stage ops plus a gather-built frame tensor
+    (measured ~80 ms/step of the CLAP train step at batch 128); the matmul
+    form is a single dense op the MXU runs at near-peak, and the frame tensor
+    is built from hop-strided reshape slices (plain copies, no gather).
+    """
+    n_bins = n_fft // 2 + 1
+    k = np.arange(n_fft)[:, None]
+    f = np.arange(n_bins)[None, :]
+    ang = 2.0 * np.pi * k * f / n_fft
+    window = _hann_window(n_fft, win_length)[:, None].astype(np.float64)
+    basis = np.concatenate([np.cos(ang) * window, -np.sin(ang) * window], axis=1)
+    return basis.astype(np.float32)
+
+
+def frame_signal(x: jax.Array, n_fft: int, hop_length: int) -> jax.Array:
+    """(..., T) -> (..., n_frames, n_fft) overlapping frames WITHOUT a gather:
+    the signal reshapes into hop-sized rows and each frame is the concat of
+    ``ceil(n_fft / hop)`` consecutive rows — r cheap strided slices + one concat,
+    which XLA emits as full-bandwidth copies (the index-array gather formulation
+    ran at ~1/40 of HBM bandwidth in the CLAP train-step trace)."""
+    t = x.shape[-1]
+    n_frames = 1 + (t - n_fft) // hop_length
+    r = -(-n_fft // hop_length)
+    rows = n_frames + r - 1
+    pad = rows * hop_length - t
+    if pad > 0:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    z = x[..., : rows * hop_length].reshape(*x.shape[:-1], rows, hop_length)
+    parts = [z[..., j : j + n_frames, :] for j in range(r)]
+    return jnp.concatenate(parts, axis=-1)[..., :n_fft]
+
+
 def stft_magnitude(
     audio: jax.Array,  # (..., T)
     n_fft: int,
@@ -96,24 +143,30 @@ def stft_magnitude(
     pad_mode: str = "reflect",
 ) -> jax.Array:
     """|STFT|^power with a periodic Hann window — torch.stft conventions.
-    Returns (..., n_frames, n_fft//2 + 1)."""
-    win_length = win_length or n_fft
-    window = jnp.asarray(np.hanning(win_length + 1)[:-1].astype(np.float32))  # periodic hann
-    if win_length < n_fft:
-        pad = (n_fft - win_length) // 2
-        window = jnp.pad(window, (pad, n_fft - win_length - pad))
+    Returns (..., n_frames, n_fft//2 + 1).
 
+    TPU formulation: hop-strided reshape framing + one windowed-DFT matmul on
+    the MXU (see ``_dft_basis``) instead of gather + ``jnp.fft.rfft``. The
+    matmul runs at HIGHEST precision (f32-equivalent on TPU) — the power
+    spectrogram squares any error, and downstream log-mel parity is 1e-4."""
+    win_length = win_length or n_fft
     x = audio.astype(jnp.float32)
     if center:
         pad = n_fft // 2
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode=pad_mode)
 
-    t = x.shape[-1]
-    n_frames = 1 + (t - n_fft) // hop_length
-    idx = jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
-    frames = x[..., idx]  # (..., n_frames, n_fft)
-    spec = jnp.fft.rfft(frames * window, axis=-1)
-    mag = jnp.abs(spec)
+    frames = frame_signal(x, n_fft, hop_length)  # (..., n_frames, n_fft)
+    basis = jnp.asarray(_dft_basis(n_fft, win_length))
+    spec = jax.lax.dot_general(
+        frames, basis, (((frames.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (..., n_frames, 2 * n_bins)
+    n_bins = n_fft // 2 + 1
+    mag2 = spec[..., :n_bins] ** 2 + spec[..., n_bins:] ** 2
+    if power == 2.0:
+        return mag2
+    mag = jnp.sqrt(jnp.maximum(mag2, 0.0))
     return mag if power == 1.0 else mag ** power
 
 
