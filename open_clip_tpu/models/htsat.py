@@ -201,21 +201,37 @@ def _swin_block_apply(p, x, *, resolution: Tuple[int, int], heads: int, ws: int,
 
     # window attention with relative position bias
     n = ws * ws
+    bw = xw.shape[0]
     qkv = linear(xw, p["attn"]["qkv"]["kernel"], p["attn"]["qkv"].get("bias"))
-    q, k, v = jnp.split(qkv.reshape(-1, n, 3, heads, c // heads), 3, axis=2)
-    q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]  # (B*nW, N, H, hd)
     scale = (c // heads) ** -0.5
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
     rel = p["attn"]["rel_bias"][jnp.asarray(relative_position_index(ws).reshape(-1))]
     rel = rel.reshape(n, n, heads).transpose(2, 0, 1)  # (H, N, N)
-    logits = logits + rel[None].astype(jnp.float32)
     mask = shifted_window_mask(h, w, ws, shift)
-    if mask is not None:
-        nw = mask.shape[0]
-        logits = logits.reshape(-1, nw, heads, n, n) + jnp.asarray(mask)[None, :, None]
-        logits = logits.reshape(-1, heads, n, n)
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(-1, n, c)
+
+    from ..ops import window_attention as _wa
+
+    nw_bias = 1 if mask is None else mask.shape[0]
+    if _wa.enabled() and _wa.supports(n, heads, c, bw, nw_bias):
+        # fused Pallas path: q/k/v stay in the (B*nW, N, C) qkv-output layout
+        # (no head-split relayouts); rel-pos bias + shift mask ride in as one
+        # differentiable additive (nW, H, N, N) input
+        q, k, v = qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:]
+        bias = rel[None].astype(jnp.float32)  # (1, H, N, N)
+        if mask is not None:
+            bias = bias + jnp.asarray(mask)[:, None]  # (nW, H, N, N)
+        out = _wa.window_attention(q, k, v, bias, scale=scale).reshape(-1, n, c)
+    else:
+        q, k, v = jnp.split(qkv.reshape(-1, n, 3, heads, c // heads), 3, axis=2)
+        q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]  # (B*nW, N, H, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        logits = logits + rel[None].astype(jnp.float32)
+        if mask is not None:
+            nw = mask.shape[0]
+            logits = logits.reshape(-1, nw, heads, n, n) + jnp.asarray(mask)[None, :, None]
+            logits = logits.reshape(-1, heads, n, n)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(-1, n, c)
     out = linear(out, p["attn"]["proj"]["kernel"], p["attn"]["proj"].get("bias"))
 
     x = window_reverse(out, ws, h, w)
