@@ -54,6 +54,23 @@ from .data.audio import (
     audio_transform_v2,
     require_audio,
 )
+from .models.clap import AudioTower
+from .models.modern_text import ModernTextTransformer
+from .convert import convert_params_dtype, convert_weights_to_fp16, convert_weights_to_lp
+from .pretrained import download_pretrained, download_pretrained_from_hf, download_pretrained_from_url
+from .task import (
+    CLAPTask,
+    CLIPTask,
+    CoCaTask,
+    DistillCLIPTask,
+    GenLapTask,
+    GenLipTask,
+    ImageTextTask,
+    SigLIPTask,
+    TrainingTask,
+    create_task,
+    get_model_from_task,
+)
 from .export import export_encoders, load_exported, save_exported
 from .push_to_hf_hub import push_pretrained_to_hf_hub, push_to_hf_hub, save_for_hf
 from .tokenizer import (
@@ -87,6 +104,25 @@ __all__ = [
     "__version__",
     "GenLipLoss",
     "CLIPAudioCfg",
+    "AudioTower",
+    "TrainingTask",
+    "ImageTextTask",
+    "CLIPTask",
+    "SigLIPTask",
+    "CoCaTask",
+    "DistillCLIPTask",
+    "CLAPTask",
+    "GenLipTask",
+    "GenLapTask",
+    "create_task",
+    "get_model_from_task",
+    "ModernTextTransformer",
+    "convert_params_dtype",
+    "convert_weights_to_lp",
+    "convert_weights_to_fp16",
+    "download_pretrained",
+    "download_pretrained_from_hf",
+    "download_pretrained_from_url",
     "NaFlexGenLip",
     "NaFlexGenLap",
     "CoCa",

@@ -368,6 +368,27 @@ def convert_params_dtype(params, dtype):
     return rec(params)
 
 
+def convert_weights_to_lp(model, dtype=None):
+    """Reference-compatible in-place low-precision cast of a :class:`CLIPModel`
+    facade (reference ``model.py:738-771`` mutates the torch module): replaces
+    the params pytree via :func:`convert_params_dtype` and pins the facade's
+    compute dtype. Functional callers should use ``convert_params_dtype``."""
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.bfloat16
+    model.params = convert_params_dtype(model.params, dtype)
+    if hasattr(model, "compute_dtype"):
+        model.compute_dtype = dtype
+    return model
+
+
+def convert_weights_to_fp16(model):
+    import jax.numpy as jnp
+
+    return convert_weights_to_lp(model, jnp.float16)
+
+
+
 def convert_mobile_clip_state_dict(sd: Mapping[str, Any]) -> Dict[str, np.ndarray]:
     """Apple MobileCLIP release checkpoint -> reference-style state dict.
 

@@ -105,6 +105,33 @@ def apply_audio_tower(
     return features
 
 
+class AudioTower:
+    """Facade mirroring the reference's ``AudioTower`` module
+    (reference ``src/open_clip/audio/tower.py:39``, exported from
+    ``src/open_clip/__init__.py:59``) over the functional JAX implementation:
+    holds the (audio_cfg, embed_dim) pair and dispatches to
+    :func:`init_audio_tower` / :func:`apply_audio_tower`. Params stay an
+    explicit pytree — there is no module state to carry."""
+
+    def __init__(self, audio_cfg: CLIPAudioCfg, embed_dim: int):
+        if isinstance(audio_cfg, dict):
+            audio_cfg = CLIPAudioCfg(**audio_cfg)
+        self.cfg = audio_cfg
+        self.embed_dim = embed_dim
+
+    def init(self, key) -> Dict[str, Any]:
+        return init_audio_tower(key, self.cfg, self.embed_dim)
+
+    def __call__(self, params: Dict[str, Any], audio, *, apply_proj: bool = True,
+                 compute_dtype=jnp.float32, remat: bool = False) -> jax.Array:
+        if isinstance(audio, jax.Array) or not isinstance(audio, dict):
+            audio = {"waveform": jnp.asarray(audio)}
+        return apply_audio_tower(params, self.cfg, audio, apply_proj=apply_proj,
+                                 compute_dtype=compute_dtype, remat=remat)
+
+    apply = __call__
+
+
 # ---------------------------------------------------------------------------
 # CLAP container
 # ---------------------------------------------------------------------------

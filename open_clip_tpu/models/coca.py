@@ -172,7 +172,9 @@ def coca_forward(
 def _qkv_single(p, h, heads, eps):
     """q, k, v (B, 1, H, hd) from a single-position hidden (B, 1, W), fused or split
     projections + optional qk-norm — the decode-path twin of ops.attention's
-    projection block (scaled-cosine / NormFormer extras are not used by CoCa)."""
+    projection block, including the CustomResidualAttentionBlock variants
+    (scaled-cosine logit_scale below; head_scale / Sub-LN live in the cached
+    block apply)."""
     b, _, d = h.shape
     hd = d // heads
     if "qkv" in p:

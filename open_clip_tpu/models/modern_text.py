@@ -327,6 +327,10 @@ def _pool(params, cfg: CLIPTextCfg, x, text, valid, pool_type, norm_type, eps):
         idx = jnp.where(eos.any(axis=1), jnp.argmax(eos.astype(jnp.int32), axis=1), last_valid)
         return jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]
     # map
+    if "pool" not in params:
+        raise ValueError(
+            f"modern text pool_type {pool_type!r} needs attention-pool params; "
+            "supported pool types: 'mean', 'eos'/'argmax', 'map'")
     p = params["pool"]
     b, l, width = x.shape
     heads = cfg.heads
@@ -346,3 +350,28 @@ def _pool(params, cfg: CLIPTextCfg, x, text, valid, pool_type, norm_type, eps):
 
     out = dot_product_attention(q, k, v, bias=bias, impl="xla")
     return out.reshape(b, width)
+
+
+class ModernTextTransformer:
+    """Facade mirroring the reference's ``ModernTextTransformer`` class
+    (reference ``src/open_clip/model.py:30``, exported from ``__init__.py:34``)
+    over the functional tower: holds (text_cfg, output_dim) and dispatches to
+    :func:`init_modern_text_tower` / :func:`apply_modern_text_tower`."""
+
+    def __init__(self, text_cfg: CLIPTextCfg, output_dim: int):
+        if isinstance(text_cfg, dict):
+            text_cfg = CLIPTextCfg(**text_cfg)
+        self.cfg = text_cfg
+        self.output_dim = output_dim
+
+    def init(self, key) -> Dict[str, Any]:
+        return init_modern_text_tower(key, self.cfg, self.output_dim)
+
+    def __call__(self, params: Dict[str, Any], text, *, compute_dtype=jnp.float32,
+                 remat: bool = False, attn_impl: str = "auto"):
+        pooled, _tokens = apply_modern_text_tower(
+            params, self.cfg, jnp.asarray(text), compute_dtype=compute_dtype,
+            remat=remat, attn_impl=attn_impl)
+        return pooled
+
+    apply = __call__

@@ -98,7 +98,9 @@ def _ln_bwd_pallas(x2, dy2, scale, eps):
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         cost_estimate=pl.CostEstimate(
             flops=12 * r * w,
-            bytes_accessed=(2 * r * w * x2.dtype.itemsize) + r * w * x2.dtype.itemsize,
+            # x read + dy read + dx write (input dtype) + the two (grid*8, W)
+            # f32 partial-sum outputs
+            bytes_accessed=3 * r * w * x2.dtype.itemsize + 2 * grid * 8 * w * 4,
             transcendentals=0,
         ),
         interpret=_INTERPRET,

@@ -71,11 +71,54 @@ def download_pretrained(cfg: Dict[str, Any], cache_dir: Optional[str] = None) ->
         return download_pretrained_from_hf(repo, filename=fname, cache_dir=cache_dir)
     url = cfg.get("url", "")
     if url:
-        raise RuntimeError(
-            f"URL download not available in this environment; fetch {url} manually and "
-            "pass the local path as `pretrained=`."
-        )
+        return download_pretrained_from_url(url, cache_dir=cache_dir)
     raise ValueError("pretrained cfg has no hf_hub or url")
+
+
+def download_pretrained_from_url(url: str, cache_dir: Optional[str] = None) -> str:
+    """Fetch a checkpoint URL into the cache with the registry's embedded-sha256
+    verification (reference pretrained.py:812-856: openaipublic URLs carry the
+    hash as the parent path segment, mlfoundations releases as the filename
+    suffix). A cached file with a matching hash short-circuits the download, so
+    offline hosts with a primed cache never touch the network."""
+    import hashlib
+    import urllib.request
+    import warnings
+
+    if not cache_dir:
+        cache_dir = os.path.expanduser("~/.cache/clip")
+    os.makedirs(cache_dir, exist_ok=True)
+    filename = os.path.basename(url)
+    if "openaipublic" in url:
+        expected_sha256 = url.split("/")[-2]
+    elif "mlfoundations" in url:
+        expected_sha256 = os.path.splitext(filename)[0].split("-")[-1]
+    else:
+        expected_sha256 = ""
+    target = os.path.join(cache_dir, filename)
+    if os.path.exists(target) and not os.path.isfile(target):
+        raise RuntimeError(f"{target} exists and is not a regular file")
+    if os.path.isfile(target):
+        if not expected_sha256:
+            return target
+        digest = hashlib.sha256(open(target, "rb").read()).hexdigest()
+        if digest.startswith(expected_sha256):
+            return target
+        warnings.warn(f"{target} exists but the SHA256 does not match; re-downloading")
+    tmp = target + ".part"
+    with urllib.request.urlopen(url) as src, open(tmp, "wb") as out:
+        while True:
+            buf = src.read(1 << 20)
+            if not buf:
+                break
+            out.write(buf)
+    if expected_sha256:
+        digest = hashlib.sha256(open(tmp, "rb").read()).hexdigest()
+        if not digest.startswith(expected_sha256):
+            os.unlink(tmp)
+            raise RuntimeError("downloaded checkpoint failed SHA256 verification")
+    os.replace(tmp, target)  # atomic publish: no torn files on crash
+    return target
 
 
 def download_pretrained_from_hf(

@@ -409,17 +409,11 @@ def main(args=None):
         blocks.SCAN_UNROLL = args.scan_unroll
 
         # loss/family dispatch (reference create_task, factory.py:975: every model
-        # family — incl. GenLIP/GenLAP — is trainable from the CLI)
-        if args.distill_model:
-            loss_type = "distill"
-        elif hasattr(cfg, "trunk_cfg"):
-            loss_type = "genlap" if getattr(cfg, "audio_cfg", None) is not None else "genlip"
-        elif args.siglip:
-            loss_type = "siglip"
-        elif getattr(cfg, "multimodal_cfg", None) is not None:
-            loss_type = "coca"
-        else:
-            loss_type = "clip"
+        # family — incl. GenLIP/GenLAP — is trainable from the CLI); the task
+        # layer (task.py) shares this dispatch
+        from ..task import loss_type_for
+
+        loss_type = loss_type_for(cfg, distill=bool(args.distill_model), siglip=args.siglip)
         step_fn = jit_train_step(
             make_train_step(
                 cfg, optimizer,
