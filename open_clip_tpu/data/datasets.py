@@ -339,6 +339,23 @@ def get_data(
         data["imagenet-v2"] = make_imagenet_val(
             get("imagenet_v2"), pp_val, get("batch_size", 64),
             world_size=get("world_size", 1) or 1, rank=get("rank", 0) or 0)
+    if get("audio_zeroshot_dataset"):
+        # reference data.py:1185-1192 wires the audio-zeroshot split; local wav
+        # folders work offline, HF dataset ids need hub access
+        from ..train.audio_zero_shot import build_audio_zero_shot_dataset
+
+        loader = build_audio_zero_shot_dataset(
+            get("audio_zeroshot_dataset"), pp_val,
+            batch_size=get("batch_size", 64),
+            split=get("audio_zeroshot_split", "test"),
+            audio_key=get("audio_zeroshot_audio_key", "audio"),
+            label_key=get("audio_zeroshot_target_key", "target"),
+            classname_key=get("audio_zeroshot_class_key", "category"),
+            world_size=get("world_size", 1) or 1, rank=get("rank", 0) or 0,
+        )
+        info = DataInfo(loader, num_samples=getattr(loader, "num_samples", 0))
+        info.classnames = loader.classnames
+        data["audio-zeroshot"] = info
     return data
 
 

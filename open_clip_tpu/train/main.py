@@ -474,7 +474,7 @@ def main(args=None):
                 _profiling = False
 
             completed = epoch + 1
-            if "val" in data or "imagenet-val" in data:
+            if any(k in data for k in ("val", "imagenet-val", "imagenet-v2", "audio-zeroshot")):
                 if completed % args.val_frequency == 0 or completed == args.epochs:
                     if state.ema_params is not None:
                         model.params = state.ema_params

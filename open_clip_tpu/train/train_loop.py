@@ -207,6 +207,13 @@ def evaluate(
 
     metrics.update(zero_shot_eval(model, data, epoch, args, tokenizer=tokenizer))
 
+    if "audio-zeroshot" in data:
+        from .audio_zero_shot import audio_zero_shot_eval, parse_templates
+
+        metrics.update(audio_zero_shot_eval(
+            model, data, epoch, args, tokenizer=tokenizer,
+            templates=parse_templates(getattr(args, "audio_zeroshot_template", None))))
+
     if "val" in data:
         eval_step = make_eval_step(model.cfg, compute_dtype=getattr(model, "compute_dtype", jnp.bfloat16))
         all_imf, all_txf, all_idx = [], [], []

@@ -8,7 +8,8 @@ builds a template-ensemble text classifier from class names and scores
 factory hands NaFlexClap the NaFlex mel-patch transform and HTSAT the fixed-clip
 ``AudioPreprocess``.
 
-Needs HF ``datasets`` with hub access (or a local HF cache) for the eval set.
+Eval set: a local wav folder (``root/<classname>/*.wav`` — works fully offline) or
+an HF audio dataset id (needs hub access / a local HF cache).
 
 Example:
     python scripts/clap_zeroshot.py \
@@ -25,7 +26,7 @@ from _common import load_trained_weights  # noqa: E402  (adds repo root to sys.p
 from open_clip_tpu.factory import create_model_and_transforms, get_tokenizer
 from open_clip_tpu.train.audio_zero_shot import (
     audio_zero_shot_eval,
-    build_hf_audio_zero_shot_dataset,
+    build_audio_zero_shot_dataset,
 )
 
 
@@ -39,7 +40,8 @@ def main():
     parser.add_argument("--use-ema", action="store_true",
                         help="Prefer EMA weights if present.")
     parser.add_argument("--audio-zeroshot-dataset", required=True,
-                        help="HF dataset id, e.g. ashraq/esc50.")
+                        help="local wav folder (root/<classname>/*.wav) or HF dataset "
+                             "id, e.g. ashraq/esc50.")
     parser.add_argument("--audio-zeroshot-split", default="train")
     parser.add_argument("--audio-zeroshot-audio-key", default="audio")
     parser.add_argument("--audio-zeroshot-target-key", default="target")
@@ -64,7 +66,7 @@ def main():
     tokenizer = get_tokenizer(args.model)
 
     print(f"Loading {args.audio_zeroshot_dataset} (split={args.audio_zeroshot_split}) ...")
-    loader = build_hf_audio_zero_shot_dataset(
+    loader = build_audio_zero_shot_dataset(
         args.audio_zeroshot_dataset,
         preprocess_val,
         batch_size=args.batch_size,

@@ -143,3 +143,111 @@ def test_audio_zero_shot_loop():
     classifier /= np.linalg.norm(classifier, axis=0)
     metrics = run_audio_zero_shot(model, classifier, batches)
     assert 0.0 <= metrics["top1"] <= 1.0
+
+
+def _write_wav(path, wav, sr=16000):
+    import wave
+
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((np.clip(wav, -1, 1) * 32767).astype(np.int16).tobytes())
+
+
+def _make_wav_folder(root, classes=("dog_bark", "rain"), per_class=3, sr=16000, n=8000):
+    """Tiny offline audio-classification fixture: root/<classname>/*.wav with a
+    class-distinct spectral signature (sine vs noise) so a trained model could
+    separate them; here we only need the plumbing to run end to end."""
+    rng = np.random.default_rng(0)
+    t = np.arange(n) / sr
+    for ci, c in enumerate(classes):
+        d = root / c
+        d.mkdir(parents=True)
+        for j in range(per_class):
+            wav = (np.sin(2 * np.pi * (300 + 400 * ci) * t) * 0.3
+                   if ci == 0 else rng.standard_normal(n).astype(np.float32) * 0.1)
+            _write_wav(d / f"clip{j}.wav", wav, sr)
+    return str(root)
+
+
+def test_folder_audio_zero_shot_full_path(tmp_path):
+    """VERDICT r4 item 7: the full classname/template/classifier/eval loop runs
+    offline from local wav fixtures (no HF datasets, no network) — the audio twin
+    of the synthetic-tar image tests."""
+    from open_clip_tpu.factory import get_tokenizer
+    from open_clip_tpu.train.audio_zero_shot import (
+        audio_zero_shot_eval,
+        build_folder_audio_zero_shot_dataset,
+        parse_templates,
+    )
+
+    name = "tiny-clap-zs"
+    if name not in oct.list_models():
+        oct.add_model_config(
+            {
+                "embed_dim": 32,
+                "audio_cfg": {"model_type": "HTSAT", "model_name": "tiny", "sample_rate": 16000,
+                              "mel_bins": 64, "window_size": 400, "hop_size": 160,
+                              "clip_samples": 32000, "fmin": 50, "fmax": 8000},
+                "text_cfg": {"context_length": 12, "vocab_size": 49408, "width": 32,
+                             "heads": 2, "layers": 2},
+            },
+            name=name,
+        )
+    model = oct.create_model(name)
+    root = _make_wav_folder(tmp_path / "audioset")
+    pp = AudioPreprocess({**CFG}, data_trunc="trunc")
+    loader = build_folder_audio_zero_shot_dataset(root, pp, batch_size=4)
+    assert loader.classnames == ["dog bark", "rain"]
+    assert loader.num_samples == 6
+
+    class _Split:
+        dataloader = loader
+        classnames = loader.classnames
+
+    tok = get_tokenizer(name)
+    metrics = audio_zero_shot_eval(
+        model, {"audio-zeroshot": _Split()}, epoch=1, tokenizer=tok,
+        classnames=loader.classnames,
+        templates=parse_templates("a sound of {}.|the noise of {}"))
+    assert set(metrics) == {"audio-zeroshot-top1", "audio-zeroshot-top5"}
+    assert 0.0 <= metrics["audio-zeroshot-top1"] <= metrics["audio-zeroshot-top5"] <= 1.0
+
+
+def test_folder_audio_zero_shot_rank_split(tmp_path):
+    """Stride-split loaders cover each item exactly once across ranks."""
+    from open_clip_tpu.train.audio_zero_shot import build_folder_audio_zero_shot_dataset
+
+    root = _make_wav_folder(tmp_path / "audioset", per_class=2)
+    pp = AudioPreprocess({**CFG}, data_trunc="trunc")
+    seen = []
+    for rank in range(2):
+        loader = build_folder_audio_zero_shot_dataset(root, pp, batch_size=3,
+                                                      world_size=2, rank=rank)
+        for b in loader:
+            seen += list(b["label"])
+    assert sorted(seen) == [0, 0, 1, 1]
+
+
+def test_wav_reader_formats(tmp_path):
+    """Stdlib WAV reader: 16-bit PCM round-trips; stereo mixes to mono."""
+    import wave
+
+    from open_clip_tpu.train.audio_zero_shot import _read_wav
+
+    sig = np.sin(np.arange(800) / 10).astype(np.float32) * 0.5
+    _write_wav(tmp_path / "mono.wav", sig)
+    wav, sr = _read_wav(str(tmp_path / "mono.wav"))
+    assert sr == 16000
+    np.testing.assert_allclose(wav, sig, atol=2e-4)
+
+    with wave.open(str(tmp_path / "stereo.wav"), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        inter = np.stack([sig, -sig], -1).ravel()
+        w.writeframes((inter * 32767).astype(np.int16).tobytes())
+    wav2, sr2 = _read_wav(str(tmp_path / "stereo.wav"))
+    assert sr2 == 8000 and wav2.shape == sig.shape
+    np.testing.assert_allclose(wav2, 0.0, atol=2e-4)  # L/R cancel

@@ -143,6 +143,41 @@ def test_training_clap_smoke(tmp_path):
     assert int(state.step) == 2
 
 
+def test_training_clap_audio_zeroshot_eval(tmp_path):
+    """CLAP training with an offline wav-folder audio zero-shot eval: the CLI
+    builds the audio-zeroshot split from local files and evaluate() reports
+    top-1/top-5 (VERDICT r4 item 7 — reference audio_zero_shot.py:171-420)."""
+    import wave
+
+    rng = np.random.default_rng(0)
+    sr, n = 16000, 8000
+    for ci, c in enumerate(("dog_bark", "rain")):
+        d = tmp_path / "azs" / c
+        d.mkdir(parents=True)
+        for j in range(2):
+            wav = (np.sin(np.arange(n) * (0.1 + 0.1 * ci)) * 0.3 if ci == 0
+                   else rng.standard_normal(n) * 0.1)
+            with wave.open(str(d / f"c{j}.wav"), "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(sr)
+                w.writeframes((np.clip(wav, -1, 1) * 32767).astype(np.int16).tobytes())
+
+    state = main(
+        ["--model", "naflexclap_test", "--dataset-type", "synthetic-audio",
+         "--train-num-samples", "16", "--batch-size", "8", "--epochs", "1",
+         "--lr", "1e-3", "--warmup", "1", "--precision", "fp32",
+         "--audio-zeroshot-dataset", str(tmp_path / "azs"),
+         "--audio-zeroshot-template", "a sound of {}.",
+         "--logs", str(tmp_path), "--name", "smoke-clap-azs"])
+    assert int(state.step) == 2
+    import json
+
+    results = [json.loads(l) for l in
+               (tmp_path / "smoke-clap-azs" / "results.jsonl").read_text().splitlines()]
+    assert any("val/audio-zeroshot-top1" in r for r in results), results
+
+
 def _gen_smoke_cfg(base_name: str, register_as: str):
     """GenLIP/GenLAP test config with the simple-BPE text head: tiktoken needs
     network to fetch its BPE ranks, which offline CI does not have."""
