@@ -94,7 +94,8 @@ def _train_step(cfg, loss_type="clip", remat=True, policy="none", unroll=1):
     # order-independent (an earlier entry's policy must not leak into this one);
     # OCT_BENCH_REMAT_POLICY overrides for frontier probing (scripts/bench_frontier.py)
     blocks.REMAT_POLICY = os.environ.get("OCT_BENCH_REMAT_POLICY", policy)
-    blocks.SCAN_UNROLL = unroll
+    blocks.SCAN_UNROLL = int(os.environ.get("OCT_BENCH_SCAN_UNROLL", unroll))
+    blocks.SCAN_SPLIT_TRANSPOSE = bool(int(os.environ.get("OCT_BENCH_SPLIT_TRANSPOSE", "0")))
 
     params = init_clip(jax.random.PRNGKey(0), cfg)
     opt = create_optimizer(OptimizerCfg(lr=5e-4, wd=0.2, grad_clip_norm=1.0), params, const_lr(5e-4, 0))
@@ -240,7 +241,8 @@ def bench_vit_h14(bs=None):
     from open_clip_tpu.models import blocks
 
     blocks.REMAT_POLICY = os.environ.get("OCT_BENCH_REMAT_POLICY", "none")
-    blocks.SCAN_UNROLL = 1
+    blocks.SCAN_UNROLL = int(os.environ.get("OCT_BENCH_SCAN_UNROLL", "1"))
+    blocks.SCAN_SPLIT_TRANSPOSE = bool(int(os.environ.get("OCT_BENCH_SPLIT_TRANSPOSE", "0")))
     cfg = parse_model_cfg("ViT-H-14")
     # 986M params cannot carry fp32 params + fp32 AdamW m/v + fp32 grads on a 16G
     # chip (measured: the fp32-AdamW step OOMs at compile while an SGD step runs).
@@ -366,7 +368,8 @@ def bench_genlip(bs=None):
     from open_clip_tpu.models import blocks
 
     blocks.REMAT_POLICY = os.environ.get("OCT_BENCH_REMAT_POLICY", "none")
-    blocks.SCAN_UNROLL = 1
+    blocks.SCAN_UNROLL = int(os.environ.get("OCT_BENCH_SCAN_UNROLL", "1"))
+    blocks.SCAN_SPLIT_TRANSPOSE = bool(int(os.environ.get("OCT_BENCH_SPLIT_TRANSPOSE", "0")))
     m = create_model("naflexgenlip_b16", load_weights=False)
     cfg, params = m.cfg, m.params
     opt = create_optimizer(OptimizerCfg(lr=1e-4, wd=0.1, grad_clip_norm=1.0),
@@ -721,8 +724,90 @@ def bench_input_pipeline():
     }
 
 
+def bench_input_pipeline_sweep():
+    """Host-decode scaling protocol (VERDICT r4 item 5): host-stage img/s per
+    decode-thread count, per-thread efficiency, and the cores needed to saturate
+    one chip's train step. On this 1-core box the sweep is degenerate (1-2
+    threads oversubscribe the single core) — the protocol and the arithmetic are
+    what carry to pod hosts (LAION recipe: 224-core hosts feed 4 chips/host).
+
+    The chip-saturation extrapolation separates the genuine host cost from the
+    axon-tunnel H2D artifact: it uses the measured per-thread decode rate and the
+    device-step rate from the suite file (device-resident batches), NOT the
+    tunnel-capped e2e number."""
+    import itertools
+    import os
+
+    from open_clip_tpu.data.wds import WdsConfig, WdsPipeline
+    from open_clip_tpu.factory import get_tokenizer
+    from open_clip_tpu.transform import PreprocessCfg, uint8_image_transform_v2
+
+    urls = _make_bench_shards("/root/repo/.bench_data", n_shards=8)
+    pp_cfg = PreprocessCfg(size=224)
+    u8 = uint8_image_transform_v2(pp_cfg, is_train=True)
+    tok = get_tokenizer("ViT-B-32")
+    bs = 512
+    cores = os.cpu_count() or 1
+    native = getattr(u8, "native_canvas", None) is not None
+
+    sweep = []
+    threads = sorted({1, 2, 4, 8, cores, 2 * cores})
+    threads = [t for t in threads if t <= max(2 * cores, 2)]
+    for nt in threads:
+        wds = WdsPipeline(
+            WdsConfig(urls=urls, batch_size=bs, shuffle_shards=0, shuffle_samples=0,
+                      num_workers=1 if native else nt, resampled=False,
+                      native_decode_threads=nt if native else 0),
+            u8, tok)
+
+        def epochs(w=wds):
+            for e in itertools.count():
+                w.set_epoch(e)
+                yield from w
+
+        it = iter(epochs())
+        next(it)  # warm the reader
+        t0 = time.perf_counter()
+        n_meas = 3
+        for _ in range(n_meas):
+            next(it)
+        rate = n_meas * bs / (time.perf_counter() - t0)
+        sweep.append({"decode_threads": nt, "images_per_sec": round(rate, 1)})
+        del wds, it
+
+    base = sweep[0]["images_per_sec"]
+    for row in sweep:
+        row["scaling_vs_1thread"] = round(row["images_per_sec"] / max(base, 1e-9), 2)
+
+    # chip-saturation arithmetic from the suite's device-resident step rate
+    dev_rate = None
+    try:
+        with open("/root/repo/docs/bench_suite.json") as fh:
+            dev_rate = json.load(fh)["input_pipeline"].get("device_step_images_per_sec")
+    except (OSError, ValueError, KeyError):
+        pass
+    per_thread = base  # on a 1-core box thread 1 == core 1; pods: measure per added core
+    out = {
+        "metric": "input_pipeline_host_decode_scaling",
+        "unit": f"host-stage images/sec by decode-thread count ({'native C++ decode' if native else 'PIL'}, "
+                f"{cores} host core(s), batch {bs}, 256px JPEG -> 224px uint8 canvas)",
+        "sweep": sweep,
+        "per_core_images_per_sec": round(per_thread, 1),
+        "device_step_images_per_sec": dev_rate,
+        "cores_to_saturate_one_chip_estimate": (
+            round(dev_rate / max(per_thread, 1e-9), 1) if dev_rate else None),
+        "note": "1-core box: threads >1 oversubscribe the core, so the sweep shows flat/declining "
+                "scaling by construction; the per-core rate x pod-host cores (e.g. 112-224) vs one "
+                "chip's step rate is the pod arithmetic. H2D over the axon tunnel (~40 MB/s "
+                "in-context) is excluded on purpose - it is a bench-host artifact, not a pipeline "
+                "property (pods feed chips over PCIe/DMA at GB/s).",
+    }
+    return out
+
+
 SUITE = {
     "vit_b32": bench_flagship,
+    "input_pipeline_sweep": bench_input_pipeline_sweep,
     "input_pipeline": bench_input_pipeline,
     "vit_l14": bench_vit_l14,
     "vit_h14": bench_vit_h14,

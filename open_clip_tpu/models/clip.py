@@ -399,8 +399,14 @@ class CLIPModel:
         # default matches the reference (coca_model.py:248 generation_type="beam_search");
         # top_k/top_p are forwarded to the sampling loop rather than silently dropped
         gt = kw.get("generation_type", "beam_search")
+        # jax-native sampling entropy: seed=N is facade sugar for rng=PRNGKey(N)
+        # (the torch reference samples from global RNG state instead)
+        seed = kw.pop("seed", None)
+        if seed is not None and "rng" not in kw:
+            kw["rng"] = jax.random.PRNGKey(seed)
         if gt == "beam_search" or "num_beams" in kw:
             kw.pop("generation_type", None)
+            kw.pop("rng", None)  # beam search is deterministic
             return coca.generate_beam(self.params, self.cfg, jnp.asarray(image),
                                       compute_dtype=self.compute_dtype, **kw)
         return coca.generate(self.params, self.cfg, jnp.asarray(image),

@@ -37,19 +37,56 @@ def build_step(policy, batch, model="ViT-B-32"):
 
     blocks.REMAT_POLICY = policy
     blocks.SCAN_UNROLL = 1
+    rng = np.random.default_rng(0)
+
+    if model.startswith("naflexgenlip"):
+        # bench_genlip protocol: 1024 image tokens + 128 text, prefix-LM + fused CE
+        from open_clip_tpu.factory import create_model
+
+        m = create_model(model, load_weights=False)
+        cfg, params = m.cfg, m.params
+        opt = create_optimizer(OptimizerCfg(lr=1e-4, wd=0.1, grad_clip_norm=1.0),
+                               params, const_lr(1e-4, 0))
+        state = create_train_state(params, opt)
+        step = jit_train_step(make_train_step(cfg, opt, loss_type="genlip",
+                                              compute_dtype=jnp.bfloat16, remat=True))
+        bs, ni, lt = batch, 1024, 128
+        grid32 = np.stack(np.meshgrid(np.arange(32), np.arange(32), indexing="ij"), -1)
+        b = {
+            "image": {
+                "patches": jnp.asarray(rng.standard_normal((bs, ni, 768)), jnp.bfloat16),
+                "patch_coord": jnp.asarray(grid32.reshape(1, ni, 2).repeat(bs, 0), jnp.int32),
+                "patch_valid": jnp.ones((bs, ni), bool),
+            },
+            "text": jnp.asarray(rng.integers(1, 1000, size=(bs, lt)), jnp.int32),
+        }
+        return state, step, b
+
     cfg = parse_model_cfg(model)
     params = init_clip(jax.random.PRNGKey(0), cfg)
     opt = create_optimizer(OptimizerCfg(lr=5e-4, wd=0.2, grad_clip_norm=1.0),
                            params, const_lr(5e-4, 0))
     state = create_train_state(params, opt)
-    loss_type = "siglip" if cfg.init_logit_bias is not None else "clip"
+    from open_clip_tpu.task import loss_type_for
+
+    loss_type = loss_type_for(cfg, siglip=cfg.init_logit_bias is not None)
     step = jit_train_step(make_train_step(cfg, opt, loss_type=loss_type,
                                           compute_dtype=jnp.bfloat16, remat=True))
-    rng = np.random.default_rng(0)
-    b = {"text": jnp.asarray(rng.integers(0, 49407, size=(batch, 77)), jnp.int32)}
+    ctx = getattr(cfg.text_cfg, "context_length", 77)  # coca configs already say 76
+    b = {"text": jnp.asarray(rng.integers(0, 49407, size=(batch, ctx)), jnp.int32)}
     if cfg.audio_cfg is not None:
         b["audio"] = {"waveform": jnp.asarray(
             rng.standard_normal((batch, 480000)) * 0.1, jnp.float32)}
+    elif model.startswith("naflex"):
+        # bench_naflex protocol: one 16384-token budget bucket (seq 1024 @ p16)
+        seq = 1024
+        b["image"] = {
+            "patches": jnp.asarray(rng.standard_normal((batch, seq, 16 * 16 * 3)), jnp.bfloat16),
+            "patch_coord": jnp.asarray(
+                np.stack(np.meshgrid(np.arange(32), np.arange(32), indexing="ij"), -1)
+                .reshape(1, seq, 2).repeat(batch, 0), jnp.int32),
+            "patch_valid": jnp.ones((batch, seq), bool),
+        }
     else:
         sz = cfg.vision_cfg.image_size
         sz = sz if isinstance(sz, int) else sz[0]
