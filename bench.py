@@ -240,7 +240,12 @@ def bench_vit_h14(bs=None):
 
     from open_clip_tpu.models import blocks
 
-    blocks.REMAT_POLICY = os.environ.get("OCT_BENCH_REMAT_POLICY", "none")
+    # round-5: names_mm at batch 16 (86+ img/s, MFU ~0.51) beats full remat at
+    # batch 32 (77.5, 0.455). names_mm at batch 32 RESOURCE_EXHAUSTEDs — saving
+    # matmul outputs at H-14 scale doesn't fit 16 GB HBM at 32/chip, which was
+    # the real blocker behind the round-4 "stale_error" (not only the compile
+    # helper's HTTP 500s).
+    blocks.REMAT_POLICY = os.environ.get("OCT_BENCH_REMAT_POLICY", "names_mm")
     blocks.SCAN_UNROLL = int(os.environ.get("OCT_BENCH_SCAN_UNROLL", "1"))
     blocks.SCAN_SPLIT_TRANSPOSE = bool(int(os.environ.get("OCT_BENCH_SPLIT_TRANSPOSE", "0")))
     cfg = parse_model_cfg("ViT-H-14")
@@ -256,10 +261,9 @@ def bench_vit_h14(bs=None):
     state = create_train_state(params, opt)
     step = jit_train_step(make_train_step(cfg, opt, loss_type="clip",
                                           compute_dtype=jnp.bfloat16, remat=True))
-    # batch 32/chip: round-3 frontier probe winner (77.8 vs 75.2 at 48, 71.5 at 96
-    # img/s) — same pattern as the other towers: the smallest batch that fills the
-    # MXU wins under full remat.
-    bs = bs or 32
+    # batch 16/chip under names_mm (round-5 winner); the round-3 full-remat
+    # frontier winner was 32 (77.8 vs 75.2 at 48, 71.5 at 96 img/s).
+    bs = bs or 16
     batch = _image_text_batch(jnp, bs, 224, 77, 49408)
     dt = _run_steps(state, step, batch, iters=5)
     gflops = _fwd_gflops("ViT-H-14", 381.9)
@@ -325,7 +329,9 @@ def bench_naflex(bs=None):
     from open_clip_tpu.config import parse_model_cfg
 
     cfg = parse_model_cfg("naflex_ViT-B-16")
-    state, step = _train_step(cfg)
+    # round-5 probe: names_mm (save block-matmul outputs) beat full remat by
+    # ~3.8% at this bucket shape — same pattern as the dense towers.
+    state, step = _train_step(cfg, policy="names_mm")
     # token-budget bucket: seq 1024 patches @ patch 16 -> 16384-token budget = 16/batch
     bs, seq = bs or 16, 1024
     rng = np.random.default_rng(0)
@@ -367,7 +373,9 @@ def bench_genlip(bs=None):
 
     from open_clip_tpu.models import blocks
 
-    blocks.REMAT_POLICY = os.environ.get("OCT_BENCH_REMAT_POLICY", "none")
+    # round-5 probe: names_mm beat full remat by ~2.9% on the prefix-LM step;
+    # unroll/split-transpose probes regressed (kept at defaults).
+    blocks.REMAT_POLICY = os.environ.get("OCT_BENCH_REMAT_POLICY", "names_mm")
     blocks.SCAN_UNROLL = int(os.environ.get("OCT_BENCH_SCAN_UNROLL", "1"))
     blocks.SCAN_SPLIT_TRANSPOSE = bool(int(os.environ.get("OCT_BENCH_SPLIT_TRANSPOSE", "0")))
     m = create_model("naflexgenlip_b16", load_weights=False)
