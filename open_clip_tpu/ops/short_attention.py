@@ -21,11 +21,31 @@ Backward recomputes the softmax in-kernel (single block: no saved probs, no lse)
 emits dq/dk/dv in one fused kernel — exact gradients; the only residuals are q/k/v
 themselves. Long sequences (NaFlex/GenLIP 1k-4k) tile through ops/flash_attention.py
 instead; dispatch lives in ops/attention.py.
+
+v2 body (default; `OCT_SHORT_ATTN_IMPL=v1` restores the row-stacked original):
+on-chip ablation (scripts/perf_attn_ablate.py) attributed ~26% of the text fwd to
+the head stacking/unstacking lane rotations and ~52% to the (2L, 2L) masked fp32
+softmax. v2 removes both:
+- k/v are replicated down sublanes (one concat, no lane rolls) and multiplied by a
+  block mask so row-block i holds only head i's lanes. Logits are then ONE
+  (L, hd·per) x (per·L, hd·per)^T matmul — full 128-lane contraction — giving
+  (L, per·L) with head i's scores in column segment i: half the fp32 softmax area
+  of the stacked (per·L, per·L) layout and no cross-head mask term.
+- softmax stability uses the row-global max: it is constant across each column
+  segment, and segment-wise softmax is invariant to any shift constant within the
+  segment, so one max serves all heads exactly.
+- per-segment denominators come from e @ blockmap — a matmul against the same
+  {0,1} block mask — which lands each head's sum directly in that head's output
+  lanes, so o = (e @ V_stack) / d needs no unstack: the context matmul's output
+  is already in the tower's native (L, H*hd) lane layout.
+The backward keeps the same masked-stack operands; dv/dk come out block-stacked
+(per·L, hd·per) and fold back with per-1 sublane slice-adds (no rotations).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -188,6 +208,151 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
             dv_ref[g, :, b:b + tw] = _unstack_heads(dv, per, lp, hd).astype(dv_ref.dtype)
 
 
+# ---------------------------------------------------------------------------
+# v2 kernel body: lane-masked k/v stacks, (L, per*L) logits, roll-free fold.
+# ---------------------------------------------------------------------------
+
+def _seg_masks(lp: int, per: int, tw: int, hd: int, seq_len: int, causal: bool):
+    """(kv_mask (n, tw), smask (lp, n)) for the v2 layout.
+
+    kv_mask: row-block i keeps only head i's lanes AND rows within seq_len —
+    one mask both selects the contraction lanes and row-cleans OOB key/value rows.
+    smask: key position (col % lp) valid (& causal vs the query row)."""
+    n = per * lp
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, tw), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, tw), 1)
+    kv = ((r // lp) == (c // hd)) & ((r % lp) < seq_len)
+    qr = jax.lax.broadcasted_iota(jnp.int32, (lp, n), 0)
+    kc = jax.lax.broadcasted_iota(jnp.int32, (lp, n), 1)
+    kpos = kc % lp
+    sm = kpos < seq_len
+    if causal:
+        sm = sm & (qr >= kpos)
+    return kv, sm
+
+
+def _expand_kv(tile: jnp.ndarray, per: int, kv_mask: jnp.ndarray) -> jnp.ndarray:
+    """(Lp, tw) -> (per*Lp, tw): replicate down sublanes (no lane rolls), then mask
+    so row-block i holds only head i's lanes (other heads' lanes zero)."""
+    if per > 1:
+        tile = jnp.concatenate([tile] * per, axis=0)
+    return jnp.where(kv_mask, tile, 0)
+
+
+def _fold_blocks(x: jnp.ndarray, per: int, lp: int, kv_maskf) -> jnp.ndarray:
+    """(per*Lp, tw) block-stacked grads -> (Lp, tw) native lanes: mask off the
+    cross-head blocks, then sum the per sublane slices (no rotations)."""
+    x = x * kv_maskf
+    if per == 1:
+        return x
+    out = x[0:lp]
+    for i in range(1, per):
+        out = out + x[i * lp:(i + 1) * lp]
+    return out
+
+
+def _stage_chunks_bytes(idx, per_tile_bytes: int, bwd: bool = False):
+    """Like _stage_chunks but budgeted on the actual live fp32 bytes per tile
+    (v2 logits are (Lp, per*Lp) — half the stacked layout's (per*Lp)^2)."""
+    budget = 1 << 20 if bwd else 4 << 20
+    k = max(1, budget // max(per_tile_bytes, 1))
+    return [idx[i:i + k] for i in range(0, len(idx), k)]
+
+
+def _fwd_kernel_v2(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
+                   seq_len: int, hd: int):
+    gb, lp, w = q_ref.shape
+    per = max(min(LANES // hd, w // hd), 1)
+    tw = per * hd
+    n = per * lp
+    kv_mask, smask = _seg_masks(lp, per, tw, hd, seq_len, causal)
+    # blockmap (n, tw): e @ blockmap puts each column segment's row-sum into the
+    # matching head's output lanes — the denominator lands pre-broadcast
+    blockmap = kv_mask.astype(jnp.float32)
+    in_dt = q_ref.dtype
+    idx = [(g, base) for g in range(gb) for base in range(0, w, tw)]
+    for chunk in _stage_chunks_bytes(idx, lp * n * 4):
+        qs = [q_ref[g, :, b:b + tw] for g, b in chunk]
+        ks = [_expand_kv(k_ref[g, :, b:b + tw], per, kv_mask) for g, b in chunk]
+        vs = [_expand_kv(v_ref[g, :, b:b + tw], per, kv_mask) for g, b in chunk]
+        ss = [jax.lax.dot_general(qp, kp, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+              for qp, kp in zip(qs, ks)]
+        es, ds = [], []
+        for s in ss:
+            s = jnp.where(smask, s * scale, NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)  # row-global: exact per segment
+            e = jnp.exp(s - m)
+            ds.append(jax.lax.dot_general(e, blockmap, (((1,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32))
+            es.append(e.astype(in_dt))
+        os_ = [jax.lax.dot_general(e, vp, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+               for e, vp in zip(es, vs)]
+        for (g, b), o, d in zip(chunk, os_, ds):
+            o_ref[g, :, b:b + tw] = (o / d).astype(o_ref.dtype)
+
+
+def _bwd_kernel_v2(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                   scale: float, causal: bool, seq_len: int, hd: int):
+    gb, lp, w = q_ref.shape
+    per = max(min(LANES // hd, w // hd), 1)
+    tw = per * hd
+    n = per * lp
+    kv_mask, smask = _seg_masks(lp, per, tw, hd, seq_len, causal)
+    kv_maskf = kv_mask.astype(jnp.float32)
+    # (n, n) segment map for broadcasting row-sums back over the logit columns
+    jr = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    jc = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    segmap = ((jr // lp) == (jc // lp)).astype(jnp.float32)
+    in_dt = q_ref.dtype
+    idx = [(g, base) for g in range(gb) for base in range(0, w, tw)]
+    for chunk in _stage_chunks_bytes(idx, lp * n * 4, bwd=True):
+        # q and do need explicit row-cleaning: garbage rows would otherwise enter
+        # the axis-0 contractions below (k/v rows are cleaned inside _expand_kv)
+        qs = [_row_clean(q_ref[g, :, b:b + tw], lp, seq_len) for g, b in chunk]
+        ks = [_expand_kv(k_ref[g, :, b:b + tw], per, kv_mask) for g, b in chunk]
+        vs = [_expand_kv(v_ref[g, :, b:b + tw], per, kv_mask) for g, b in chunk]
+        dos = [_row_clean(do_ref[g, :, b:b + tw], lp, seq_len) for g, b in chunk]
+        ss = [jax.lax.dot_general(qp, kp, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+              for qp, kp in zip(qs, ks)]
+        ps32, ps = [], []
+        for s in ss:
+            s = jnp.where(smask, s * scale, NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            d = jax.lax.dot_general(e, segmap, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            p = e / d
+            ps32.append(p)
+            ps.append(p.astype(in_dt))
+        dps = [jax.lax.dot_general(dop, vp, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+               for dop, vp in zip(dos, vs)]
+        dss = []
+        for p32, dp in zip(ps32, dps):
+            r = jax.lax.dot_general(dp * p32, segmap, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            dss.append((p32 * (dp - r) * scale).astype(in_dt))
+        dqs = [jax.lax.dot_general(ds, kp, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+               for ds, kp in zip(dss, ks)]
+        dvs = [jax.lax.dot_general(p, dop, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+               for p, dop in zip(ps, dos)]
+        dks = [jax.lax.dot_general(ds, qp, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+               for ds, qp in zip(dss, qs)]
+        for (g, b), dq, dk, dv in zip(chunk, dqs, dks, dvs):
+            dq_ref[g, :, b:b + tw] = dq.astype(dq_ref.dtype)
+            dk_ref[g, :, b:b + tw] = _fold_blocks(dk, per, lp, kv_maskf).astype(dk_ref.dtype)
+            dv_ref[g, :, b:b + tw] = _fold_blocks(dv, per, lp, kv_maskf).astype(dv_ref.dtype)
+
+
+# v2 (lane-masked stacks, roll-free) is the default; v1 kept for A/B benching.
+_IMPL = os.environ.get("OCT_SHORT_ATTN_IMPL", "v2")
+
 _INTERPRET = False  # flipped by tests to run kernels off-TPU
 
 # samples per grid step, scaled so VMEM stays within budget: measured safe points are
@@ -233,8 +398,9 @@ def _fwd_call(q, k, v, causal, scale, hd):
     # VMEM but every use is masked: logit cols are masked by seq_len, softmax rows
     # are independent, and garbage output rows are never stored (OOB store mask).
     grid, spec, sem = _grid_and_spec(b, lp, w, hd, _FWD_BUDGET)
+    body = _fwd_kernel_v2 if _IMPL == "v2" else _fwd_kernel
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, causal=causal, seq_len=l, hd=hd),
+        functools.partial(body, scale=scale, causal=causal, seq_len=l, hd=hd),
         out_shape=jax.ShapeDtypeStruct((b, l, w), q.dtype),
         grid=grid,
         in_specs=[spec] * 3,
@@ -255,8 +421,9 @@ def _bwd_call(q, k, v, do, causal, scale, hd):
     lp = _round_up(l, 16)
     grid, spec, sem = _grid_and_spec(b, lp, w, hd, _BWD_BUDGET)
     shape = jax.ShapeDtypeStruct((b, l, w), q.dtype)
+    body = _bwd_kernel_v2 if _IMPL == "v2" else _bwd_kernel
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, causal=causal, seq_len=l, hd=hd),
+        functools.partial(body, scale=scale, causal=causal, seq_len=l, hd=hd),
         out_shape=(shape, shape, shape),
         grid=grid,
         in_specs=[spec] * 4,

@@ -16,12 +16,15 @@ import open_clip_tpu.ops.short_attention as sa
 from open_clip_tpu.ops.attention import dot_product_attention
 
 
-@pytest.fixture(autouse=True)
-def _interpret():
+@pytest.fixture(autouse=True, params=["v2", "v1"])
+def _interpret(request):
     old = sa._INTERPRET
+    old_impl = sa._IMPL
     sa._INTERPRET = jax.default_backend() != "tpu"
+    sa._IMPL = request.param
     yield
     sa._INTERPRET = old
+    sa._IMPL = old_impl
 
 
 CASES = [
