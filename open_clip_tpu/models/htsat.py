@@ -194,21 +194,53 @@ def _swin_block_apply(p, x, *, resolution: Tuple[int, int], heads: int, ws: int,
     b, l, c = x.shape
     shortcut = x
     x = layer_norm(x, p["norm1"]["scale"], p["norm1"]["bias"])
+
+    n = ws * ws
+    scale = (c // heads) ** -0.5
+    rel = p["attn"]["rel_bias"][jnp.asarray(relative_position_index(ws).reshape(-1))]
+    rel = rel.reshape(n, n, heads).transpose(2, 0, 1)  # (H, N, N)
+    mask = shifted_window_mask(h, w, ws, shift)
+
+    from ..ops import swin_attention as _swa
+    from ..ops import window_attention as _wa
+
+    if _swa.enabled() and _swa.supports(h, w, ws, heads, c, b):
+        # panel kernel: window partition/reverse fold into the kernel, q/k/v
+        # stay in the (B, H*W, C) token layout end to end. The shifted roll
+        # stays outside (layout-preserving); qkv splits into three (C, C)
+        # matmuls so no lane-slice copy is needed either.
+        if shift > 0:
+            x = jnp.roll(x.reshape(b, h, w, c), (-shift, -shift),
+                         axis=(1, 2)).reshape(b, l, c)
+        kqkv = p["attn"]["qkv"]["kernel"]
+        bqkv = p["attn"]["qkv"].get("bias")
+        q = linear(x, kqkv[:, :c], None if bqkv is None else bqkv[:c])
+        k = linear(x, kqkv[:, c:2 * c], None if bqkv is None else bqkv[c:2 * c])
+        v = linear(x, kqkv[:, 2 * c:], None if bqkv is None else bqkv[2 * c:])
+        bias = rel[None].astype(jnp.float32)  # (1, H, N, N)
+        if mask is not None:
+            bias = bias + jnp.asarray(mask)[:, None]  # (nW, H, N, N)
+        out = _swa.panel_attention(q, k, v, bias, hw=(h, w), ws=ws, scale=scale)
+        out = linear(out, p["attn"]["proj"]["kernel"], p["attn"]["proj"].get("bias"))
+        if shift > 0:
+            out = jnp.roll(out.reshape(b, h, w, c), (shift, shift),
+                           axis=(1, 2)).reshape(b, l, c)
+        x = shortcut + out
+
+        hdn = layer_norm(x, p["norm2"]["scale"], p["norm2"]["bias"])
+        hdn = linear(hdn, p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"].get("bias"))
+        hdn = gelu(hdn)
+        hdn = linear(hdn, p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"].get("bias"))
+        return x + hdn
+
     x = x.reshape(b, h, w, c)
     if shift > 0:
         x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
     xw = window_partition(x, ws)  # (B*nW, N, C)
 
     # window attention with relative position bias
-    n = ws * ws
     bw = xw.shape[0]
     qkv = linear(xw, p["attn"]["qkv"]["kernel"], p["attn"]["qkv"].get("bias"))
-    scale = (c // heads) ** -0.5
-    rel = p["attn"]["rel_bias"][jnp.asarray(relative_position_index(ws).reshape(-1))]
-    rel = rel.reshape(n, n, heads).transpose(2, 0, 1)  # (H, N, N)
-    mask = shifted_window_mask(h, w, ws, shift)
-
-    from ..ops import window_attention as _wa
 
     nw_bias = 1 if mask is None else mask.shape[0]
     if _wa.enabled() and _wa.supports(n, heads, c, bw, nw_bias):
